@@ -1,0 +1,101 @@
+"""Host-side batch pipeline: sampler + threaded prefetch feeding the mesh.
+
+Replaces the reference's torch ``DataLoader`` + ``DistributedSampler`` stack
+(``3d_ldm/utils.py:186-230``). On TPU there is one Python process per host;
+replica sharding happens at ``jax.device_put`` time (see
+:func:`ldm3d_tpu.parallel.shard_batch`), so the loader's jobs are just
+(a) seeded per-epoch shuffling, (b) drop-last batching for uniform shapes,
+(c) overlap of host IO with device compute via a small prefetch queue,
+(d) per-host slicing when running multi-host.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+__all__ = ["BatchLoader"]
+
+
+def _stack(samples: Sequence[dict]) -> dict:
+    keys = samples[0].keys()
+    return {k: np.stack([s[k] for s in samples], axis=0) for k in keys}
+
+
+class BatchLoader:
+    """Iterates epoch batches with prefetch; one instance per dataset split."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+        prefetch: int = 2,
+        num_hosts: int = 1,
+        host_id: int = 0,
+    ):
+        if batch_size <= 0:
+            raise ValueError("batch_size must be positive")
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.prefetch = max(1, prefetch)
+        self.num_hosts = num_hosts
+        self.host_id = host_id
+
+    def steps_per_epoch(self) -> int:
+        n = len(self.dataset) // self.num_hosts
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + epoch)
+            rng.shuffle(idx)
+        # contiguous per-host shard, DistributedSampler-style
+        per_host = len(idx) // self.num_hosts
+        if per_host == 0:
+            raise ValueError("dataset smaller than host count")
+        return idx[self.host_id * per_host : (self.host_id + 1) * per_host]
+
+    def epoch(self, epoch: int) -> Iterator[dict]:
+        """Yield stacked numpy batches for one epoch, prefetched on a thread."""
+        if hasattr(self.dataset, "set_epoch_seed"):
+            self.dataset.set_epoch_seed(self.seed + epoch)
+        indices = self._epoch_indices(epoch)
+        nb = len(indices) // self.batch_size if self.drop_last else (len(indices) + self.batch_size - 1) // self.batch_size
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        _SENTINEL = object()
+        err: list[BaseException] = []
+
+        def worker():
+            try:
+                for b in range(nb):
+                    chunk = indices[b * self.batch_size : (b + 1) * self.batch_size]
+                    if len(chunk) == 0:
+                        break
+                    q.put(_stack([self.dataset[int(i)] for i in chunk]))
+            except BaseException as e:  # propagate into consumer
+                err.append(e)
+            finally:
+                q.put(_SENTINEL)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]

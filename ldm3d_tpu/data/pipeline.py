@@ -1,0 +1,62 @@
+"""``prepare_dataloader`` — the reference's data entry point, TPU-native.
+
+Signature parity with reference ``3d_ldm/utils.py:66-107``: builds train/val
+loaders from the merged args namespace with random-crop train patches,
+1.5x-rounded center-crop val patches, percentile intensity scaling, and the
+dir-or-fraction split. ``synthetic_*`` args additionally allow running with
+generated data when no NPZ directory is configured (the reference hard-fails
+in that case).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Any, Sequence
+
+from ldm3d_tpu.data.loader import BatchLoader
+from ldm3d_tpu.data.npz_dataset import NPZPairDataset, build_file_lists
+from ldm3d_tpu.data.synthetic import write_synthetic_npz_dir
+from ldm3d_tpu.data.transforms import val_patch_size
+
+__all__ = ["prepare_dataloader"]
+
+
+def prepare_dataloader(
+    args: Any,
+    batch_size: int,
+    patch_size: Sequence[int],
+    randcrop: bool = True,
+    size_divisible: int = 16,
+    num_hosts: int = 1,
+    host_id: int = 0,
+    scale_on_host: bool = True,
+) -> tuple[BatchLoader, BatchLoader]:
+    npz_dir_train = getattr(args, "npz_dir_train", None) or None
+    npz_dir_val = getattr(args, "npz_dir_val", None) or None
+    npz_dir = getattr(args, "npz_dir", None) or None
+    val_fraction = float(getattr(args, "val_fraction", 0.1))
+    seed = int(getattr(args, "seed", 0))
+
+    if not any((npz_dir_train and npz_dir_val, npz_dir)) and getattr(args, "synthetic_data", False):
+        n = int(getattr(args, "synthetic_num", 16))
+        shape = tuple(getattr(args, "synthetic_shape", None) or [max(64, p) for p in patch_size])
+        npz_dir = os.path.join(tempfile.gettempdir(), f"ldm3d_synth_{n}_{'x'.join(map(str, shape))}_{seed}")
+        marker = os.path.join(npz_dir, ".complete")
+        if not os.path.exists(marker):
+            write_synthetic_npz_dir(npz_dir, n, shape=shape, seed=seed)
+            open(marker, "w").close()
+
+    train_files, val_files = build_file_lists(npz_dir_train, npz_dir_val, npz_dir, val_fraction, seed)
+
+    vps = val_patch_size(patch_size, size_divisible, randcrop)
+    train_ds = NPZPairDataset(train_files, patch_size=patch_size, randcrop=randcrop,
+                              scale_on_host=scale_on_host, seed=seed)
+    val_ds = NPZPairDataset(val_files, patch_size=vps, randcrop=False,
+                            scale_on_host=scale_on_host, seed=seed)
+
+    train_loader = BatchLoader(train_ds, batch_size, shuffle=True, drop_last=True,
+                               seed=seed, num_hosts=num_hosts, host_id=host_id)
+    val_loader = BatchLoader(val_ds, batch_size, shuffle=False, drop_last=True,
+                             seed=seed, num_hosts=num_hosts, host_id=host_id)
+    return train_loader, val_loader

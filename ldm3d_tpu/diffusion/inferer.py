@@ -1,0 +1,101 @@
+"""Latent diffusion inferer: training-step noising + single-program sampler.
+
+Capability parity with ``monai.inferers.LatentDiffusionInferer`` as used by
+the reference (``train_diffusion.py:152,197-205,326-333`` and
+``inference.py:85,94-99``): encode -> scale -> add-noise -> (concat condition)
+-> UNet for training, and the full reverse loop + VAE decode for sampling.
+
+The TPU-native difference: the reverse loop is a ``lax.scan`` so DDPM-1000 or
+DDIM-50 plus the VAE decode compile into ONE XLA program — no Python-stepped
+UNet dispatch (the reference's main inference bottleneck, SURVEY.md 3.3).
+
+Conditioning modes, fixing the reference's train/infer mismatch (SURVEY.md
+2.4.3): ``condition=None`` samples unconditionally (requires a UNet with
+``in_channels == latent_channels``); a ``(B, d, h, w, C_cond)`` condition is
+channel-concatenated every step ("concat" mode).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["noise_prediction_inputs", "training_targets", "sample_latents", "sample"]
+
+
+def noise_prediction_inputs(
+    scheduler,
+    latents: jax.Array,
+    noise: jax.Array,
+    timesteps: jax.Array,
+    condition: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Build the UNet input for training: noisy (scaled) latents, concat-conditioned."""
+    noisy = scheduler.add_noise(latents, noise, timesteps)
+    if condition is not None:
+        noisy = jnp.concatenate([noisy, condition.astype(noisy.dtype)], axis=-1)
+    return noisy
+
+
+def training_targets(scheduler, latents: jax.Array, noise: jax.Array, timesteps: jax.Array) -> jax.Array:
+    """Regression target per scheduler.prediction_type (epsilon by default)."""
+    if scheduler.prediction_type == "epsilon":
+        return noise
+    if scheduler.prediction_type == "sample":
+        return latents
+    if scheduler.prediction_type == "v_prediction":
+        return scheduler.velocity(latents, noise, timesteps)
+    raise ValueError(scheduler.prediction_type)
+
+
+def sample_latents(
+    unet_apply: Callable[[jax.Array, jax.Array], jax.Array],
+    scheduler,
+    noise: jax.Array,
+    rng: jax.Array,
+    condition: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Run the full reverse loop in latent space as one ``lax.scan``.
+
+    Args:
+      unet_apply: ``(x, t) -> model_output`` (t of shape (B,)).
+      scheduler: DDPM or DDIM scheduler pytree.
+      noise: initial latent noise ``(B, d, h, w, C)``.
+      rng: PRNG key for ancestral noise (unused when sampling is deterministic).
+      condition: optional concat conditioning, fixed across steps.
+    """
+    batch = noise.shape[0]
+    timesteps = scheduler.timesteps
+    step_rngs = jax.random.split(rng, timesteps.shape[0])
+
+    def body(x, scan_in):
+        t, step_rng = scan_in
+        model_in = x if condition is None else jnp.concatenate([x, condition.astype(x.dtype)], axis=-1)
+        t_b = jnp.full((batch,), t, dtype=jnp.int32)
+        pred = unet_apply(model_in, t_b)
+        x_next = scheduler.step(pred, t, x, step_rng)
+        return x_next, None
+
+    final, _ = jax.lax.scan(body, noise, (timesteps, step_rngs))
+    return final
+
+
+def sample(
+    unet_apply: Callable[[jax.Array, jax.Array], jax.Array],
+    decode_apply: Callable[[jax.Array], jax.Array],
+    scheduler,
+    noise: jax.Array,
+    rng: jax.Array,
+    condition: Optional[jax.Array] = None,
+    scale_factor: float | jax.Array = 1.0,
+) -> jax.Array:
+    """Reverse loop + VAE decode, one compiled program.
+
+    Mirrors ``LatentDiffusionInferer.sample`` (reference ``inference.py:94-99``):
+    the final latent is divided by ``scale_factor`` before decoding.
+    """
+    latents = sample_latents(unet_apply, scheduler, noise, rng, condition)
+    latents = latents / jnp.asarray(scale_factor, dtype=latents.dtype)
+    return decode_apply(latents)

@@ -1,0 +1,15 @@
+from ldm3d_tpu.losses.losses import (
+    l1_loss,
+    l2_loss,
+    kl_loss,
+    lsgan_generator_loss,
+    lsgan_discriminator_loss,
+)
+
+__all__ = [
+    "l1_loss",
+    "l2_loss",
+    "kl_loss",
+    "lsgan_generator_loss",
+    "lsgan_discriminator_loss",
+]

@@ -1,0 +1,84 @@
+"""3D PatchGAN discriminator for the stage-1 VAE-GAN.
+
+Capability parity with ``monai.networks.nets.PatchDiscriminator`` as built by
+the reference (``train_autoencoder.py:151-158``: ``num_layers_d=3,
+channels=32, norm="INSTANCE"``). Forward returns the list of intermediate
+feature maps with the logits map last, so callers can keep the reference's
+``discriminator(x)[-1]`` idiom (``train_autoencoder.py:410,459``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+__all__ = ["PatchDiscriminator3D"]
+
+
+class _InstanceNorm(nn.Module):
+    """Per-sample, per-channel normalization over spatial dims (fp32 stats)."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        orig = x.dtype
+        x32 = x.astype(jnp.float32)
+        axes = tuple(range(1, x.ndim - 1))
+        mean = jnp.mean(x32, axis=axes, keepdims=True)
+        var = jnp.var(x32, axis=axes, keepdims=True)
+        return ((x32 - mean) * jax.lax.rsqrt(var + self.epsilon)).astype(orig)
+
+
+class PatchDiscriminator3D(nn.Module):
+    num_layers_d: int = 3
+    channels: int = 32
+    in_channels: int = 1
+    out_channels: int = 1
+    dtype: Dtype = jnp.float32
+
+    @classmethod
+    def from_config(cls, **kw) -> "PatchDiscriminator3D":
+        spatial_dims = kw.pop("spatial_dims", 3)
+        if spatial_dims != 3:
+            raise ValueError("ldm3d_tpu targets spatial_dims=3")
+        norm = kw.pop("norm", "INSTANCE")
+        if str(norm).upper() != "INSTANCE":
+            raise ValueError(f"only INSTANCE norm is supported, got {norm!r}")
+        dtype = kw.pop("dtype", jnp.float32)
+        if isinstance(dtype, str):
+            dtype = jnp.dtype(dtype)
+        return cls(
+            num_layers_d=kw.pop("num_layers_d", 3),
+            channels=kw.pop("channels", 32),
+            in_channels=kw.pop("in_channels", 1),
+            out_channels=kw.pop("out_channels", 1),
+            dtype=dtype,
+        )
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> list[jax.Array]:
+        feats: list[jax.Array] = []
+        ch = self.channels
+        h = x
+        for layer in range(self.num_layers_d):
+            h = nn.Conv(
+                ch, kernel_size=(4, 4, 4), strides=(2, 2, 2), padding="SAME",
+                dtype=self.dtype, param_dtype=jnp.float32, name=f"conv_{layer}",
+            )(h)
+            if layer > 0:  # first layer has no norm, PatchGAN convention
+                h = _InstanceNorm(name=f"norm_{layer}")(h)
+            h = nn.leaky_relu(h, negative_slope=0.2)
+            feats.append(h)
+            ch *= 2
+        logits = nn.Conv(
+            self.out_channels, kernel_size=(4, 4, 4), strides=(1, 1, 1), padding="SAME",
+            dtype=self.dtype, param_dtype=jnp.float32, name="conv_out",
+        )(h)
+        feats.append(logits)
+        return feats

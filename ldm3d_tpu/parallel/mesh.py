@@ -1,0 +1,76 @@
+"""Device mesh + sharding helpers: the TPU-native replacement for DDP/NCCL.
+
+The reference distributes with one process per GPU, NCCL all-reduce inside
+DDP backward, explicit ``all_reduce``/``barrier`` calls, and a
+``DistributedSampler`` (reference ``3d_ldm/utils.py:55-63,188-193``,
+``train_autoencoder.py:214-221``). On TPU all of that collapses into sharded
+arrays over a ``jax.sharding.Mesh``: the train step is jitted with the batch
+sharded on the ``data`` axis and parameters replicated, so XLA inserts the
+ICI all-reduces during the backward pass automatically — there is no wrapper,
+no process-group timeout, and no barrier (synchronization is implicit in the
+compiled program). SyncBatchNorm is unnecessary: all norms here are
+GroupNorm/InstanceNorm, which carry no cross-device statistics.
+
+The mesh is named ('data', 'model') so later tensor/spatial-parallel axes can
+slot in without changing call sites; the reference supports only DP
+(SURVEY.md section 2.3), which maps to model=1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["MeshSpec", "create_mesh", "batch_sharding", "replicated_sharding", "shard_batch"]
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshSpec:
+    data: int = -1  # -1: all remaining devices
+    model: int = 1
+
+    def resolve(self, n_devices: int) -> tuple[int, int]:
+        model = max(1, self.model)
+        data = self.data if self.data > 0 else n_devices // model
+        if data * model != n_devices:
+            raise ValueError(f"mesh {data}x{model} does not tile {n_devices} devices")
+        return data, model
+
+
+def create_mesh(spec: MeshSpec | None = None, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    spec = spec or MeshSpec()
+    data, model = spec.resolve(len(devices))
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis across the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch (pytree of arrays) sharded on the data axis.
+
+    Pads nothing: callers must provide batch sizes divisible by the data-axis
+    size (the reference enforces the same via ``drop_last=True``,
+    ``utils.py:215``).
+    """
+    sharding = batch_sharding(mesh)
+
+    def _put(x):
+        n = mesh.shape["data"]
+        if x.shape[0] % n != 0:
+            raise ValueError(f"global batch {x.shape[0]} not divisible by data axis {n}")
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(_put, batch)

@@ -1,0 +1,147 @@
+"""Stage-1 VAE-GAN training: generator + discriminator steps, one XLA program each.
+
+Behavior parity with the reference trainer (``3d_ldm/train_autoencoder.py``):
+  * generator loss = recon(L1|L2) + kl_weight*KL + perceptual_weight*LPIPS-2.5D
+    + 0.01*LSGAN(G) after a 5-epoch adversarial warm-up (:304,406-424),
+  * discriminator loss = 0.01 * 0.5*(LSGAN fake + real) on detached recon (:453-494),
+  * AdamW(betas=(0.5, 0.9), eps=1e-8, weight_decay=1e-5) for both (:274-279),
+  * global-norm gradient clip 0.5 (:444,450),
+  * inputs clamped to [0, 1] (:359),
+  * validation loss = recon + perceptual_weight*perceptual on clamped recon (:578-604).
+
+Deliberately dropped (north star): all NaN skip-batch guards — fp32 loss
+accumulation over bf16 compute makes them unnecessary. The adversarial
+warm-up boundary is a static jit argument, so the step compiles exactly twice.
+
+Distribution: callers jit these steps over a mesh with the batch sharded on
+the ``data`` axis; XLA inserts the gradient all-reduces (no DDP wrapper).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ldm3d_tpu.losses import (
+    kl_loss,
+    l1_loss,
+    l2_loss,
+    lsgan_discriminator_loss,
+    lsgan_generator_loss,
+)
+from ldm3d_tpu.nn.lpips import perceptual_loss_25d
+from ldm3d_tpu.training.state import TrainState
+
+__all__ = ["Stage1Config", "make_optimizer", "make_stage1_train_step", "make_stage1_eval_step"]
+
+
+@dataclasses.dataclass(frozen=True)
+class Stage1Config:
+    recon_loss: str = "l1"
+    kl_weight: float = 1e-9
+    perceptual_weight: float = 1e-4
+    adv_weight: float = 0.01
+    grad_clip: float = 0.5
+    warmup_epochs: int = 5  # adversarial losses start after this epoch
+    fake_3d_ratio: float = 0.2
+    clamp_inputs: bool = True
+
+
+def make_optimizer(lr_schedule, grad_clip: float = 0.5, weight_decay: float = 1e-5) -> optax.GradientTransformation:
+    """AdamW with the reference's hyperparameters and clip-then-step order."""
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(lr_schedule, b1=0.5, b2=0.9, eps=1e-8, weight_decay=weight_decay),
+    )
+
+
+def _recon_fn(name: str) -> Callable:
+    return l2_loss if name == "l2" else l1_loss
+
+
+def make_stage1_train_step(ae, disc, lpips_apply: Optional[Callable], cfg: Stage1Config):
+    """Build the jitted (G, D) train step.
+
+    Args:
+      ae, disc: Flax module definitions.
+      lpips_apply: ``(x2d, y2d) -> (B,)`` LPIPS distance, or None to disable
+        the perceptual term.
+      cfg: Stage1Config.
+
+    Returns ``train_step(g_state, d_state, images, rng, adv_active) ->
+    (g_state, d_state, metrics)`` where ``adv_active`` is a static bool.
+    """
+    recon_loss_fn = _recon_fn(cfg.recon_loss)
+
+    def g_loss_fn(g_params, d_params, images, rng, adv_active: bool):
+        rng_sample, rng_p = jax.random.split(rng)
+        recon, z_mu, z_sigma = ae.apply({"params": g_params}, images, rngs={"sample": rng_sample})
+        rl = recon_loss_fn(recon, images)
+        kl = kl_loss(z_mu, z_sigma)
+        if lpips_apply is not None and cfg.perceptual_weight:
+            pl = perceptual_loss_25d(lpips_apply, recon, images, rng_p, cfg.fake_3d_ratio)
+        else:
+            pl = jnp.zeros((), jnp.float32)
+        loss = rl + cfg.kl_weight * kl + cfg.perceptual_weight * pl
+        adv = jnp.zeros((), jnp.float32)
+        if adv_active:
+            logits_fake = disc.apply({"params": d_params}, recon)[-1]
+            adv = lsgan_generator_loss(logits_fake)
+            loss = loss + cfg.adv_weight * adv
+        metrics = {"recon_loss": rl, "kl_loss": kl, "perceptual_loss": pl, "adv_loss": adv}
+        return loss, (metrics, recon)
+
+    def d_loss_fn(d_params, recon, images):
+        logits_fake = disc.apply({"params": d_params}, jax.lax.stop_gradient(recon))[-1]
+        logits_real = disc.apply({"params": d_params}, images)[-1]
+        d_raw = lsgan_discriminator_loss(logits_fake, logits_real)
+        return cfg.adv_weight * d_raw, d_raw
+
+    @functools.partial(jax.jit, static_argnames=("adv_active",), donate_argnums=(0, 1))
+    def train_step(g_state: TrainState, d_state: TrainState, images, rng, adv_active: bool = False):
+        if cfg.clamp_inputs:
+            images = jnp.clip(images, 0.0, 1.0)
+        (g_loss, (metrics, recon)), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            g_state.params, d_state.params, images, rng, adv_active
+        )
+        g_state = g_state.apply_gradients(g_grads)
+        metrics["g_loss"] = g_loss
+        metrics["g_grad_norm"] = optax.global_norm(g_grads)
+        if adv_active:
+            (d_loss, d_raw), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+                d_state.params, recon, images
+            )
+            d_state = d_state.apply_gradients(d_grads)
+            metrics["d_loss"] = d_raw
+        else:
+            metrics["d_loss"] = jnp.zeros((), jnp.float32)
+        return g_state, d_state, metrics
+
+    return train_step
+
+
+def make_stage1_eval_step(ae, lpips_apply: Optional[Callable], cfg: Stage1Config):
+    """Validation: recon + perceptual on [0,1]-clamped reconstruction."""
+    recon_loss_fn = _recon_fn(cfg.recon_loss)
+
+    @jax.jit
+    def eval_step(g_params, images, rng):
+        images = jnp.clip(images, 0.0, 1.0)
+        rng_sample, rng_p = jax.random.split(rng)
+        recon, z_mu, z_sigma = ae.apply({"params": g_params}, images, rngs={"sample": rng_sample})
+        recon = jnp.clip(recon, 0.0, 1.0)
+        rl = recon_loss_fn(recon, images)
+        if lpips_apply is not None and cfg.perceptual_weight:
+            pl = perceptual_loss_25d(lpips_apply, recon, images, rng_p, cfg.fake_3d_ratio)
+        else:
+            pl = jnp.zeros((), jnp.float32)
+        val_loss = rl + cfg.perceptual_weight * pl
+        return {"val_recon_loss": val_loss, "val_l_loss": rl, "val_perceptual_loss": pl,
+                "val_kl_loss": kl_loss(z_mu, z_sigma)}, recon
+
+    return eval_step

@@ -1,0 +1,133 @@
+"""Stage-2 conditional latent-diffusion training.
+
+Behavior parity with the reference trainer (``3d_ldm/train_diffusion.py``):
+  * the frozen stage-1 VAE encodes the high-count "label" volume into the
+    denoising target latent and the low-count "image" volume into the concat
+    condition (:179-205),
+  * latent ``scale_factor = 1 / std(z_labels)`` from the first batch; the
+    reference averages per-rank values over NCCL (:100-124), here the std is
+    computed over the *globally sharded* batch inside jit so the mesh-wide
+    value falls out of one compiled reduction,
+  * epsilon-prediction MSE (:207), Adam + MultiStepLR([100, 1000], 0.1)
+    (:155-156), global-norm clip 1.0 (:217),
+  * validation = same noise-prediction MSE on held-out pairs (:239-278).
+
+Conditioning note: the condition latents are concatenated *unscaled*, exactly
+like MONAI's ``LatentDiffusionInferer`` concat mode (only the denoised latent
+carries scale_factor).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ldm3d_tpu.diffusion import inferer
+from ldm3d_tpu.losses import l2_loss
+from ldm3d_tpu.training.state import TrainState
+
+__all__ = [
+    "Stage2Config",
+    "make_diffusion_optimizer",
+    "compute_scale_factor",
+    "make_stage2_train_step",
+    "make_stage2_eval_step",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class Stage2Config:
+    grad_clip: float = 1.0
+    conditional: bool = True
+    clamp_inputs: bool = True
+
+
+def make_diffusion_optimizer(lr_schedule, grad_clip: float = 1.0) -> optax.GradientTransformation:
+    """Adam (not AdamW — reference ``train_diffusion.py:155``) with clip 1.0."""
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adam(lr_schedule),
+    )
+
+
+def compute_scale_factor(ae, ae_params, labels, rng) -> jax.Array:
+    """1 / std of the label latents — one jitted global reduction.
+
+    When ``labels`` is sharded over the mesh's data axis this computes the
+    mesh-wide std in the same compiled program (the reference instead
+    all-reduce-averages per-rank stds, ``train_diffusion.py:119-124``).
+    """
+
+    @jax.jit
+    def _compute(params, x, r):
+        z = ae.apply({"params": params}, x, method="encode_stage_2_inputs", rngs={"sample": r})
+        return 1.0 / jnp.std(z.astype(jnp.float32))
+
+    return _compute(ae_params, labels, rng)
+
+
+def make_stage2_train_step(unet, ae, scheduler, cfg: Stage2Config):
+    """Build the jitted LDM train step.
+
+    Returns ``train_step(state, ae_params, batch, scale_factor, rng) ->
+    (state, metrics)`` with ``batch = {"image": low, "label": high}`` NDHWC.
+    """
+
+    def encode(ae_params, x, rng):
+        return ae.apply({"params": ae_params}, x, method="encode_stage_2_inputs", rngs={"sample": rng})
+
+    def loss_fn(params, ae_params, batch, scale_factor, rng):
+        rng_zl, rng_zi, rng_n, rng_t = jax.random.split(rng, 4)
+        images, labels = batch["image"], batch["label"]
+        if cfg.clamp_inputs:
+            images = jnp.clip(images, 0.0, 1.0)
+            labels = jnp.clip(labels, 0.0, 1.0)
+        # frozen VAE: gradients stop at the latents
+        z_labels = jax.lax.stop_gradient(encode(ae_params, labels, rng_zl)) * scale_factor
+        condition = None
+        if cfg.conditional:
+            condition = jax.lax.stop_gradient(encode(ae_params, images, rng_zi))
+        noise = jax.random.normal(rng_n, z_labels.shape, dtype=jnp.float32).astype(z_labels.dtype)
+        b = z_labels.shape[0]
+        timesteps = jax.random.randint(rng_t, (b,), 0, scheduler.num_train_timesteps)
+        model_in = inferer.noise_prediction_inputs(scheduler, z_labels, noise, timesteps, condition)
+        pred = unet.apply({"params": params}, model_in, timesteps)
+        target = inferer.training_targets(scheduler, z_labels, noise, timesteps)
+        return l2_loss(pred, target)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, ae_params, batch, scale_factor, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, ae_params, batch, scale_factor, rng)
+        state = state.apply_gradients(grads)
+        return state, {"diffusion_loss": loss, "grad_norm": optax.global_norm(grads)}
+
+    return train_step
+
+
+def make_stage2_eval_step(unet, ae, scheduler, cfg: Stage2Config):
+    def encode(ae_params, x, rng):
+        return ae.apply({"params": ae_params}, x, method="encode_stage_2_inputs", rngs={"sample": rng})
+
+    @jax.jit
+    def eval_step(params, ae_params, batch, scale_factor, rng):
+        rng_zl, rng_zi, rng_n, rng_t = jax.random.split(rng, 4)
+        images, labels = batch["image"], batch["label"]
+        if cfg.clamp_inputs:
+            images = jnp.clip(images, 0.0, 1.0)
+            labels = jnp.clip(labels, 0.0, 1.0)
+        z_labels = encode(ae_params, labels, rng_zl) * scale_factor
+        condition = encode(ae_params, images, rng_zi) if cfg.conditional else None
+        noise = jax.random.normal(rng_n, z_labels.shape, dtype=jnp.float32).astype(z_labels.dtype)
+        b = z_labels.shape[0]
+        timesteps = jax.random.randint(rng_t, (b,), 0, scheduler.num_train_timesteps)
+        model_in = inferer.noise_prediction_inputs(scheduler, z_labels, noise, timesteps, condition)
+        pred = unet.apply({"params": params}, model_in, timesteps)
+        target = inferer.training_targets(scheduler, z_labels, noise, timesteps)
+        return {"val_diffusion_loss": l2_loss(pred, target)}
+
+    return eval_step

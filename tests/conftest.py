@@ -1,0 +1,33 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+This is how the framework tests multi-chip semantics without TPU hardware
+(the reference never tested distribution at all — SURVEY.md section 4). Env
+vars must be set before jax initializes, hence the import-time assignment.
+"""
+
+import os
+import sys
+
+# Force CPU: the session environment registers a remote-TPU PJRT plugin at
+# interpreter startup (sitecustomize) and pins the platform to it, which would
+# make every tiny test compile over the tunnel. The config update below is the
+# only override that wins once the plugin has registered.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def eight_devices():
+    devs = jax.devices()
+    assert len(devs) == 8, f"expected 8 virtual devices, got {len(devs)}"
+    return devs

@@ -1,0 +1,139 @@
+"""Model shape/structure tests (tiny configs, CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ldm3d_tpu.nn import (
+    LPIPS,
+    AutoencoderKL,
+    DiffusionUNet3D,
+    PatchDiscriminator3D,
+    perceptual_loss_25d,
+)
+
+
+def tiny_ae(**kw):
+    base = dict(
+        in_channels=1, out_channels=1, latent_channels=4,
+        channels=(8, 8, 16), num_res_blocks=(1, 1, 1),
+        attention_levels=(False, False, True), norm_num_groups=4,
+    )
+    base.update(kw)
+    return AutoencoderKL(**base)
+
+
+def test_autoencoder_shapes():
+    ae = tiny_ae()
+    x = jnp.zeros((2, 16, 16, 16, 1))
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}
+    variables = ae.init(rngs, x)
+    recon, mu, sigma = ae.apply(variables, x, rngs={"sample": jax.random.PRNGKey(2)})
+    assert recon.shape == x.shape
+    # downsample factor 4 (2 stride-2 convs for 3 levels) — parity with
+    # reference latent_shape = patch // 4 (inference.py:88)
+    assert mu.shape == (2, 4, 4, 4, 4)
+    assert sigma.shape == mu.shape
+    assert np.all(np.asarray(sigma) > 0)
+
+
+def test_autoencoder_stage2_contract():
+    ae = tiny_ae()
+    x = jnp.zeros((1, 16, 16, 16, 1))
+    variables = ae.init({"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x)
+    z = ae.apply(variables, x, method=ae.encode_stage_2_inputs, rngs={"sample": jax.random.PRNGKey(2)})
+    assert z.shape == (1, 4, 4, 4, 4)
+    out = ae.apply(variables, z, method=ae.decode_stage_2_outputs)
+    assert out.shape == x.shape
+
+
+def test_autoencoder_odd_sizes():
+    """Asymmetric-padded downsample keeps floor(n/2) semantics for odd dims."""
+    ae = tiny_ae()
+    x = jnp.zeros((1, 20, 16, 24, 1))
+    variables = ae.init({"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x)
+    recon, mu, _ = ae.apply(variables, x, rngs={"sample": jax.random.PRNGKey(2)})
+    assert mu.shape == (1, 5, 4, 6, 4)
+    assert recon.shape == x.shape
+
+
+def test_unet_shapes_concat_conditioning():
+    unet = DiffusionUNet3D(
+        in_channels=8, out_channels=4, channels=(8, 16, 16),
+        attention_levels=(False, True, True), num_head_channels=(0, 8, 8),
+        num_res_blocks=(1, 1, 1), norm_num_groups=4,
+    )
+    # in_channels 8 = 4 latent + 4 condition (concat mode, train_diffusion.py:197-205)
+    x = jnp.zeros((2, 8, 8, 8, 8))
+    t = jnp.array([0, 5])
+    variables = unet.init(jax.random.PRNGKey(0), x, t)
+    out = unet.apply(variables, x, t)
+    assert out.shape == (2, 8, 8, 8, 4)
+
+
+def test_unet_zero_init_output():
+    unet = DiffusionUNet3D(
+        in_channels=2, out_channels=2, channels=(8, 8, 8),
+        attention_levels=(False, False, False), num_head_channels=(0, 0, 0),
+        num_res_blocks=(1, 1, 1), norm_num_groups=4,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 8, 2))
+    t = jnp.array([3])
+    variables = unet.init(jax.random.PRNGKey(0), x, t)
+    out = unet.apply(variables, x, t)
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+
+def test_unet_timestep_sensitivity():
+    unet = DiffusionUNet3D(
+        in_channels=2, out_channels=2, channels=(8, 8, 8),
+        attention_levels=(False, False, True), num_head_channels=(0, 0, 4),
+        num_res_blocks=(1, 1, 1), norm_num_groups=4,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 8, 2))
+    variables = unet.init(jax.random.PRNGKey(0), x, jnp.array([0]))
+    # perturb output conv so it isn't all-zero
+    params = variables["params"]
+    params = jax.tree_util.tree_map(lambda p: p + 0.01, params)
+    o1 = unet.apply({"params": params}, x, jnp.array([1]))
+    o2 = unet.apply({"params": params}, x, jnp.array([500]))
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+def test_discriminator_feature_list():
+    disc = PatchDiscriminator3D(num_layers_d=3, channels=4, in_channels=1, out_channels=1)
+    x = jnp.zeros((2, 32, 32, 32, 1))
+    variables = disc.init(jax.random.PRNGKey(0), x)
+    feats = disc.apply(variables, x)
+    # reference uses discriminator(x)[-1] as logits (train_autoencoder.py:410)
+    assert len(feats) == 4
+    assert feats[-1].shape == (2, 4, 4, 4, 1)
+    assert feats[0].shape == (2, 16, 16, 16, 4)
+
+
+def test_lpips_25d():
+    lpips = LPIPS()
+    x2d = jnp.zeros((2, 32, 32, 1))
+    variables = lpips.init(jax.random.PRNGKey(0), x2d, x2d)
+
+    def lpips_apply(a, b):
+        return lpips.apply(variables, a, b)
+
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 16, 16, 16, 1))
+    y = jax.random.uniform(jax.random.PRNGKey(2), (1, 16, 16, 16, 1))
+    same = perceptual_loss_25d(lpips_apply, x, x, jax.random.PRNGKey(3))
+    diff = perceptual_loss_25d(lpips_apply, x, y, jax.random.PRNGKey(3))
+    assert float(same) < 1e-6
+    assert float(diff) > float(same)
+
+
+def test_attention_block_heads():
+    from ldm3d_tpu.nn.blocks import AttentionBlock3D
+
+    blk = AttentionBlock3D(num_head_channels=4, num_groups=4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 4, 8))
+    variables = blk.init(jax.random.PRNGKey(1), x)
+    out = blk.apply(variables, x)
+    assert out.shape == x.shape
+    assert np.all(np.isfinite(np.asarray(out)))
