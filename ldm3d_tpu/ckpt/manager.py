@@ -1,0 +1,103 @@
+"""Checkpointing via orbax: best/last retention, full train state.
+
+Improves on the reference's checkpoint story while keeping its artifact
+contract. The reference saves bare ``state_dict`` files (``autoencoder.pt``
+best + ``autoencoder_last.pt`` etc., ``train_autoencoder.py:184-187,629-647``)
+— optimizer state and epoch counter are lost, so resume restarts the schedule
+(SURVEY.md 5.4). Here the full train state (params, opt state, step) plus
+stage metadata (epoch, best loss, scale_factor) round-trips.
+
+Artifact layout under ``model_dir``:
+  autoencoder/{best,last}/     discriminator/{best,last}/
+  diffusion_unet/{best,last}/  (+ meta.json per role)
+
+Cross-stage contract parity: stage 2 hard-requires the stage-1 best
+autoencoder (reference ``train_diffusion.py:92-96``), inference requires both.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+__all__ = ["CheckpointManager", "StageArtifacts"]
+
+
+@dataclasses.dataclass(frozen=True)
+class StageArtifacts:
+    """Names of per-model checkpoint roles, mirroring the reference files."""
+
+    AUTOENCODER = "autoencoder"
+    DISCRIMINATOR = "discriminator"
+    DIFFUSION = "diffusion_unet"
+
+
+class CheckpointManager:
+    """Best/last checkpointing for one named model role."""
+
+    def __init__(self, model_dir: str, name: str):
+        self.root = os.path.abspath(os.path.join(model_dir, name))
+        os.makedirs(self.root, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    # -- paths ---------------------------------------------------------------
+
+    def path(self, role: str) -> str:
+        return os.path.join(self.root, role)
+
+    def exists(self, role: str) -> bool:
+        return os.path.isdir(self.path(role))
+
+    # -- save ----------------------------------------------------------------
+
+    def save(self, role: str, state: Any, meta: Optional[dict] = None) -> None:
+        """Save ``state`` (any pytree of arrays) under ``role`` (best/last)."""
+        path = self.path(role)
+        self._ckptr.save(path, state, force=True)
+        self._ckptr.wait_until_finished()
+        if meta is not None:
+            with open(os.path.join(self.root, f"{role}_meta.json"), "w") as f:
+                json.dump(meta, f)
+
+    def save_best_and_last(self, state: Any, is_best: bool, meta: Optional[dict] = None) -> None:
+        """``last`` = the full pytree (true resume: params + opt state + step);
+        ``best`` = params only (the deployment artifact other stages load)."""
+        self.save("last", state, meta)
+        if is_best:
+            best = {"params": state["params"]} if isinstance(state, dict) and "params" in state else state
+            self.save("best", best, meta)
+
+    def restore_params(self, role: str, abstract_params: Any) -> Any:
+        """Restore a params-only checkpoint (the ``best`` artifact)."""
+        return self.restore(role, {"params": abstract_params})["params"]
+
+    # -- restore ---------------------------------------------------------------
+
+    def restore(self, role: str, abstract_state: Any) -> Any:
+        """Restore into the structure of ``abstract_state`` (a matching pytree
+        of arrays or ShapeDtypeStructs)."""
+        template = jax.tree.map(
+            lambda x: x if isinstance(x, jax.ShapeDtypeStruct) else jax.ShapeDtypeStruct(x.shape, x.dtype),
+            abstract_state,
+        )
+        return self._ckptr.restore(self.path(role), template)
+
+    def load_meta(self, role: str) -> dict:
+        p = os.path.join(self.root, f"{role}_meta.json")
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def try_restore(self, role: str, abstract_state: Any) -> tuple[Any, bool]:
+        """Restore if present; (state, restored?) — resume-from-scratch parity
+        with the reference's silent fallback (``train_autoencoder.py:196-212``),
+        but loud: callers log the outcome."""
+        if not self.exists(role):
+            return abstract_state, False
+        return self.restore(role, abstract_state), True

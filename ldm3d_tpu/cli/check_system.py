@@ -1,0 +1,132 @@
+"""System advisor CLI: probe the TPU host and recommend a training config.
+
+Capability parity with the reference's ``3d_ldm/check_system.py`` (GPU/RAM/
+disk probing -> recommended settings -> ``config_optimized.json`` + launch
+command, :15,131,195,241), reinterpreted for TPU:
+  * probes jax devices (platform, kind, count, per-chip HBM when exposed),
+    host RAM/disk/CPU via psutil,
+  * recommends a preset + batch/patch sizing from per-chip HBM,
+  * writes ``config_optimized.json`` and prints the launch command
+    (single process per host — no torchrun).
+
+Usage: python -m ldm3d_tpu.cli.check_system [--output config_optimized.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+
+import psutil
+
+
+def probe_devices() -> dict:
+    try:
+        import jax
+
+        devices = jax.devices()
+        per_chip_hbm = None
+        stats = None
+        try:
+            stats = devices[0].memory_stats()
+        except Exception:
+            pass
+        if stats:
+            per_chip_hbm = stats.get("bytes_limit")
+        return {
+            "available": True,
+            "platform": devices[0].platform,
+            "device_kind": devices[0].device_kind,
+            "num_devices": len(devices),
+            "num_hosts": jax.process_count(),
+            "per_chip_hbm_bytes": per_chip_hbm,
+        }
+    except Exception as e:  # pragma: no cover
+        return {"available": False, "error": str(e)}
+
+
+def probe_host() -> dict:
+    vm = psutil.virtual_memory()
+    du = shutil.disk_usage(os.getcwd())
+    return {
+        "cpu_count": psutil.cpu_count(),
+        "ram_gb": round(vm.total / 2**30, 1),
+        "ram_available_gb": round(vm.available / 2**30, 1),
+        "disk_free_gb": round(du.free / 2**30, 1),
+        "python": sys.version.split()[0],
+    }
+
+
+def recommend_settings(dev: dict, host: dict) -> dict:
+    """Map chip memory to a preset tier, analogous to the reference's
+    8/16/32 GB GPU tiers (``check_system.py:131-193``)."""
+    hbm_gb = (dev.get("per_chip_hbm_bytes") or 16 * 2**30) / 2**30
+    n = dev.get("num_devices", 1)
+    if not dev.get("available"):
+        return {"preset": "config_tiny_cpu.json", "amp": False, "batch_size": 1,
+                "patch_size": [32, 32, 32], "notes": ["no accelerator found; CPU debug preset"]}
+    if hbm_gb >= 24:
+        preset, batch, patch = "config_train_32g.json", 2, [96, 96, 96]
+    elif hbm_gb >= 12:
+        preset, batch, patch = "config_train_32g.json", 1, [64, 64, 64]
+    else:
+        preset, batch, patch = "config_train_stable.json", 1, [48, 48, 48]
+    return {
+        "preset": preset,
+        "amp": True,  # bf16 is native on TPU; always recommended
+        "batch_size": batch,
+        "patch_size": patch,
+        "data_axis": n,
+        "expected_scaling": f"~{n}x (ICI all-reduce overlaps backward; no host sync)",
+        "notes": [
+            f"{dev['device_kind']} x{n}, ~{hbm_gb:.0f} GB HBM/chip",
+            "bf16 compute with fp32 params; no loss scaler or NaN guards needed",
+            "remat (gradient checkpointing) frees memory for larger patches if OOM",
+        ],
+    }
+
+
+def generate_config_file(rec: dict, out_path: str) -> None:
+    from ldm3d_tpu.configs import load_json, preset_path
+
+    cfg = load_json(preset_path(rec["preset"]))
+    cfg["autoencoder_train"]["batch_size"] = rec["batch_size"]
+    cfg["autoencoder_train"]["patch_size"] = rec["patch_size"]
+    with open(out_path, "w") as f:
+        json.dump(cfg, f, indent=2)
+
+
+def generate_launch_command(rec: dict) -> str:
+    return (
+        f"python -m ldm3d_tpu.cli.train_autoencoder -c {rec.get('output', 'config_optimized.json')} "
+        f"-e environment.json" + (" --amp" if rec.get("amp") else "")
+    )
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="TPU system advisor")
+    parser.add_argument("--output", default="config_optimized.json")
+    parser.add_argument("--json", action="store_true", help="machine-readable output only")
+    args = parser.parse_args(argv)
+
+    dev = probe_devices()
+    host = probe_host()
+    rec = recommend_settings(dev, host)
+    rec["output"] = args.output
+    generate_config_file(rec, args.output)
+    report = {"devices": dev, "host": host, "recommendation": rec,
+              "launch_command": generate_launch_command(rec)}
+    if args.json:
+        print(json.dumps(report))
+    else:
+        print(json.dumps(report, indent=2))
+        print(f"\nWrote optimized config to {args.output}")
+        print(f"Launch: {report['launch_command']}")
+    return report
+
+
+if __name__ == "__main__":
+    main()

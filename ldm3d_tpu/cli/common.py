@@ -1,0 +1,78 @@
+"""Shared CLI plumbing for the training/inference drivers.
+
+Flag parity with the reference entry points (``train_autoencoder.py:65-84``):
+``-e/--environment-file``, ``-c/--config-file``, ``-g/--gpus`` (interpreted as
+the number of mesh devices; 0/absent = all visible), ``--amp`` (bf16 compute —
+the TPU equivalent of the reference's fp16 AMP, loss-scaler-free),
+``--compile`` (accepted for parity; jit is always on), ``--profile``,
+``--no-images``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ldm3d_tpu.configs import preset_path
+from ldm3d_tpu.parallel import MeshSpec, create_mesh
+from ldm3d_tpu.utils import merge_configs_onto_args
+
+__all__ = ["build_parser", "setup", "model_dtype", "global_batch_size"]
+
+
+def build_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("-e", "--environment-file", default=preset_path("environment.json"),
+                   help="environment json file that stores environment paths")
+    p.add_argument("-c", "--config-file", default=preset_path("config_train_32g.json"),
+                   help="config json file that stores hyper-parameters")
+    p.add_argument("-g", "--gpus", default=0, type=int,
+                   help="number of devices to use (0 = all visible chips)")
+    p.add_argument("--amp", action="store_true",
+                   help="bf16 compute (TPU-native mixed precision, no loss scaler)")
+    p.add_argument("--compile", action="store_true",
+                   help="accepted for reference parity; jit is always on")
+    p.add_argument("--profile", action="store_true", help="enable jax.profiler trace window")
+    p.add_argument("--no-images", action="store_true", help="disable image logging to tensorboard")
+    p.add_argument("--max-epochs", type=int, default=None, help="override config max_epochs")
+    p.add_argument("--synthetic-data", action="store_true",
+                   help="train on generated synthetic pairs when no NPZ dirs are set")
+    return p
+
+
+def setup(args) -> tuple:
+    """Merge configs, build the mesh, return (args, mesh)."""
+    logging.basicConfig(
+        stream=sys.stdout,
+        level=logging.INFO,
+        format="[%(asctime)s.%(msecs)03d][%(levelname)5s](%(name)s) - %(message)s",
+        datefmt="%Y-%m-%d %H:%M:%S",
+        force=True,  # absl installs a root handler at import; replace it
+    )
+    # orbax/absl emit INFO per checkpoint shard; keep trainer logs readable
+    logging.getLogger("absl").setLevel(logging.WARNING)
+    merge_configs_onto_args(args, args.environment_file, args.config_file)
+    devices = jax.devices()
+    n = args.gpus if args.gpus and args.gpus > 0 else len(devices)
+    if n > len(devices):
+        raise ValueError(f"requested {n} devices, only {len(devices)} visible")
+    mesh = create_mesh(MeshSpec(data=n, model=1), devices=devices[:n])
+    logging.info("mesh: %d x data over %s", n, devices[0].platform)
+    if getattr(args, "synthetic_data", False):
+        args.synthetic_data = True
+    return args, mesh
+
+
+def model_dtype(args):
+    return jnp.bfloat16 if args.amp else jnp.float32
+
+
+def global_batch_size(per_device_batch: int, mesh) -> int:
+    """Reference batch_size is per-replica (one process per GPU); the global
+    batch over the mesh is per_device * data_axis."""
+    return per_device_batch * mesh.shape["data"]

@@ -1,0 +1,152 @@
+"""Inference CLI: generate volumes with the trained two-stage LDM.
+
+Mirrors the reference driver (``3d_ldm/inference.py``): loads both best
+checkpoints (:71-77), builds the scheduler (:79-84), samples noise at
+``latent_shape = patch_size // downsample_factor`` (:88-89), runs the reverse
+loop + decode (:94-99), and writes volumes to ``output_dir`` (:100-102) —
+NIfTI when nibabel is available, ``.npy`` otherwise.
+
+TPU-native differences (deliberate, SURVEY.md 2.4.3 and BASELINE.md):
+  * the whole reverse loop + decode is ONE compiled XLA program (lax.scan),
+    not 1000 Python-stepped UNet calls,
+  * ``--sampler ddim --steps 50`` enables the fast path (reference has none),
+  * conditioning is coherent: a UNet trained with concat conditioning
+    (in_channels > latent_channels) gets a low-count conditioning volume
+    (from the validation NPZ set or synthetic data); the reference would
+    crash here since it always samples unconditionally,
+  * the training-time ``scale_factor`` is restored from checkpoint metadata
+    (the reference silently uses 1.0).
+
+Usage: python -m ldm3d_tpu.cli.inference -c CONFIG -e ENV [-n NUM]
+       [--sampler ddpm|ddim] [--steps N]
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from datetime import datetime
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ldm3d_tpu.ckpt import CheckpointManager, StageArtifacts
+from ldm3d_tpu.cli.common import build_parser, model_dtype, setup
+from ldm3d_tpu.configs import define_instance
+from ldm3d_tpu.data import prepare_dataloader
+from ldm3d_tpu.diffusion import DDIMScheduler, DDPMScheduler, inferer
+from ldm3d_tpu.utils.config_merge import TrainContext
+
+log = logging.getLogger("inference")
+
+
+def save_volume(vol: np.ndarray, out_dir: str, stem: str) -> str:
+    """NIfTI when nibabel exists (reference parity), .npy otherwise."""
+    os.makedirs(out_dir, exist_ok=True)
+    try:
+        import nibabel as nib
+
+        path = os.path.join(out_dir, stem + ".nii.gz")
+        nib.save(nib.Nifti1Image(vol.astype(np.float32), np.eye(4)), path)
+        return path
+    except ImportError:
+        path = os.path.join(out_dir, stem + ".npy")
+        np.save(path, vol.astype(np.float32))
+        return path
+
+
+def build_sampler_fn(args, ae, ae_params, unet, u_params, scheduler, scale_factor):
+    """One jitted program: noise (+condition) -> reverse scan -> decode."""
+
+    def unet_apply(z, t):
+        return unet.apply({"params": u_params}, z, t)
+
+    def decode(z):
+        return ae.apply({"params": ae_params}, z, method="decode_stage_2_outputs")
+
+    @jax.jit
+    def run(noise, rng, condition=None):
+        return inferer.sample(unet_apply, decode, scheduler, noise, rng,
+                              condition=condition, scale_factor=scale_factor)
+
+    return run
+
+
+def main(argv=None):
+    parser = build_parser("TPU latent diffusion inference")
+    parser.add_argument("-n", "--num", type=int, default=1, help="number of generated images")
+    parser.add_argument("--sampler", choices=("ddpm", "ddim"), default="ddpm",
+                        help="ddpm = full-loop reference parity; ddim = fast path")
+    parser.add_argument("--steps", type=int, default=50, help="DDIM inference steps")
+    parser.add_argument("--batch", type=int, default=1, help="volumes per compiled sample call")
+    args = parser.parse_args(argv)
+    args, mesh = setup(args)
+    dt = model_dtype(args)
+    ctx = TrainContext(args)
+    rng = jax.random.PRNGKey(int(getattr(args, "seed", 0)) or 42)
+
+    patch_size = args.diffusion_train["patch_size"]
+
+    # models + checkpoints -----------------------------------------------------
+    ae = define_instance(args, "autoencoder_def").clone(dtype=dt)
+    g_vars = ae.init({"params": rng, "sample": rng},
+                     jnp.zeros((1, *patch_size, args.image_channels), dt))
+    ae_params = CheckpointManager(args.model_dir, StageArtifacts.AUTOENCODER).restore_params(
+        "best", g_vars["params"])
+
+    unet = define_instance(args, "diffusion_def").clone(dtype=dt)
+    latent_shape = [p // ae.downsample_factor for p in patch_size]
+    probe = jnp.zeros((1, *latent_shape, unet.in_channels), dt)
+    u_vars = unet.init(rng, probe, jnp.zeros((1,), jnp.int32))
+    u_ckpt = CheckpointManager(args.model_dir, StageArtifacts.DIFFUSION)
+    u_params = u_ckpt.restore_params("best", u_vars["params"])
+    scale_factor = float(u_ckpt.load_meta("best").get("scale_factor", 1.0))
+    log.info("scale_factor from checkpoint: %.6f", scale_factor)
+
+    sched_cfg = ctx.scheduler_config()
+    if args.sampler == "ddim":
+        scheduler = DDIMScheduler.create(
+            num_train_timesteps=sched_cfg["num_train_timesteps"], schedule="scaled_linear_beta",
+            beta_start=sched_cfg["beta_start"], beta_end=sched_cfg["beta_end"],
+            num_inference_steps=args.steps)
+    else:
+        scheduler = DDPMScheduler.create(
+            num_train_timesteps=sched_cfg["num_train_timesteps"], schedule="scaled_linear_beta",
+            beta_start=sched_cfg["beta_start"], beta_end=sched_cfg["beta_end"])
+
+    conditional = unet.in_channels > ae.latent_channels
+    condition = None
+    if conditional:
+        # concat-conditioned UNet: fetch a low-count conditioning volume
+        _, val_loader = prepare_dataloader(args, args.batch, patch_size, randcrop=False,
+                                           size_divisible=2 ** (len(args.autoencoder_def["channels"])
+                                                                + len(args.diffusion_def["channels"]) - 2))
+        batch = next(iter(val_loader.epoch(0)))
+        images = jnp.clip(jnp.asarray(batch["image"]), 0, 1).astype(dt)
+        rng, crng = jax.random.split(rng)
+        condition = ae.apply({"params": ae_params}, images,
+                             method="encode_stage_2_inputs", rngs={"sample": crng})
+        log.info("conditional sampling (concat) with condition shape %s", condition.shape)
+
+    run = build_sampler_fn(args, ae, ae_params, unet, u_params, scheduler, scale_factor)
+
+    noise_shape = (args.batch, *latent_shape, ae.latent_channels)
+    os.makedirs(args.output_dir, exist_ok=True)
+    for i in range(args.num):
+        rng, nrng, srng = jax.random.split(rng, 3)
+        noise = jax.random.normal(nrng, noise_shape, jnp.float32).astype(dt)
+        t0 = time.perf_counter()
+        vols = jax.block_until_ready(run(noise, srng, condition))
+        dt_s = time.perf_counter() - t0
+        log.info("sample %d: %s in %.2fs (%s, %d steps)", i, vols.shape, dt_s,
+                 args.sampler, len(np.asarray(scheduler.timesteps)))
+        for b in range(vols.shape[0]):
+            stem = datetime.now().strftime(f"synimg_%Y%m%d_%H%M%S_{i}_{b}")
+            path = save_volume(np.asarray(vols[b, ..., 0], dtype=np.float32), args.output_dir, stem)
+            log.info("wrote %s", path)
+
+
+if __name__ == "__main__":
+    main()

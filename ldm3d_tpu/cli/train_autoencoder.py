@@ -1,0 +1,215 @@
+"""Stage-1 trainer CLI: KL-autoencoder + PatchGAN on a TPU mesh.
+
+Mirrors the reference driver (``3d_ldm/train_autoencoder.py``) end to end:
+config merge, data, VAE-GAN losses with 5-epoch adversarial warm-up, AdamW
+(0.5, 0.9) with sqrt(world)*0.5 LR scaling and warmup_cosine schedule
+(actually wired — the reference's scheduler never activates, SURVEY.md 2.4.1),
+grad-clip 0.5, TB scalars/images, best+last checkpoints, optional profiler.
+
+Deliberate fixes over the reference, documented per SURVEY.md 2.4:
+  * best checkpoint saved only on improvement (ref saved it every val),
+  * no NaN skip-batch machinery (bf16 + fp32 accumulation is stable),
+  * resume restores optimizer state and epoch (ref restarts the schedule).
+
+Usage (flag parity with the reference):
+  python -m ldm3d_tpu.cli.train_autoencoder -c CONFIG -e ENV [-g N] [--amp]
+         [--profile] [--no-images] [--synthetic-data]
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ldm3d_tpu.ckpt import CheckpointManager, StageArtifacts
+from ldm3d_tpu.cli.common import build_parser, global_batch_size, model_dtype, setup
+from ldm3d_tpu.configs import define_instance
+from ldm3d_tpu.data import prepare_dataloader
+from ldm3d_tpu.nn import LPIPS, PatchDiscriminator3D
+from ldm3d_tpu.obs import MetricsWriter, StepProfiler, visualize_one_slice_in_3d_image
+from ldm3d_tpu.parallel import shard_batch
+from ldm3d_tpu.training import (
+    Stage1Config,
+    TrainState,
+    build_lr_schedule,
+    make_optimizer,
+    make_stage1_eval_step,
+    make_stage1_train_step,
+    scale_lr_for_world,
+)
+
+log = logging.getLogger("train_autoencoder")
+
+
+def build_lpips(args, dtype):
+    """Fixed-seed LPIPS; loads converted pretrained weights when configured
+    (environment.json key ``lpips_weights`` -> msgpack from tools/convert_lpips.py)."""
+    lpips = LPIPS(dtype=dtype)
+    probe = jnp.zeros((1, 32, 32, 1), dtype)
+    variables = lpips.init(jax.random.PRNGKey(17), probe, probe)
+    weights_path = getattr(args, "lpips_weights", "")
+    if weights_path and os.path.exists(weights_path):
+        from flax import serialization
+
+        with open(weights_path, "rb") as f:
+            variables = serialization.from_bytes(variables, f.read())
+        log.info("loaded LPIPS weights from %s", weights_path)
+    else:
+        log.info("using fixed-seed LPIPS features (no pretrained weights configured)")
+
+    def lpips_apply(a, b):
+        return lpips.apply(variables, a, b)
+
+    return lpips_apply
+
+
+def main(argv=None):
+    parser = build_parser("TPU VAE-GAN training (stage 1)")
+    args = parser.parse_args(argv)
+    args, mesh = setup(args)
+    dt = model_dtype(args)
+    world = mesh.shape["data"]
+    train_cfg = args.autoencoder_train
+
+    # data ---------------------------------------------------------------
+    size_divisible = 2 ** (len(args.autoencoder_def["channels"]) - 1)
+    batch_size = global_batch_size(train_cfg["batch_size"], mesh)
+    train_loader, val_loader = prepare_dataloader(
+        args, batch_size, train_cfg["patch_size"], randcrop=True, size_divisible=size_divisible
+    )
+    steps_per_epoch = max(1, train_loader.steps_per_epoch())
+    log.info("global batch %d, %d steps/epoch", batch_size, steps_per_epoch)
+
+    # models ---------------------------------------------------------------
+    ae = define_instance(args, "autoencoder_def").clone(dtype=dt)
+    disc = PatchDiscriminator3D(num_layers_d=3, channels=32, in_channels=args.image_channels,
+                                out_channels=1, dtype=dt)
+    rng = jax.random.PRNGKey(int(getattr(args, "seed", 0)) or 42)
+    sample_shape = (1, *train_cfg["patch_size"], args.image_channels)
+    g_vars = ae.init({"params": rng, "sample": rng}, jnp.zeros(sample_shape, dt))
+    d_vars = disc.init(rng, jnp.zeros(sample_shape, dt))
+
+    lpips_apply = build_lpips(args, dt) if train_cfg.get("perceptual_weight", 0) else None
+
+    # optimization ---------------------------------------------------------
+    max_epochs = args.max_epochs or train_cfg["max_epochs"]
+    val_interval = train_cfg["val_interval"]
+    lr = scale_lr_for_world(train_cfg["lr"], world)
+    schedule = build_lr_schedule(train_cfg.get("lr_scheduler"), lr, max_epochs, steps_per_epoch)
+    s1cfg = Stage1Config(
+        recon_loss=train_cfg.get("recon_loss", "l1"),
+        kl_weight=train_cfg["kl_weight"],
+        perceptual_weight=train_cfg.get("perceptual_weight", 0.0),
+    )
+    g_state = TrainState.create(ae.apply, g_vars["params"], make_optimizer(schedule, s1cfg.grad_clip))
+    d_state = TrainState.create(disc.apply, d_vars["params"], make_optimizer(schedule, s1cfg.grad_clip))
+
+    # checkpoints ------------------------------------------------------------
+    g_ckpt = CheckpointManager(args.model_dir, StageArtifacts.AUTOENCODER)
+    d_ckpt = CheckpointManager(args.model_dir, StageArtifacts.DISCRIMINATOR)
+    start_epoch = 0
+    if args.resume_ckpt:
+        full = {"params": g_state.params, "opt_state": g_state.opt_state, "step": g_state.step}
+        restored, ok = g_ckpt.try_restore("last", full)
+        if ok:
+            g_state = g_state.replace(**restored)
+            meta = g_ckpt.load_meta("last")
+            start_epoch = int(meta.get("epoch", -1)) + 1
+            log.info("resumed autoencoder from epoch %d", start_epoch)
+        full_d = {"params": d_state.params, "opt_state": d_state.opt_state, "step": d_state.step}
+        restored_d, ok_d = d_ckpt.try_restore("last", full_d)
+        if ok_d:
+            d_state = d_state.replace(**restored_d)
+        if not ok:
+            log.info("train autoencoder from scratch")
+
+    train_step = make_stage1_train_step(ae, disc, lpips_apply, s1cfg)
+    eval_step = make_stage1_eval_step(ae, lpips_apply, s1cfg)
+
+    writer = MetricsWriter(os.path.join(args.tfevent_path, "autoencoder"))
+    profiler = StepProfiler("./profiler_logs", enabled=args.profile)
+    best_val = float("inf")
+    total_step = 0
+
+    with mesh:
+        for epoch in range(start_epoch, max_epochs):
+            t0 = time.time()
+            adv_active = epoch > s1cfg.warmup_epochs
+            accum: dict[str, list] = {}
+            for step, batch in enumerate(train_loader.epoch(epoch)):
+                images = shard_batch(mesh, batch["image"])
+                rng, step_rng = jax.random.split(rng)
+                g_state, d_state, metrics = train_step(g_state, d_state, images, step_rng, adv_active=adv_active)
+                for k, v in metrics.items():
+                    accum.setdefault(k, []).append(v)
+                profiler.step()
+                if step % 10 == 0:
+                    total_step += 1
+                    writer.add_scalar("train_recon_loss_iter", metrics["recon_loss"], total_step)
+                    writer.add_scalar("train_kl_loss_iter", metrics["kl_loss"], total_step)
+                    writer.add_scalar("train_perceptual_loss_iter", metrics["perceptual_loss"], total_step)
+                    if adv_active:
+                        writer.add_scalar("train_adv_loss_iter", metrics["adv_loss"], total_step)
+                    writer.add_scalar("lr_generator", schedule(int(g_state.step)), total_step)
+                if step % 50 == 0:
+                    writer.add_scalar("grad_norm_autoencoder", metrics["g_grad_norm"], total_step)
+
+            epoch_means = {k: float(np.mean([np.asarray(x) for x in v])) for k, v in accum.items()}
+            epoch_time = time.time() - t0
+            log.info(
+                "Epoch %d/%d (%.2fs) - Recon: %.4f, KL: %.4f, Perceptual: %.4f, Adv: %.4f",
+                epoch, max_epochs, epoch_time,
+                epoch_means.get("recon_loss", 0), epoch_means.get("kl_loss", 0),
+                epoch_means.get("perceptual_loss", 0), epoch_means.get("adv_loss", 0),
+            )
+            writer.add_scalar("train_recon_loss_epoch", epoch_means.get("recon_loss", 0), epoch)
+            writer.add_scalar("train_kl_loss_epoch", epoch_means.get("kl_loss", 0), epoch)
+            writer.add_scalar("train_perceptual_loss_epoch", epoch_means.get("perceptual_loss", 0), epoch)
+            writer.add_scalar("epoch_time", epoch_time, epoch)
+            if adv_active:
+                writer.add_scalar("train_adv_loss_epoch", epoch_means.get("adv_loss", 0), epoch)
+
+            # validation ------------------------------------------------------
+            if epoch % val_interval == 0:
+                val_losses = []
+                recon = images = None
+                for batch in val_loader.epoch(epoch):
+                    images = shard_batch(mesh, batch["image"])
+                    rng, vrng = jax.random.split(rng)
+                    vm, recon = eval_step(g_state.params, images, vrng)
+                    val_losses.append(vm["val_recon_loss"])
+                if val_losses:
+                    val_loss = float(np.mean([np.asarray(v) for v in val_losses]))
+                    log.info("Epoch %d val_recon_loss: %.4f", epoch, val_loss)
+                    writer.add_scalar("val_recon_loss", val_loss, epoch)
+                    is_best = val_loss < best_val
+                    best_val = min(best_val, val_loss)
+                    meta = {"epoch": epoch, "val_loss": val_loss, "best_val": best_val}
+                    g_ckpt.save_best_and_last(
+                        {"params": g_state.params, "opt_state": g_state.opt_state, "step": g_state.step},
+                        is_best, meta)
+                    d_ckpt.save_best_and_last(
+                        {"params": d_state.params, "opt_state": d_state.opt_state, "step": d_state.step},
+                        is_best, meta)
+                    if is_best:
+                        log.info("Got best val recon loss; saved best checkpoints to %s", args.model_dir)
+                    if not args.no_images and recon is not None and epoch % (val_interval * 5) == 0:
+                        img0 = np.asarray(images[0, ..., 0], dtype=np.float32)
+                        rec0 = np.asarray(recon[0, ..., 0], dtype=np.float32)
+                        for axis in range(3):
+                            writer.add_image(f"val_img_{axis}", visualize_one_slice_in_3d_image(img0, axis), epoch)
+                            writer.add_image(f"val_recon_{axis}", visualize_one_slice_in_3d_image(rec0, axis), epoch)
+
+    profiler.stop()
+    writer.close()
+    log.info("training complete; best val %.4f", best_val)
+    return best_val
+
+
+if __name__ == "__main__":
+    main()

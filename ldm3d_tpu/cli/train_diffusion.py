@@ -1,0 +1,211 @@
+"""Stage-2 trainer CLI: conditional latent diffusion over a frozen VAE.
+
+Mirrors the reference driver (``3d_ldm/train_diffusion.py``): loads the
+stage-1 best autoencoder (hard requirement, :92-96), computes the latent
+``scale_factor`` from the first batch (:100-124, here one jitted global
+reduction over the sharded batch), trains the UNet with epsilon-MSE through
+concat conditioning (:197-207), Adam + MultiStepLR (:155-156), clip 1.0,
+validates with the same loss (:239-278), periodically samples conditionally
+and logs tri-axial slices (:308-359).
+
+Usage: python -m ldm3d_tpu.cli.train_diffusion -c CONFIG -e ENV [-g N] [--amp]
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ldm3d_tpu.ckpt import CheckpointManager, StageArtifacts
+from ldm3d_tpu.cli.common import build_parser, global_batch_size, model_dtype, setup
+from ldm3d_tpu.configs import define_instance
+from ldm3d_tpu.data import prepare_dataloader
+from ldm3d_tpu.diffusion import DDPMScheduler, inferer
+from ldm3d_tpu.obs import MetricsWriter, visualize_one_slice_in_3d_image
+from ldm3d_tpu.parallel import shard_batch
+from ldm3d_tpu.training import (
+    Stage2Config,
+    TrainState,
+    build_lr_schedule,
+    compute_scale_factor,
+    make_diffusion_optimizer,
+    make_stage2_eval_step,
+    make_stage2_train_step,
+)
+from ldm3d_tpu.utils.config_merge import TrainContext
+
+log = logging.getLogger("train_diffusion")
+
+
+def load_frozen_autoencoder(args, dt, rng, patch_size):
+    """Build the stage-1 VAE and load its best params (required artifact)."""
+    ae = define_instance(args, "autoencoder_def").clone(dtype=dt)
+    sample_shape = (1, *patch_size, args.image_channels)
+    g_vars = ae.init({"params": rng, "sample": rng}, jnp.zeros(sample_shape, dt))
+    ckpt = CheckpointManager(args.model_dir, StageArtifacts.AUTOENCODER)
+    if not ckpt.exists("best"):
+        raise FileNotFoundError(
+            f"stage-1 autoencoder checkpoint not found under {ckpt.root}; train stage 1 first"
+        )
+    params = ckpt.restore_params("best", g_vars["params"])
+    log.info("loaded trained autoencoder from %s", ckpt.path("best"))
+    return ae, params
+
+
+def main(argv=None):
+    parser = build_parser("TPU latent diffusion training (stage 2)")
+    parser.add_argument("--unconditional", action="store_true",
+                        help="train without concat conditioning (UNet in_channels == latent)")
+    args = parser.parse_args(argv)
+    args, mesh = setup(args)
+    dt = model_dtype(args)
+    train_cfg = args.diffusion_train
+    ctx = TrainContext(args)
+
+    # data ---------------------------------------------------------------
+    size_divisible = 2 ** (
+        len(args.autoencoder_def["channels"]) + len(args.diffusion_def["channels"]) - 2
+    )
+    batch_size = global_batch_size(train_cfg["batch_size"], mesh)
+    train_loader, val_loader = prepare_dataloader(
+        args, batch_size, train_cfg["patch_size"], randcrop=False, size_divisible=size_divisible
+    )
+    steps_per_epoch = max(1, train_loader.steps_per_epoch())
+
+    rng = jax.random.PRNGKey(int(getattr(args, "seed", 0)) or 42)
+
+    # frozen stage-1 VAE ----------------------------------------------------
+    ae, ae_params = load_frozen_autoencoder(args, dt, rng, train_cfg["patch_size"])
+
+    # scale factor from the first batch (global std over the sharded batch) --
+    first = next(iter(train_loader.epoch(0)))
+    with mesh:
+        labels0 = shard_batch(mesh, first["label"])
+        rng, sf_rng = jax.random.split(rng)
+        scale_factor = compute_scale_factor(ae, ae_params, jnp.clip(labels0, 0, 1), sf_rng)
+    log.info("scale_factor = %.6f", float(scale_factor))
+
+    # UNet -------------------------------------------------------------------
+    unet = define_instance(args, "diffusion_def").clone(dtype=dt)
+    latent_size = [p // ae.downsample_factor for p in train_cfg["patch_size"]]
+    probe = jnp.zeros((1, *latent_size, unet.in_channels), dt)
+    u_vars = unet.init(rng, probe, jnp.zeros((1,), jnp.int32))
+
+    sched_cfg = ctx.scheduler_config()
+    scheduler = DDPMScheduler.create(
+        num_train_timesteps=sched_cfg["num_train_timesteps"],
+        schedule="scaled_linear_beta",
+        beta_start=sched_cfg["beta_start"],
+        beta_end=sched_cfg["beta_end"],
+    )
+
+    max_epochs = args.max_epochs or train_cfg["max_epochs"]
+    val_interval = train_cfg["val_interval"]
+    schedule = build_lr_schedule("multistep", train_cfg["lr"], max_epochs, steps_per_epoch)
+    s2cfg = Stage2Config(conditional=not args.unconditional)
+    u_state = TrainState.create(unet.apply, u_vars["params"], make_diffusion_optimizer(schedule))
+
+    u_ckpt = CheckpointManager(args.model_dir, StageArtifacts.DIFFUSION)
+    start_epoch = 0
+    if args.resume_ckpt:
+        full = {"params": u_state.params, "opt_state": u_state.opt_state, "step": u_state.step}
+        restored, ok = u_ckpt.try_restore("last", full)
+        if ok:
+            u_state = u_state.replace(**restored)
+            start_epoch = int(u_ckpt.load_meta("last").get("epoch", -1)) + 1
+            log.info("resumed diffusion model from epoch %d", start_epoch)
+        else:
+            log.info("train diffusion model from scratch")
+
+    train_step = make_stage2_train_step(unet, ae, scheduler, s2cfg)
+    eval_step = make_stage2_eval_step(unet, ae, scheduler, s2cfg)
+
+    writer = MetricsWriter(os.path.join(args.tfevent_path, "diffusion"))
+    best_val = float("inf")
+    total_step = 0
+
+    # first-batch slice images, reference parity (train_diffusion.py:107-117)
+    if not args.no_images:
+        for axis in range(3):
+            writer.add_image(f"train_img_{axis}",
+                             visualize_one_slice_in_3d_image(first["image"][0, ..., 0], axis), 1)
+            writer.add_image(f"train_label_{axis}",
+                             visualize_one_slice_in_3d_image(first["label"][0, ..., 0], axis), 1)
+
+    with mesh:
+        for epoch in range(start_epoch, max_epochs):
+            t0 = time.time()
+            losses = []
+            for batch in train_loader.epoch(epoch):
+                sb = shard_batch(mesh, {"image": batch["image"], "label": batch["label"]})
+                rng, step_rng = jax.random.split(rng)
+                u_state, metrics = train_step(u_state, ae_params, sb, scale_factor, step_rng)
+                losses.append(metrics["diffusion_loss"])
+                total_step += 1
+                writer.add_scalar("train_diffusion_loss_iter", metrics["diffusion_loss"], total_step)
+            epoch_loss = float(np.mean([np.asarray(x) for x in losses])) if losses else float("nan")
+            log.info("Epoch %d/%d (%.2fs) - diffusion loss %.5f", epoch, max_epochs,
+                     time.time() - t0, epoch_loss)
+
+            if epoch % val_interval == 0:
+                val_losses = []
+                last_batch = None
+                for batch in val_loader.epoch(epoch):
+                    sb = shard_batch(mesh, {"image": batch["image"], "label": batch["label"]})
+                    rng, vrng = jax.random.split(rng)
+                    vm = eval_step(u_state.params, ae_params, sb, scale_factor, vrng)
+                    val_losses.append(vm["val_diffusion_loss"])
+                    last_batch = batch
+                if val_losses:
+                    val_loss = float(np.mean([np.asarray(v) for v in val_losses]))
+                    writer.add_scalar("val_diffusion_loss", val_loss, epoch)
+                    log.info("Epoch %d val_diffusion_loss: %.5f", epoch, val_loss)
+                    is_best = val_loss < best_val
+                    best_val = min(best_val, val_loss)
+                    u_ckpt.save_best_and_last(
+                        {"params": u_state.params, "opt_state": u_state.opt_state, "step": u_state.step},
+                        is_best,
+                        {"epoch": epoch, "val_loss": val_loss, "scale_factor": float(scale_factor)},
+                    )
+                    if is_best:
+                        log.info("Got best val noise pred loss; saved to %s", u_ckpt.root)
+
+                # periodic conditional sampling (reference :308-333)
+                if not args.no_images and epoch % (2 * val_interval) == 0 and last_batch is not None:
+                    img1 = jnp.clip(jnp.asarray(last_batch["image"][:1]), 0, 1).astype(dt)
+                    rng, crng, nrng, srng = jax.random.split(rng, 4)
+                    cond = None
+                    if s2cfg.conditional:
+                        cond = ae.apply({"params": ae_params}, img1,
+                                        method="encode_stage_2_inputs", rngs={"sample": crng})
+                    latent_shape = (1, *[s // ae.downsample_factor for s in img1.shape[1:4]], ae.latent_channels)
+                    noise = jax.random.normal(nrng, latent_shape, jnp.float32).astype(dt)
+
+                    def unet_apply(z, t):
+                        return unet.apply({"params": u_state.params}, z, t)
+
+                    def decode(z):
+                        return ae.apply({"params": ae_params}, z, method="decode_stage_2_outputs")
+
+                    sampled = inferer.sample(unet_apply, decode, scheduler, noise, srng,
+                                             condition=cond, scale_factor=scale_factor)
+                    for axis in range(3):
+                        writer.add_image(f"val_lowcount_input_{axis}",
+                                         visualize_one_slice_in_3d_image(np.asarray(last_batch["image"][0, ..., 0]), axis), epoch)
+                        writer.add_image(f"val_highcount_gt_{axis}",
+                                         visualize_one_slice_in_3d_image(np.asarray(last_batch["label"][0, ..., 0]), axis), epoch)
+                        writer.add_image(f"val_denoised_cond_{axis}",
+                                         visualize_one_slice_in_3d_image(np.asarray(sampled[0, ..., 0], dtype=np.float32), axis), epoch)
+
+    writer.close()
+    log.info("training complete; best val %.5f", best_val)
+    return best_val
+
+
+if __name__ == "__main__":
+    main()

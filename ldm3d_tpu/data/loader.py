@@ -38,13 +38,19 @@ class BatchLoader:
         prefetch: int = 2,
         num_hosts: int = 1,
         host_id: int = 0,
+        pad_partial: bool = False,
     ):
+        """``drop_last`` keeps uniform compiled batch shapes (reference
+        ``utils.py:215``). ``pad_partial`` instead pads a trailing partial
+        batch by repeating its last sample — used for small validation sets,
+        where the reference's drop-last silently skipped validation entirely."""
         if batch_size <= 0:
             raise ValueError("batch_size must be positive")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
-        self.drop_last = drop_last
+        self.drop_last = drop_last and not pad_partial
+        self.pad_partial = pad_partial
         self.seed = seed
         self.prefetch = max(1, prefetch)
         self.num_hosts = num_hosts
@@ -83,6 +89,9 @@ class BatchLoader:
                     chunk = indices[b * self.batch_size : (b + 1) * self.batch_size]
                     if len(chunk) == 0:
                         break
+                    if self.pad_partial and len(chunk) < self.batch_size:
+                        pad = np.full(self.batch_size - len(chunk), chunk[-1])
+                        chunk = np.concatenate([chunk, pad])
                     q.put(_stack([self.dataset[int(i)] for i in chunk]))
             except BaseException as e:  # propagate into consumer
                 err.append(e)

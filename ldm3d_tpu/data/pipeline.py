@@ -58,5 +58,5 @@ def prepare_dataloader(
     train_loader = BatchLoader(train_ds, batch_size, shuffle=True, drop_last=True,
                                seed=seed, num_hosts=num_hosts, host_id=host_id)
     val_loader = BatchLoader(val_ds, batch_size, shuffle=False, drop_last=True,
-                             seed=seed, num_hosts=num_hosts, host_id=host_id)
+                             pad_partial=True, seed=seed, num_hosts=num_hosts, host_id=host_id)
     return train_loader, val_loader
