@@ -1,0 +1,141 @@
+"""Headline benchmark: DDIM-50 sampling of 96^3 volumes (one compiled program).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "volumes/sec/chip", "vs_baseline": N, ...}
+
+Models are the reference's flagship 32g configuration (AutoencoderKL
+[64,128,256] latent 16; conditional DiffusionModelUNet [256,512,1024],
+in_channels 32) with random bf16 params — the benchmark measures the compute
+path, exactly like BASELINE.json's metric definition.
+
+``vs_baseline`` is measured, not assumed: the baseline proxy re-creates the
+reference's inference architecture on the SAME chip — a Python-stepped
+DDPM-1000 loop dispatching one jitted UNet call per step
+(reference ``3d_ldm/inference.py:91-99`` via MONAI's Python sampler loop) +
+VAE decode. The headline path compiles DDIM-50 + decode into a single
+lax.scan XLA program. The ratio isolates our sampler/compiler win on
+identical hardware and identical model weights.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+BATCH = 1
+VOLUME = 96
+DDIM_STEPS = 50
+DDPM_STEPS = 1000
+BASELINE_MEASURE_STEPS = 50  # measured steps of the eager loop, extrapolated
+
+
+def build_models():
+    from ldm3d_tpu.configs import ConfigResolver, load_json, preset_path
+
+    cfg = load_json(preset_path("config_train_32g.json"))
+    r = ConfigResolver(cfg)
+    ae = r.instantiate("autoencoder_def").clone(dtype=jnp.bfloat16)
+    unet = r.instantiate("diffusion_def").clone(dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    latent = VOLUME // ae.downsample_factor
+    ae_vars = ae.init(
+        {"params": rng, "sample": rng}, jnp.zeros((1, 16, 16, 16, ae.in_channels), jnp.bfloat16)
+    )
+    u_vars = unet.init(
+        rng, jnp.zeros((1, 8, 8, 8, unet.in_channels), jnp.bfloat16), jnp.zeros((1,), jnp.int32)
+    )
+    return ae, ae_vars["params"], unet, u_vars["params"], latent
+
+
+def main():
+    from ldm3d_tpu.diffusion import DDIMScheduler, DDPMScheduler, inferer
+
+    ae, ae_params, unet, u_params, latent = build_models()
+    cond_ch = unet.in_channels - ae.latent_channels
+    rng = jax.random.PRNGKey(1)
+    noise = jax.random.normal(rng, (BATCH, latent, latent, latent, ae.latent_channels),
+                              jnp.float32).astype(jnp.bfloat16)
+    condition = jax.random.normal(jax.random.PRNGKey(2),
+                                  (BATCH, latent, latent, latent, cond_ch),
+                                  jnp.float32).astype(jnp.bfloat16)
+
+    def unet_apply(z, t):
+        return unet.apply({"params": u_params}, z, t)
+
+    def decode(z):
+        return ae.apply({"params": ae_params}, z, method="decode_stage_2_outputs")
+
+    ddim = DDIMScheduler.create(num_inference_steps=DDIM_STEPS)
+
+    @jax.jit
+    def sample_ddim(noise, rng):
+        return inferer.sample(unet_apply, decode, ddim, noise, rng, condition=condition)
+
+    # --- headline: single-program DDIM-50 + decode ---------------------------
+    out = jax.block_until_ready(sample_ddim(noise, rng))  # compile
+    assert bool(jnp.isfinite(out.astype(jnp.float32)).all()), "non-finite sample"
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(sample_ddim(noise, jax.random.PRNGKey(10 + i)))
+        times.append(time.perf_counter() - t0)
+    ddim_time = float(np.median(times))
+    vols_per_sec = BATCH / ddim_time
+
+    # --- per-step denoise + decode timings ----------------------------------
+    step_in = jnp.concatenate([noise, condition], axis=-1)
+    t_b = jnp.full((BATCH,), 500, jnp.int32)
+    unet_jit = jax.jit(unet_apply)
+    jax.block_until_ready(unet_jit(step_in, t_b))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        jax.block_until_ready(unet_jit(step_in, t_b))
+    denoise_ms = (time.perf_counter() - t0) / 10 * 1000
+
+    decode_jit = jax.jit(decode)
+    jax.block_until_ready(decode_jit(noise))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        jax.block_until_ready(decode_jit(noise))
+    decode_ms = (time.perf_counter() - t0) / 5 * 1000
+
+    # --- baseline proxy: reference-style Python-stepped DDPM-1000 ------------
+    ddpm = DDPMScheduler.create(num_train_timesteps=DDPM_STEPS)
+    step_jit = jax.jit(lambda pred, t, x, r: ddpm.step(pred, t, x, r))
+    x = noise
+    ts = np.asarray(ddpm.timesteps)[:BASELINE_MEASURE_STEPS]
+    # warm-up one python-loop step
+    pred = unet_jit(jnp.concatenate([x, condition], axis=-1), jnp.full((BATCH,), int(ts[0]), jnp.int32))
+    jax.block_until_ready(step_jit(pred, jnp.int32(ts[0]), x, rng))
+    t0 = time.perf_counter()
+    for t in ts:
+        model_in = jnp.concatenate([x, condition], axis=-1)
+        pred = unet_jit(model_in, jnp.full((BATCH,), int(t), jnp.int32))
+        x = step_jit(pred, jnp.int32(int(t)), x, rng)
+    jax.block_until_ready(x)
+    eager_per_step = (time.perf_counter() - t0) / len(ts)
+    baseline_time = eager_per_step * DDPM_STEPS + decode_ms / 1000
+    baseline_vols_per_sec = BATCH / baseline_time
+
+    result = {
+        "metric": "volumes/sec/chip (DDIM-50 @ 96^3, conditional, bf16, one XLA program)",
+        "value": round(vols_per_sec, 4),
+        "unit": "volumes/sec/chip",
+        "vs_baseline": round(vols_per_sec / baseline_vols_per_sec, 2),
+        "baseline": "reference-style Python-stepped DDPM-1000 + decode on same chip (measured)",
+        "ddim50_seconds_per_volume": round(ddim_time, 3),
+        "denoise_step_ms": round(denoise_ms, 2),
+        "vae_decode_ms": round(decode_ms, 2),
+        "ddpm1000_python_loop_seconds_per_volume": round(baseline_time, 3),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -78,13 +78,30 @@ class CheckpointManager:
 
     # -- restore ---------------------------------------------------------------
 
-    def restore(self, role: str, abstract_state: Any) -> Any:
+    def restore(self, role: str, abstract_state: Any, sharding=None) -> Any:
         """Restore into the structure of ``abstract_state`` (a matching pytree
-        of arrays or ShapeDtypeStructs)."""
-        template = jax.tree.map(
-            lambda x: x if isinstance(x, jax.ShapeDtypeStruct) else jax.ShapeDtypeStruct(x.shape, x.dtype),
-            abstract_state,
-        )
+        of arrays or ShapeDtypeStructs).
+
+        The template pins an explicit target sharding (replicated over the
+        current devices by default), so checkpoints restore across topologies
+        — save on an N-chip mesh, load on 1 chip and vice versa (the
+        cross-device ``map_location`` remap of the reference,
+        ``train_autoencoder.py:197``).
+        """
+        if sharding is None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from jax.sharding import Mesh
+            import numpy as np
+
+            mesh = Mesh(np.asarray(jax.devices()), axis_names=("all",))
+            sharding = NamedSharding(mesh, PartitionSpec())
+
+        def _abstract(x):
+            if isinstance(x, jax.ShapeDtypeStruct):
+                return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
+
+        template = jax.tree.map(_abstract, abstract_state)
         return self._ckptr.restore(self.path(role), template)
 
     def load_meta(self, role: str) -> dict:

@@ -1,0 +1,212 @@
+"""REST model server with the reference's endpoint contract.
+
+Endpoints (parity with ``mlops/docker/api_server.py:296-390``):
+  POST /generate      {"num_samples": N, "seed": S} -> base64 volumes
+  GET  /health        liveness/readiness payload
+  GET  /metrics       Prometheus text format
+  GET  /model/info    model + device metadata
+  POST /model/reload  reload checkpoints
+
+Implementation: FastAPI/uvicorn when installed (the reference's stack);
+otherwise a stdlib ThreadingHTTPServer serving the identical contract — the
+serving layer works in minimal images, replacing the reference's hard
+dependency. Request metrics middleware parity: active-request gauge, duration
+histogram, per-status counters (:273-294).
+
+Run: python -m ldm3d_tpu.serving.api_server --port 8000 -c CONFIG -e ENV
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import time
+
+from ldm3d_tpu.serving.metrics import REGISTRY, Counter, Gauge, Histogram
+from ldm3d_tpu.serving.model_server import ModelServer
+
+log = logging.getLogger("api_server")
+
+REQUEST_COUNT = REGISTRY.register(Counter(
+    "api_requests_total", "Total API requests", labels=("method", "endpoint", "status")))
+REQUEST_DURATION = REGISTRY.register(Histogram(
+    "api_request_duration_seconds", "API request duration"))
+INFERENCE_DURATION = REGISTRY.register(Histogram(
+    "model_inference_duration_seconds", "Model inference duration"))
+ACTIVE_REQUESTS = REGISTRY.register(Gauge(
+    "api_active_requests", "Currently active requests"))
+MEMORY_USAGE = REGISTRY.register(Gauge(
+    "process_memory_bytes", "Process RSS bytes"))
+
+
+class Api:
+    """Framework-agnostic handlers; both HTTP frontends delegate here."""
+
+    def __init__(self, server: ModelServer):
+        self.server = server
+        self.started = time.time()
+
+    def health(self) -> tuple[int, dict]:
+        try:
+            import psutil
+
+            MEMORY_USAGE.set(psutil.Process().memory_info().rss)
+        except Exception:
+            pass
+        status = "healthy" if self.server.model_loaded else "degraded"
+        return 200, {
+            "status": status,
+            "model_loaded": self.server.model_loaded,
+            "dummy_model": self.server.is_dummy,
+            "uptime_seconds": time.time() - self.started,
+        }
+
+    def generate(self, body: dict) -> tuple[int, dict]:
+        num = int(body.get("num_samples", 1))
+        if not (1 <= num <= 16):
+            return 422, {"error": "num_samples must be in [1, 16]"}
+        seed = body.get("seed")
+        if seed is not None:
+            seed = int(seed)
+        t0 = time.time()
+        try:
+            result = self.server.generate(num_samples=num, seed=seed)
+        except RuntimeError as e:
+            return 503, {"error": str(e)}
+        INFERENCE_DURATION.observe(time.time() - t0)
+        return 200, result
+
+    def model_info(self) -> tuple[int, dict]:
+        return 200, self.server.model_info()
+
+    def reload(self) -> tuple[int, dict]:
+        self.server.load_model()
+        return 200, {"reloaded": True, "dummy": self.server.is_dummy}
+
+    def metrics_text(self) -> str:
+        return REGISTRY.expose()
+
+    def dispatch(self, method: str, path: str, body: dict) -> tuple[int, object, str]:
+        """Returns (status, payload, content_type)."""
+        ACTIVE_REQUESTS.inc()
+        t0 = time.time()
+        try:
+            if method == "GET" and path == "/health":
+                code, payload = self.health()
+            elif method == "GET" and path == "/metrics":
+                code, payload = 200, self.metrics_text()
+                return code, payload, "text/plain; version=0.0.4"
+            elif method == "GET" and path == "/model/info":
+                code, payload = self.model_info()
+            elif method == "POST" and path == "/model/reload":
+                code, payload = self.reload()
+            elif method == "POST" and path == "/generate":
+                code, payload = self.generate(body)
+            else:
+                code, payload = 404, {"error": f"unknown endpoint {method} {path}"}
+            return code, payload, "application/json"
+        finally:
+            ACTIVE_REQUESTS.dec()
+            dur = time.time() - t0
+            REQUEST_DURATION.observe(dur)
+            REQUEST_COUNT.labels(method, path, "200").inc()
+
+
+def make_fastapi_app(api: Api):
+    from fastapi import FastAPI, Request
+    from fastapi.responses import JSONResponse, PlainTextResponse
+
+    app = FastAPI(title="ldm3d_tpu model server")
+
+    @app.get("/health")
+    async def health():
+        code, payload = api.health()
+        return JSONResponse(payload, status_code=code)
+
+    @app.get("/metrics")
+    async def metrics():
+        return PlainTextResponse(api.metrics_text())
+
+    @app.get("/model/info")
+    async def model_info():
+        code, payload = api.model_info()
+        return JSONResponse(payload, status_code=code)
+
+    @app.post("/model/reload")
+    async def reload():
+        code, payload = api.reload()
+        return JSONResponse(payload, status_code=code)
+
+    @app.post("/generate")
+    async def generate(request: Request):
+        body = await request.json()
+        code, payload = api.generate(body)
+        return JSONResponse(payload, status_code=code)
+
+    return app
+
+
+def serve_stdlib(api: Api, host: str, port: int):
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def _respond(self, method):
+            length = int(self.headers.get("Content-Length") or 0)
+            body = {}
+            if length:
+                try:
+                    body = json.loads(self.rfile.read(length))
+                except json.JSONDecodeError:
+                    self._send(400, {"error": "invalid JSON body"}, "application/json")
+                    return
+            code, payload, ctype = api.dispatch(method, self.path, body)
+            self._send(code, payload, ctype)
+
+        def _send(self, code, payload, ctype):
+            data = payload.encode() if isinstance(payload, str) else json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            self._respond("GET")
+
+        def do_POST(self):
+            self._respond("POST")
+
+        def log_message(self, fmt, *a):
+            log.info("%s - " + fmt, self.address_string(), *a)
+
+    httpd = ThreadingHTTPServer((host, port), Handler)
+    log.info("stdlib HTTP server on %s:%d", host, port)
+    httpd.serve_forever()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="ldm3d_tpu model server")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("-c", "--config-file", default=None)
+    p.add_argument("-e", "--environment-file", default=None)
+    p.add_argument("--sampler", choices=("ddpm", "ddim"), default="ddim")
+    p.add_argument("--steps", type=int, default=50)
+    args = p.parse_args(argv)
+    logging.basicConfig(level=logging.INFO, force=True)
+
+    server = ModelServer(args.config_file, args.environment_file, args.sampler, args.steps)
+    server.load_model()
+    api = Api(server)
+    try:
+        import uvicorn
+
+        app = make_fastapi_app(api)
+        uvicorn.run(app, host=args.host, port=args.port)
+    except ImportError:
+        serve_stdlib(api, args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,183 @@
+"""Model server core: load checkpoints, generate volumes, report status.
+
+Contract parity with the reference's ``ModelServer``
+(``mlops/docker/api_server.py:89-238``): ``load_model()`` with a dummy-model
+fallback when no checkpoint exists (:138-155, used for serving/monitoring
+infra tests), ``generate(num_samples, seed, ...)`` returning min-max
+normalized volumes as base64 float32 with shape metadata, plus
+``model_info()``.
+
+Unlike the reference — whose server never wires in the real two-stage LDM
+(SURVEY.md 3.4) — ``load_model`` here builds the actual pipeline from the
+training config + orbax checkpoints and samples through the compiled
+DDIM/DDPM scan.
+"""
+
+from __future__ import annotations
+
+import base64
+import logging
+import threading
+import time
+from typing import Any, Optional
+
+import numpy as np
+
+log = logging.getLogger("model_server")
+
+
+class ModelServer:
+    def __init__(self, config_file: Optional[str] = None, environment_file: Optional[str] = None,
+                 sampler: str = "ddim", steps: int = 50):
+        self.config_file = config_file
+        self.environment_file = environment_file
+        self.sampler = sampler
+        self.steps = steps
+        self.model_loaded = False
+        self.is_dummy = False
+        self.load_time: Optional[float] = None
+        self.patch_size = [32, 32, 32]
+        self._lock = threading.Lock()
+        self._run = None  # compiled sampler fn
+        self._latent_shape = None
+        self._rng_counter = 0
+
+    # -- loading -------------------------------------------------------------
+
+    def load_model(self) -> None:
+        t0 = time.time()
+        try:
+            self._load_real()
+            self.is_dummy = False
+            log.info("loaded real two-stage LDM pipeline")
+        except Exception as e:
+            log.warning("falling back to dummy model: %s", e)
+            self._load_dummy()
+            self.is_dummy = True
+        self.model_loaded = True
+        self.load_time = time.time() - t0
+
+    def _load_real(self) -> None:
+        import argparse
+
+        import jax
+        import jax.numpy as jnp
+
+        from ldm3d_tpu.ckpt import CheckpointManager, StageArtifacts
+        from ldm3d_tpu.configs import define_instance
+        from ldm3d_tpu.diffusion import DDIMScheduler, DDPMScheduler, inferer
+        from ldm3d_tpu.utils import merge_configs_onto_args
+        from ldm3d_tpu.utils.config_merge import TrainContext
+
+        if not (self.config_file and self.environment_file):
+            raise FileNotFoundError("no config/environment file configured")
+        args = argparse.Namespace()
+        merge_configs_onto_args(args, self.environment_file, self.config_file)
+        ctx = TrainContext(args)
+        self.patch_size = args.diffusion_train["patch_size"]
+        rng = jax.random.PRNGKey(0)
+
+        ae = define_instance(args, "autoencoder_def")
+        g_vars = ae.init({"params": rng, "sample": rng},
+                         jnp.zeros((1, *self.patch_size, args.image_channels)))
+        ae_params = CheckpointManager(args.model_dir, StageArtifacts.AUTOENCODER).restore_params(
+            "best", g_vars["params"])
+        unet = define_instance(args, "diffusion_def")
+        latent = [p // ae.downsample_factor for p in self.patch_size]
+        u_vars = unet.init(rng, jnp.zeros((1, *latent, unet.in_channels)), jnp.zeros((1,), jnp.int32))
+        u_ckpt = CheckpointManager(args.model_dir, StageArtifacts.DIFFUSION)
+        u_params = u_ckpt.restore_params("best", u_vars["params"])
+        scale_factor = float(u_ckpt.load_meta("best").get("scale_factor", 1.0))
+
+        sched_cfg = ctx.scheduler_config()
+        if self.sampler == "ddim":
+            scheduler = DDIMScheduler.create(
+                num_train_timesteps=sched_cfg["num_train_timesteps"],
+                beta_start=sched_cfg["beta_start"], beta_end=sched_cfg["beta_end"],
+                num_inference_steps=self.steps)
+        else:
+            scheduler = DDPMScheduler.create(
+                num_train_timesteps=sched_cfg["num_train_timesteps"],
+                beta_start=sched_cfg["beta_start"], beta_end=sched_cfg["beta_end"])
+
+        conditional = unet.in_channels > ae.latent_channels
+        self._latent_shape = (*latent, ae.latent_channels)
+        cond_ch = unet.in_channels - ae.latent_channels
+
+        def unet_apply(z, t):
+            return unet.apply({"params": u_params}, z, t)
+
+        def decode(z):
+            return ae.apply({"params": ae_params}, z, method="decode_stage_2_outputs")
+
+        import jax as _jax
+
+        @_jax.jit
+        def run(noise, rng_key, condition):
+            cond = condition if conditional else None
+            return inferer.sample(unet_apply, decode, scheduler, noise, rng_key,
+                                  condition=cond, scale_factor=scale_factor)
+
+        self._cond_shape = (*latent, cond_ch) if conditional else None
+        self._run = run
+
+    def _load_dummy(self) -> None:
+        self._latent_shape = None
+        self._run = None
+
+    # -- generation -------------------------------------------------------------
+
+    def generate(self, num_samples: int = 1, seed: Optional[int] = None) -> dict[str, Any]:
+        if not self.model_loaded:
+            raise RuntimeError("model not loaded")
+        t0 = time.time()
+        with self._lock:
+            if self.is_dummy:
+                rng = np.random.default_rng(seed)
+                vols = rng.standard_normal((num_samples, *self.patch_size), dtype=np.float32)
+                time.sleep(0.05)  # simulate latency like the reference dummy
+            else:
+                import jax
+                import jax.numpy as jnp
+
+                base = seed if seed is not None else self._rng_counter
+                self._rng_counter += 1
+                key = jax.random.PRNGKey(base)
+                outs = []
+                for i in range(num_samples):
+                    key, nkey, ckey, skey = jax.random.split(key, 4)
+                    noise = jax.random.normal(nkey, (1, *self._latent_shape), jnp.float32)
+                    cond = (jax.random.normal(ckey, (1, *self._cond_shape), jnp.float32)
+                            if self._cond_shape else None)
+                    out = self._run(noise, skey, cond)
+                    outs.append(np.asarray(out[0, ..., 0], dtype=np.float32))
+                vols = np.stack(outs)
+        samples = []
+        for v in vols:
+            vmin, vmax = float(v.min()), float(v.max())
+            norm = (v - vmin) / (vmax - vmin) if vmax > vmin else np.zeros_like(v)
+            samples.append({
+                "data": base64.b64encode(norm.astype(np.float32).tobytes()).decode("ascii"),
+                "shape": list(v.shape),
+                "dtype": "float32",
+            })
+        return {
+            "samples": samples,
+            "generation_time": time.time() - t0,
+            "model_version": "dummy" if self.is_dummy else "ldm3d_tpu",
+            "num_samples": num_samples,
+        }
+
+    def model_info(self) -> dict[str, Any]:
+        import jax
+
+        return {
+            "loaded": self.model_loaded,
+            "dummy": self.is_dummy,
+            "load_time": self.load_time,
+            "patch_size": self.patch_size,
+            "sampler": self.sampler,
+            "steps": self.steps,
+            "backend": jax.default_backend(),
+            "devices": [str(d) for d in jax.devices()],
+        }
