@@ -43,10 +43,12 @@ def build_models():
     unet = r.instantiate("diffusion_def").clone(dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     latent = VOLUME // ae.downsample_factor
-    ae_vars = ae.init(
+    # jitted inits: eager init dispatches each op separately (pathological
+    # over a remote-compile tunnel, and slower everywhere)
+    ae_vars = jax.jit(ae.init)(
         {"params": rng, "sample": rng}, jnp.zeros((1, 16, 16, 16, ae.in_channels), jnp.bfloat16)
     )
-    u_vars = unet.init(
+    u_vars = jax.jit(unet.init)(
         rng, jnp.zeros((1, 8, 8, 8, unet.in_channels), jnp.bfloat16), jnp.zeros((1,), jnp.int32)
     )
     return ae, ae_vars["params"], unet, u_vars["params"], latent

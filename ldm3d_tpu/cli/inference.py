@@ -91,7 +91,7 @@ def main(argv=None):
 
     # models + checkpoints -----------------------------------------------------
     ae = define_instance(args, "autoencoder_def").clone(dtype=dt)
-    g_vars = ae.init({"params": rng, "sample": rng},
+    g_vars = jax.jit(ae.init)({"params": rng, "sample": rng},
                      jnp.zeros((1, *patch_size, args.image_channels), dt))
     ae_params = CheckpointManager(args.model_dir, StageArtifacts.AUTOENCODER).restore_params(
         "best", g_vars["params"])
@@ -99,7 +99,7 @@ def main(argv=None):
     unet = define_instance(args, "diffusion_def").clone(dtype=dt)
     latent_shape = [p // ae.downsample_factor for p in patch_size]
     probe = jnp.zeros((1, *latent_shape, unet.in_channels), dt)
-    u_vars = unet.init(rng, probe, jnp.zeros((1,), jnp.int32))
+    u_vars = jax.jit(unet.init)(rng, probe, jnp.zeros((1,), jnp.int32))
     u_ckpt = CheckpointManager(args.model_dir, StageArtifacts.DIFFUSION)
     u_params = u_ckpt.restore_params("best", u_vars["params"])
     scale_factor = float(u_ckpt.load_meta("best").get("scale_factor", 1.0))

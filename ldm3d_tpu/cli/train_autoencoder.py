@@ -51,7 +51,7 @@ def build_lpips(args, dtype):
     (environment.json key ``lpips_weights`` -> msgpack from tools/convert_lpips.py)."""
     lpips = LPIPS(dtype=dtype)
     probe = jnp.zeros((1, 32, 32, 1), dtype)
-    variables = lpips.init(jax.random.PRNGKey(17), probe, probe)
+    variables = jax.jit(lpips.init)(jax.random.PRNGKey(17), probe, probe)
     weights_path = getattr(args, "lpips_weights", "")
     if weights_path and os.path.exists(weights_path):
         from flax import serialization
@@ -91,8 +91,8 @@ def main(argv=None):
                                 out_channels=1, dtype=dt)
     rng = jax.random.PRNGKey(int(getattr(args, "seed", 0)) or 42)
     sample_shape = (1, *train_cfg["patch_size"], args.image_channels)
-    g_vars = ae.init({"params": rng, "sample": rng}, jnp.zeros(sample_shape, dt))
-    d_vars = disc.init(rng, jnp.zeros(sample_shape, dt))
+    g_vars = jax.jit(ae.init)({"params": rng, "sample": rng}, jnp.zeros(sample_shape, dt))
+    d_vars = jax.jit(disc.init)(rng, jnp.zeros(sample_shape, dt))
 
     lpips_apply = build_lpips(args, dt) if train_cfg.get("perceptual_weight", 0) else None
 

@@ -46,7 +46,7 @@ def load_frozen_autoencoder(args, dt, rng, patch_size):
     """Build the stage-1 VAE and load its best params (required artifact)."""
     ae = define_instance(args, "autoencoder_def").clone(dtype=dt)
     sample_shape = (1, *patch_size, args.image_channels)
-    g_vars = ae.init({"params": rng, "sample": rng}, jnp.zeros(sample_shape, dt))
+    g_vars = jax.jit(ae.init)({"params": rng, "sample": rng}, jnp.zeros(sample_shape, dt))
     ckpt = CheckpointManager(args.model_dir, StageArtifacts.AUTOENCODER)
     if not ckpt.exists("best"):
         raise FileNotFoundError(
@@ -94,7 +94,7 @@ def main(argv=None):
     unet = define_instance(args, "diffusion_def").clone(dtype=dt)
     latent_size = [p // ae.downsample_factor for p in train_cfg["patch_size"]]
     probe = jnp.zeros((1, *latent_size, unet.in_channels), dt)
-    u_vars = unet.init(rng, probe, jnp.zeros((1,), jnp.int32))
+    u_vars = jax.jit(unet.init)(rng, probe, jnp.zeros((1,), jnp.int32))
 
     sched_cfg = ctx.scheduler_config()
     scheduler = DDPMScheduler.create(

@@ -1,0 +1,158 @@
+"""Training pipeline orchestration: data-prep -> stage 1 -> stage 2 -> eval -> register.
+
+Capability parity with ``mlops/pipelines/azure_ml_pipeline.py`` (a 4-step
+Azure ML command DAG, :65-205, plus a batch-inference pipeline :244). The
+reference's DAG steps reference modules that don't exist in its repo
+(SURVEY.md 3.5 — aspirational scaffold); this pipeline actually runs:
+  * local mode executes the real CLIs in-process, step by step, with
+    artifact handoff through ``model_dir`` (the same cross-stage contract),
+  * ``emit_cloud_spec`` renders the DAG as a vendor-neutral JSON/YAML job
+    spec (steps, images, inputs/outputs) for GKE/Vertex/Azure submission.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+import time
+from typing import Any, Optional
+
+log = logging.getLogger("training_pipeline")
+
+__all__ = ["TrainingPipeline", "PipelineStep"]
+
+
+@dataclasses.dataclass
+class PipelineStep:
+    name: str
+    fn: Any = None  # local callable
+    command: str = ""  # cloud command string
+    inputs: dict = dataclasses.field(default_factory=dict)
+    outputs: dict = dataclasses.field(default_factory=dict)
+
+
+class TrainingPipeline:
+    def __init__(self, config_file: str, environment_file: str, model_dir: str,
+                 eval_threshold: float = 0.8, registry=None, max_epochs: Optional[int] = None,
+                 extra_flags: Optional[list[str]] = None):
+        self.config_file = config_file
+        self.environment_file = environment_file
+        self.model_dir = model_dir
+        self.eval_threshold = eval_threshold
+        self.registry = registry
+        self.max_epochs = max_epochs
+        self.extra_flags = extra_flags or []
+
+    # -- steps ---------------------------------------------------------------
+
+    def _cli_argv(self) -> list[str]:
+        argv = ["-c", self.config_file, "-e", self.environment_file]
+        if self.max_epochs is not None:
+            argv += ["--max-epochs", str(self.max_epochs)]
+        return argv + self.extra_flags
+
+    def step_data_prep(self) -> dict:
+        """Validate data availability (or synthesize) before training."""
+        import argparse
+
+        from ldm3d_tpu.data import prepare_dataloader
+        from ldm3d_tpu.utils import merge_configs_onto_args
+
+        args = argparse.Namespace()
+        merge_configs_onto_args(args, self.environment_file, self.config_file)
+        if "--synthetic-data" in self.extra_flags:
+            args.synthetic_data = True
+        tl, vl = prepare_dataloader(args, 1, args.autoencoder_train["patch_size"],
+                                    randcrop=True, size_divisible=4)
+        return {"train_samples": len(tl.dataset), "val_samples": len(vl.dataset)}
+
+    def step_train_autoencoder(self) -> dict:
+        from ldm3d_tpu.cli.train_autoencoder import main
+
+        best = main(self._cli_argv())
+        return {"best_val_recon_loss": float(best)}
+
+    def step_train_diffusion(self) -> dict:
+        from ldm3d_tpu.cli.train_diffusion import main
+
+        best = main(self._cli_argv())
+        return {"best_val_diffusion_loss": float(best)}
+
+    def step_evaluate(self, stage2_metrics: dict) -> dict:
+        """Gate on model quality (CI gate parity: perf > threshold,
+        ``mlops-pipeline.yml:212-227``). Score = 1/(1+val_loss) so lower loss
+        -> higher score in [0, 1]."""
+        val = stage2_metrics.get("best_val_diffusion_loss", float("inf"))
+        score = 1.0 / (1.0 + val)
+        return {"score": score, "passed": score > self.eval_threshold}
+
+    def step_register(self, eval_result: dict, metrics: dict) -> Optional[int]:
+        if self.registry is None or not eval_result["passed"]:
+            return None
+        return self.registry.register("ldm3d-tpu", self.model_dir, metrics)
+
+    # -- execution -----------------------------------------------------------
+
+    def run_local(self) -> dict:
+        """Execute the full DAG in-process and return the artifact summary."""
+        t0 = time.time()
+        results: dict[str, Any] = {}
+        results["data_prep"] = self.step_data_prep()
+        log.info("data prep: %s", results["data_prep"])
+        results["autoencoder"] = self.step_train_autoencoder()
+        log.info("stage 1: %s", results["autoencoder"])
+        results["diffusion"] = self.step_train_diffusion()
+        log.info("stage 2: %s", results["diffusion"])
+        results["evaluation"] = self.step_evaluate(results["diffusion"])
+        log.info("evaluation: %s", results["evaluation"])
+        version = self.step_register(results["evaluation"],
+                                     {**results["autoencoder"], **results["diffusion"]})
+        results["registered_version"] = version
+        results["wall_time_s"] = time.time() - t0
+        return results
+
+    def emit_cloud_spec(self, image: str = "ldm3d-tpu:latest",
+                        accelerator: str = "tpu-v5-lite-podslice") -> dict:
+        """Vendor-neutral DAG spec for cloud submission (GKE/Vertex/etc.)."""
+        base = f"-c {self.config_file} -e {self.environment_file}"
+        steps = [
+            {"name": "data-prep", "command": f"python -m ldm3d_tpu.mlops.pipelines.training_pipeline --step data_prep {base}",
+             "accelerator": None},
+            {"name": "train-autoencoder", "command": f"python -m ldm3d_tpu.cli.train_autoencoder {base} --amp",
+             "accelerator": accelerator, "outputs": {"model_dir": self.model_dir}},
+            {"name": "train-diffusion", "command": f"python -m ldm3d_tpu.cli.train_diffusion {base} --amp",
+             "accelerator": accelerator, "depends_on": ["train-autoencoder"],
+             "inputs": {"model_dir": self.model_dir}},
+            {"name": "evaluate-register", "command": f"python -m ldm3d_tpu.mlops.pipelines.training_pipeline --step evaluate {base}",
+             "depends_on": ["train-diffusion"]},
+        ]
+        return {"image": image, "steps": steps}
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(description="run the training pipeline")
+    p.add_argument("-c", "--config-file", required=True)
+    p.add_argument("-e", "--environment-file", required=True)
+    p.add_argument("--model-dir", default="./checkpoints")
+    p.add_argument("--max-epochs", type=int, default=None)
+    p.add_argument("--synthetic-data", action="store_true")
+    p.add_argument("--emit-spec", action="store_true", help="print the cloud DAG spec and exit")
+    args = p.parse_args(argv)
+    logging.basicConfig(level=logging.INFO, force=True)
+
+    extra = ["--synthetic-data"] if args.synthetic_data else []
+    pipe = TrainingPipeline(args.config_file, args.environment_file, args.model_dir,
+                            max_epochs=args.max_epochs, extra_flags=extra)
+    if args.emit_spec:
+        print(json.dumps(pipe.emit_cloud_spec(), indent=2))
+        return
+    results = pipe.run_local()
+    print(json.dumps({k: v for k, v in results.items()}, default=str))
+
+
+if __name__ == "__main__":
+    main()

@@ -78,13 +78,13 @@ class ModelServer:
         rng = jax.random.PRNGKey(0)
 
         ae = define_instance(args, "autoencoder_def")
-        g_vars = ae.init({"params": rng, "sample": rng},
+        g_vars = jax.jit(ae.init)({"params": rng, "sample": rng},
                          jnp.zeros((1, *self.patch_size, args.image_channels)))
         ae_params = CheckpointManager(args.model_dir, StageArtifacts.AUTOENCODER).restore_params(
             "best", g_vars["params"])
         unet = define_instance(args, "diffusion_def")
         latent = [p // ae.downsample_factor for p in self.patch_size]
-        u_vars = unet.init(rng, jnp.zeros((1, *latent, unet.in_channels)), jnp.zeros((1,), jnp.int32))
+        u_vars = jax.jit(unet.init)(rng, jnp.zeros((1, *latent, unet.in_channels)), jnp.zeros((1,), jnp.int32))
         u_ckpt = CheckpointManager(args.model_dir, StageArtifacts.DIFFUSION)
         u_params = u_ckpt.restore_params("best", u_vars["params"])
         scale_factor = float(u_ckpt.load_meta("best").get("scale_factor", 1.0))

@@ -1,0 +1,102 @@
+"""MLOps tests: tracking/registry, drift detection, deployment rendering."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ldm3d_tpu.mlops.deployment import ModelDeployment
+from ldm3d_tpu.mlops.monitoring import DriftDetector, ModelMonitoring
+from ldm3d_tpu.mlops.tracking import ExperimentTracker, ModelRegistry, log_training_run
+
+
+def test_tracker_local_fallback(tmp_path):
+    tracker = ExperimentTracker("exp", tracking_root=str(tmp_path))
+    run_id = tracker.start_run(run_name="r1", tags={"stage": "1"})
+    tracker.log_params({"lr": 1e-4, "patch": [64, 64, 64]})
+    tracker.log_metrics({"recon_loss": 0.5}, step=1)
+    tracker.log_metrics({"recon_loss": 0.4}, step=2)
+    tracker.end_run()
+    run_dir = tmp_path / "exp" / run_id
+    assert json.loads((run_dir / "meta.json").read_text())["status"] == "FINISHED"
+    lines = (run_dir / "metrics.jsonl").read_text().strip().splitlines()
+    assert len(lines) == 2
+    assert json.loads(lines[1])["recon_loss"] == 0.4
+
+
+def test_registry_promote_and_get(tmp_path):
+    reg = ModelRegistry(str(tmp_path))
+    v1 = reg.register("ldm", str(tmp_path), {"loss": 0.5})
+    v2 = reg.register("ldm", str(tmp_path), {"loss": 0.4})
+    assert (v1, v2) == (1, 2)
+    reg.promote("ldm", 2, "Production")
+    prod = reg.get("ldm", "Production")
+    assert prod["version"] == 2
+    assert reg.get("ldm", "Staging") is None
+    with pytest.raises(KeyError):
+        reg.promote("ldm", 99, "Staging")
+    with pytest.raises(ValueError):
+        reg.promote("ldm", 1, "NotAStage")
+
+
+def test_log_training_run(tmp_path):
+    tracker = ExperimentTracker("exp", tracking_root=str(tmp_path))
+    run_id = log_training_run(tracker, {"lr": 1}, {"val": 0.1})
+    assert (tmp_path / "exp" / run_id / "params.json").exists()
+
+
+def test_drift_detector_detects_shift():
+    rng = np.random.default_rng(0)
+    ref = rng.normal(0, 1, 5000)
+    same = rng.normal(0, 1, 5000)
+    shifted = rng.normal(1.5, 1, 5000)
+    d = DriftDetector()
+    r_same = d.check_feature("x", ref, same)
+    r_shift = d.check_feature("x", ref, shifted)
+    assert not r_same["ks_drift"]
+    assert r_same["psi_severity"] == "none"
+    assert r_shift["ks_drift"]
+    assert r_shift["psi_severity"] == "severe"
+
+
+def test_monitoring_reports_and_alerts(tmp_path):
+    alerts = []
+    mon = ModelMonitoring(report_dir=str(tmp_path), alert_fn=lambda k, p: alerts.append(k))
+    rng = np.random.default_rng(1)
+    drift = mon.check_data_drift({"f": rng.normal(0, 1, 1000)}, {"f": rng.normal(3, 1, 1000)})
+    assert drift["drift_detected"]
+    perf = mon.check_performance({"latency_ms": 20000, "error_rate": 0.01})
+    assert not perf["healthy"]
+    assert "data_drift" in alerts and "performance" in alerts
+    path = mon.generate_report(drift, perf)
+    assert os.path.exists(path)
+    ok = mon.check_performance({"latency_ms": 100, "error_rate": 0.0})
+    assert ok["healthy"]
+
+
+def test_deployment_render(tmp_path):
+    reg = ModelRegistry(str(tmp_path / "reg"))
+    reg.register("ldm3d", str(tmp_path / "ckpt"), {"loss": 0.2})
+    reg.promote("ldm3d", 1, "Production")
+    dep = ModelDeployment(registry=reg, out_dir=str(tmp_path / "out"))
+    result = dep.deploy("ldm3d", image="ldm3d-tpu:v1", apply=False)
+    assert result["version"] == 1 and not result["applied"]
+    import yaml
+
+    manifest = yaml.safe_load(open(result["manifests"][0]))
+    assert manifest["kind"] == "Deployment"
+    container = manifest["spec"]["template"]["spec"]["containers"][0]
+    assert container["image"] == "ldm3d-tpu:v1"
+    assert container["resources"]["limits"]["google.com/tpu"] == "1"
+    assert any(e["name"] == "MODEL_DIR" for e in container["env"])
+
+
+def test_pipeline_spec_emission(tmp_path):
+    from ldm3d_tpu.mlops.pipelines import TrainingPipeline
+
+    pipe = TrainingPipeline("cfg.json", "env.json", str(tmp_path))
+    spec = pipe.emit_cloud_spec(image="img:1")
+    names = [s["name"] for s in spec["steps"]]
+    assert names == ["data-prep", "train-autoencoder", "train-diffusion", "evaluate-register"]
+    assert spec["steps"][2]["depends_on"] == ["train-autoencoder"]

@@ -1,0 +1,99 @@
+"""Convert pretrained torch LPIPS-SqueezeNet weights to the Flax LPIPS module.
+
+The reference's perceptual loss uses torchvision SqueezeNet features + the
+LPIPS "lin" layers (``monai.losses.PerceptualLoss(network_type="squeeze")``).
+This environment has no network egress, so pretrained weights can't be
+downloaded here; when a weights file IS available (torchvision
+``squeezenet1_1`` state_dict + lpips ``squeeze.pth``), this tool maps them
+onto :class:`ldm3d_tpu.nn.lpips.LPIPS` and writes a msgpack the trainers load
+via the ``lpips_weights`` environment key.
+
+Usage:
+  python tools/convert_lpips.py --squeezenet squeezenet1_1.pth \
+      --lpips-lin squeeze.pth --out lpips_squeeze.msgpack
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+# torchvision squeezenet1_1 feature indices -> our module names
+_FIRE_MAP = {
+    3: "fire2", 4: "fire3",
+    6: "fire4", 7: "fire5",
+    9: "fire6", 10: "fire7", 11: "fire8", 12: "fire9",
+}
+
+
+def _conv_to_flax(w, b):
+    """torch conv weight (O, I, H, W) -> flax (H, W, I, O)."""
+    import numpy as np
+
+    return {"kernel": np.transpose(np.asarray(w), (2, 3, 1, 0)),
+            "bias": np.asarray(b)}
+
+
+def convert(squeezenet_path: str, lpips_lin_path: str | None, out_path: str) -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+    from flax import serialization
+
+    from ldm3d_tpu.nn.lpips import LPIPS
+
+    sd = torch.load(squeezenet_path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+
+    params: dict = {"squeeze": {}}
+    sq = params["squeeze"]
+    sq["conv1"] = _conv_to_flax(sd["features.0.weight"], sd["features.0.bias"])
+    for idx, name in _FIRE_MAP.items():
+        base = f"features.{idx}"
+        sq[name] = {
+            "squeeze": _conv_to_flax(sd[f"{base}.squeeze.weight"], sd[f"{base}.squeeze.bias"]),
+            "expand1": _conv_to_flax(sd[f"{base}.expand1x1.weight"], sd[f"{base}.expand1x1.bias"]),
+            "expand3": _conv_to_flax(sd[f"{base}.expand3x3.weight"], sd[f"{base}.expand3x3.bias"]),
+        }
+
+    if lpips_lin_path:
+        lin_sd = torch.load(lpips_lin_path, map_location="cpu", weights_only=True)
+        for i in range(7):
+            # lpips lins are 1x1 convs with shape (1, C, 1, 1)
+            w = np.asarray(lin_sd[f"lin{i}.model.1.weight"]).reshape(-1)
+            params[f"lin_{i}"] = w
+    else:
+        # fall back to uniform lin weights (still a valid perceptual metric)
+        lpips = LPIPS()
+        probe = jnp.zeros((1, 64, 64, 1))
+        init = lpips.init(jax.random.PRNGKey(17), probe, probe)["params"]
+        for i in range(7):
+            params[f"lin_{i}"] = np.asarray(init[f"lin_{i}"])
+
+    # validate structure against a fresh init, then serialize
+    lpips = LPIPS()
+    probe = jnp.zeros((1, 64, 64, 1))
+    variables = lpips.init(jax.random.PRNGKey(17), probe, probe)
+    converted = {"params": params}
+    flat_ref = jax.tree_util.tree_structure(variables)
+    flat_new = jax.tree_util.tree_structure(converted)
+    if flat_ref != flat_new:
+        raise SystemExit(f"structure mismatch:\nexpected {flat_ref}\ngot {flat_new}")
+    with open(out_path, "wb") as f:
+        f.write(serialization.to_bytes(converted))
+    print(f"wrote {out_path}")
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--squeezenet", required=True, help="torchvision squeezenet1_1 state_dict .pth")
+    p.add_argument("--lpips-lin", default=None, help="lpips squeeze.pth lin weights (optional)")
+    p.add_argument("--out", default="lpips_squeeze.msgpack")
+    args = p.parse_args()
+    convert(args.squeezenet, args.lpips_lin, args.out)
+
+
+if __name__ == "__main__":
+    main()
