@@ -29,7 +29,13 @@ from ldm3d_tpu.data.transforms import (
 __all__ = ["NPZPairDataset", "build_file_lists"]
 
 
-def _load_pair(path: str) -> tuple[np.ndarray, np.ndarray]:
+def _load_pair(path: str, use_native: bool = True) -> tuple[np.ndarray, np.ndarray]:
+    if use_native:
+        from ldm3d_tpu.data import native_loader
+
+        pair = native_loader.load_pair(path)
+        if pair is not None:
+            return pair
     with np.load(path) as data:
         if "arr0" in data:
             key = "arr0"
@@ -95,11 +101,13 @@ class NPZPairDataset:
         randcrop: bool = False,
         scale_on_host: bool = True,
         seed: int = 0,
+        use_native: bool = True,
     ):
         self.files = list(files)
         self.patch_size = list(patch_size) if patch_size is not None else None
         self.randcrop = randcrop
         self.scale_on_host = scale_on_host
+        self.use_native = use_native
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
@@ -109,7 +117,7 @@ class NPZPairDataset:
         self._rng = np.random.default_rng(seed)
 
     def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
-        low, high = _load_pair(self.files[idx])
+        low, high = _load_pair(self.files[idx], use_native=self.use_native)
         low = low[..., None]  # channels-last
         high = high[..., None]
         if self.patch_size is not None:
