@@ -20,11 +20,24 @@ identical hardware and identical model weights.
 from __future__ import annotations
 
 import json
+import sys
 import time
+
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Persistent compilation cache: the flagship programs (DDIM scan, UNet step,
+# decode) compile once per machine; subsequent bench runs start in seconds.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _progress(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
 BATCH = 1
@@ -79,7 +92,9 @@ def main():
         return inferer.sample(unet_apply, decode, ddim, noise, rng, condition=condition)
 
     # --- headline: single-program DDIM-50 + decode ---------------------------
+    _progress("compiling DDIM-50 scan + decode ...")
     out = jax.block_until_ready(sample_ddim(noise, rng))  # compile
+    _progress("DDIM compile done")
     assert bool(jnp.isfinite(out.astype(jnp.float32)).all()), "non-finite sample"
     times = []
     for i in range(3):
@@ -88,6 +103,7 @@ def main():
         times.append(time.perf_counter() - t0)
     ddim_time = float(np.median(times))
     vols_per_sec = BATCH / ddim_time
+    _progress(f"ddim50 {ddim_time:.2f}s/volume; timing per-step + decode ...")
 
     # --- per-step denoise + decode timings ----------------------------------
     step_in = jnp.concatenate([noise, condition], axis=-1)
@@ -107,6 +123,7 @@ def main():
     decode_ms = (time.perf_counter() - t0) / 5 * 1000
 
     # --- baseline proxy: reference-style Python-stepped DDPM-1000 ------------
+    _progress(f"denoise {denoise_ms:.1f}ms decode {decode_ms:.1f}ms; measuring eager baseline ...")
     ddpm = DDPMScheduler.create(num_train_timesteps=DDPM_STEPS)
     step_jit = jax.jit(lambda pred, t, x, r: ddpm.step(pred, t, x, r))
     x = noise

@@ -41,14 +41,16 @@ class Encoder3D(nn.Module):
     norm_eps: float = 1e-6
     with_nonlocal_attn: bool = False
     dtype: Dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        ResBlock = nn.remat(ResBlock3D) if self.remat else ResBlock3D
         h = _conv3(self.channels[0], self.dtype, name="conv_in")(x)
         num_levels = len(self.channels)
         for level in range(num_levels):
             for block in range(self.num_res_blocks[level]):
-                h = ResBlock3D(
+                h = ResBlock(
                     self.channels[level], self.num_groups, self.norm_eps, self.dtype,
                     name=f"down_{level}_res_{block}",
                 )(h)
@@ -78,9 +80,11 @@ class Decoder3D(nn.Module):
     norm_eps: float = 1e-6
     with_nonlocal_attn: bool = False
     dtype: Dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, z: jax.Array) -> jax.Array:
+        ResBlock = nn.remat(ResBlock3D) if self.remat else ResBlock3D
         rev_channels = list(reversed(self.channels))
         rev_blocks = list(reversed(self.num_res_blocks))
         rev_attn = list(reversed(self.attention_levels))
@@ -93,7 +97,7 @@ class Decoder3D(nn.Module):
         num_levels = len(rev_channels)
         for level in range(num_levels):
             for block in range(rev_blocks[level]):
-                h = ResBlock3D(
+                h = ResBlock(
                     rev_channels[level], self.num_groups, self.norm_eps, self.dtype,
                     name=f"up_{level}_res_{block}",
                 )(h)
@@ -124,6 +128,7 @@ class AutoencoderKL(nn.Module):
     with_encoder_nonlocal_attn: bool = False
     with_decoder_nonlocal_attn: bool = False
     dtype: Dtype = jnp.float32
+    remat: bool = False  # rematerialize ResBlocks (gradient checkpointing)
 
     @classmethod
     def from_config(cls, **kw) -> "AutoencoderKL":
@@ -151,6 +156,7 @@ class AutoencoderKL(nn.Module):
             with_encoder_nonlocal_attn=kw.pop("with_encoder_nonlocal_attn", False),
             with_decoder_nonlocal_attn=kw.pop("with_decoder_nonlocal_attn", False),
             dtype=dtype,
+            remat=kw.pop("remat", False),
         )
         return cls(**known)
 
@@ -168,6 +174,7 @@ class AutoencoderKL(nn.Module):
             norm_eps=self.norm_eps,
             with_nonlocal_attn=self.with_encoder_nonlocal_attn,
             dtype=self.dtype,
+            remat=self.remat,
         )
         self.decoder = Decoder3D(
             channels=self.channels,
@@ -178,6 +185,7 @@ class AutoencoderKL(nn.Module):
             norm_eps=self.norm_eps,
             with_nonlocal_attn=self.with_decoder_nonlocal_attn,
             dtype=self.dtype,
+            remat=self.remat,
         )
         self.quant_conv_mu = _conv3(self.latent_channels, self.dtype, kernel=1)
         self.quant_conv_log_sigma = _conv3(self.latent_channels, self.dtype, kernel=1)

@@ -45,6 +45,7 @@ class DiffusionUNet3D(nn.Module):
     norm_num_groups: int = 32
     norm_eps: float = 1e-6
     dtype: Dtype = jnp.float32
+    remat: bool = False  # rematerialize ResBlocks (gradient checkpointing)
 
     @classmethod
     def from_config(cls, **kw) -> "DiffusionUNet3D":
@@ -73,6 +74,7 @@ class DiffusionUNet3D(nn.Module):
             norm_num_groups=kw.pop("norm_num_groups", 32),
             norm_eps=kw.pop("norm_eps", 1e-6),
             dtype=dtype,
+            remat=kw.pop("remat", False),
         )
 
     @property
@@ -88,6 +90,9 @@ class DiffusionUNet3D(nn.Module):
           timesteps: ``(B,)`` integer timesteps.
         """
         num_levels = len(self.channels)
+        # remat trades recompute for activation memory — the TPU equivalent of
+        # the reference's gradient checkpointing (train_autoencoder.py:161-164)
+        ResBlock = nn.remat(TimeResBlock3D) if self.remat else TimeResBlock3D
         temb = TimestepEmbedding(self.channels[0], 4 * self.channels[0], dtype=self.dtype, name="time_embed")(timesteps)
 
         h = _conv3(self.channels[0], self.dtype, name="conv_in")(x)
@@ -96,7 +101,7 @@ class DiffusionUNet3D(nn.Module):
         # --- down path ---
         for level in range(num_levels):
             for block in range(self.num_res_blocks[level]):
-                h = TimeResBlock3D(
+                h = ResBlock(
                     self.channels[level], self.norm_num_groups, self.norm_eps, self.dtype,
                     name=f"down_{level}_res_{block}",
                 )(h, temb)
@@ -124,7 +129,7 @@ class DiffusionUNet3D(nn.Module):
             for block in range(self.num_res_blocks[level] + 1):
                 skip = skips.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
-                h = TimeResBlock3D(
+                h = ResBlock(
                     self.channels[level], self.norm_num_groups, self.norm_eps, self.dtype,
                     name=f"up_{level}_res_{block}",
                 )(h, temb)

@@ -24,7 +24,7 @@ def normalize_image_to_uint8(image: np.ndarray) -> np.ndarray:
 def visualize_one_slice_in_3d_image(image, axis: int = 2):
     """Return a (1, H, W) float array in [0, 1] for TB, or None on bad input."""
     img = np.asarray(image, dtype=np.float32)
-    if img.ndim != 3:
+    if img.ndim != 3 or axis not in (0, 1, 2):
         return None
     center = img.shape[axis] // 2
     if axis == 0:
