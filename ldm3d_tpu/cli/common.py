@@ -42,7 +42,32 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--max-epochs", type=int, default=None, help="override config max_epochs")
     p.add_argument("--synthetic-data", action="store_true",
                    help="train on generated synthetic pairs when no NPZ dirs are set")
+    p.add_argument("--track", action="store_true",
+                   help="record the run in the experiment tracker (MLflow if installed, local JSON otherwise)")
+    p.add_argument("--experiment", default="ldm3d-tpu", help="experiment name for --track")
     return p
+
+
+def track_run(args, stage: str, final_metrics: dict) -> None:
+    """Log a finished training run when --track is set."""
+    if not getattr(args, "track", False):
+        return
+    from ldm3d_tpu.mlops.tracking import ExperimentTracker, log_training_run
+
+    tracker = ExperimentTracker(args.experiment)
+    config = {
+        "stage": stage,
+        "config_file": args.config_file,
+        "amp": bool(args.amp),
+        "devices": len(jax.devices()),
+    }
+    section = getattr(args, f"{stage}_train", None)
+    if isinstance(section, dict):
+        config.update({f"{stage}_{k}": v for k, v in section.items()})
+    run_id = log_training_run(tracker, config, final_metrics,
+                              checkpoint_dir=getattr(args, "model_dir", None),
+                              run_name=f"{stage}")
+    logging.info("tracked run %s (%s)", run_id, stage)
 
 
 def setup(args) -> tuple:

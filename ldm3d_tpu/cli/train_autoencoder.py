@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ldm3d_tpu.ckpt import CheckpointManager, StageArtifacts
-from ldm3d_tpu.cli.common import build_parser, global_batch_size, model_dtype, setup
+from ldm3d_tpu.cli.common import build_parser, global_batch_size, model_dtype, setup, track_run
 from ldm3d_tpu.configs import define_instance
 from ldm3d_tpu.data import prepare_dataloader
 from ldm3d_tpu.nn import LPIPS, PatchDiscriminator3D
@@ -207,6 +207,7 @@ def main(argv=None):
 
     profiler.stop()
     writer.close()
+    track_run(args, "autoencoder", {"best_val_recon_loss": best_val})
     log.info("training complete; best val %.4f", best_val)
     return best_val
 

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ldm3d_tpu.ckpt import CheckpointManager, StageArtifacts
-from ldm3d_tpu.cli.common import build_parser, global_batch_size, model_dtype, setup
+from ldm3d_tpu.cli.common import build_parser, global_batch_size, model_dtype, setup, track_run
 from ldm3d_tpu.configs import define_instance
 from ldm3d_tpu.data import prepare_dataloader
 from ldm3d_tpu.diffusion import DDPMScheduler, inferer
@@ -203,6 +203,8 @@ def main(argv=None):
                                          visualize_one_slice_in_3d_image(np.asarray(sampled[0, ..., 0], dtype=np.float32), axis), epoch)
 
     writer.close()
+    track_run(args, "diffusion", {"best_val_diffusion_loss": best_val,
+                                  "scale_factor": float(scale_factor)})
     log.info("training complete; best val %.5f", best_val)
     return best_val
 

@@ -104,19 +104,22 @@ class ModelServer:
         self._latent_shape = (*latent, ae.latent_channels)
         cond_ch = unet.in_channels - ae.latent_channels
 
-        def unet_apply(z, t):
-            return unet.apply({"params": u_params}, z, t)
+        # two compiled programs (scan + decode), params as explicit jit args
+        # (closing over weights would inline them as HLO constants)
+        @jax.jit
+        def scan_fn(params, noise, rng_key, condition):
+            def unet_apply(z, t):
+                return unet.apply({"params": params}, z, t)
+            return inferer.sample_latents(unet_apply, scheduler, noise, rng_key,
+                                          condition=condition if conditional else None)
 
-        def decode(z):
-            return ae.apply({"params": ae_params}, z, method="decode_stage_2_outputs")
+        @jax.jit
+        def decode_fn(params, z):
+            return ae.apply({"params": params}, z / jnp.asarray(scale_factor, z.dtype),
+                            method="decode_stage_2_outputs")
 
-        import jax as _jax
-
-        @_jax.jit
         def run(noise, rng_key, condition):
-            cond = condition if conditional else None
-            return inferer.sample(unet_apply, decode, scheduler, noise, rng_key,
-                                  condition=cond, scale_factor=scale_factor)
+            return decode_fn(ae_params, scan_fn(u_params, noise, rng_key, condition))
 
         self._cond_shape = (*latent, cond_ch) if conditional else None
         self._run = run
