@@ -62,8 +62,20 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, kv_len: int, scal
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
-def _flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, block_q: int = 256, block_k: int = 256) -> jax.Array:
+def _pick_block(n: int, preferred: int) -> int:
+    """Largest divisor of ``n`` that is a multiple of 8 and <= preferred."""
+    best = 0
+    for cand in range(8, min(preferred, n) + 1, 8):
+        if n % cand == 0:
+            best = cand
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def _flash_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array,
+    block_q: int, block_k: int, interpret: bool = False,
+) -> jax.Array:
     b, n, h, d = q.shape
     kv_len = k.shape[1]
     scale = 1.0 / math.sqrt(d)
@@ -84,16 +96,27 @@ def _flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, block_q: int = 25
             pl.BlockSpec((1, kv_len, d), lambda g, i: (g, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda g, i: (g, i, 0)),
+        interpret=interpret,
     )(qf, kf, vf)
     return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)
 
 
-def _supports_flash(q: jax.Array, k: jax.Array, block_q: int, block_k: int) -> bool:
-    if jax.default_backend() not in ("tpu",):
-        return False
+def _flash_blocks(q: jax.Array, k: jax.Array, block_q: int, block_k: int) -> tuple[int, int] | None:
+    """Resolve usable block sizes, or None when the kernel doesn't apply.
+
+    head_dim must be a lane-friendly multiple of 64; token counts need a
+    divisor that is a multiple of 8 (volumetric token counts like 12^3=1728
+    or 6^3=216 always have one).
+    """
     n, kv = q.shape[1], k.shape[1]
     d = q.shape[-1]
-    return n % block_q == 0 and kv % block_k == 0 and d % 128 == 0
+    if d % 64 != 0:
+        return None
+    bq = _pick_block(n, block_q)
+    bk = _pick_block(kv, block_k)
+    if bq < 8 or bk < 8:
+        return None
+    return bq, bk
 
 
 def volumetric_attention(
@@ -102,8 +125,9 @@ def volumetric_attention(
     v: jax.Array,
     *,
     use_flash: bool | None = None,
-    block_q: int = 256,
-    block_k: int = 256,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
 ) -> jax.Array:
     """Multi-head attention over volumetric tokens.
 
@@ -111,9 +135,14 @@ def volumetric_attention(
       q, k, v: ``(batch, tokens, heads, head_dim)``.
       use_flash: force the Pallas path (True), the XLA path (False), or
         auto-select by backend/shape (None).
+      interpret: run the Pallas kernel in interpreter mode (CPU tests).
     """
+    blocks = _flash_blocks(q, k, block_q, block_k)
     if use_flash is None:
-        use_flash = _supports_flash(q, k, block_q, block_k)
+        use_flash = blocks is not None and jax.default_backend() == "tpu"
     if use_flash:
-        return _flash_attention(q, k, v, block_q=block_q, block_k=block_k)
+        if blocks is None:
+            raise ValueError(f"flash kernel unsupported for shapes q={q.shape} k={k.shape}")
+        bq, bk = blocks
+        return _flash_attention(q, k, v, block_q=bq, block_k=bk, interpret=interpret)
     return _xla_attention(q, k, v)

@@ -1,0 +1,71 @@
+"""Volumetric attention tests: Pallas flash kernel vs XLA reference path.
+
+The kernel runs in interpreter mode on CPU (numerically identical algorithm);
+TPU execution is exercised by the benchmark/entry paths on real hardware.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ldm3d_tpu.ops.attention import _flash_blocks, _pick_block, volumetric_attention
+
+
+def _qkv(b=2, n=216, h=4, d=64, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    shape = (b, n, h, d)
+    return (jax.random.normal(ks[0], shape), jax.random.normal(ks[1], shape),
+            jax.random.normal(ks[2], shape))
+
+
+def test_flash_matches_xla_fp32():
+    q, k, v = _qkv()
+    ref = volumetric_attention(q, k, v, use_flash=False)
+    out = volumetric_attention(q, k, v, use_flash=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_matches_xla_bf16():
+    q, k, v = [x.astype(jnp.bfloat16) for x in _qkv(seed=1)]
+    ref = volumetric_attention(q, k, v, use_flash=False).astype(jnp.float32)
+    out = volumetric_attention(q, k, v, use_flash=True, interpret=True).astype(jnp.float32)
+    # bf16 IO with fp32 accumulation in both paths
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
+
+
+def test_flash_volumetric_shapes():
+    """The UNet's real token counts: 12^3=1728 (level 1) and 6^3=216 (level 2)."""
+    for n in (1728, 216):
+        q, k, v = _qkv(b=1, n=n, h=8, d=64, seed=2)
+        blocks = _flash_blocks(q, k, 512, 512)
+        assert blocks is not None, f"no blocks for n={n}"
+        out = volumetric_attention(q, k, v, use_flash=True, interpret=True)
+        ref = volumetric_attention(q, k, v, use_flash=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_pick_block():
+    assert _pick_block(1728, 512) == 432
+    assert _pick_block(216, 512) == 216
+    assert _pick_block(13824, 512) == 512
+    assert _pick_block(7, 512) == 0  # no multiple-of-8 divisor
+
+
+def test_unsupported_shapes_fall_back():
+    q, k, v = _qkv(b=1, n=100, h=2, d=48, seed=3)  # d not multiple of 64
+    assert _flash_blocks(q, k, 512, 512) is None
+    out = volumetric_attention(q, k, v)  # auto -> XLA path, no error
+    assert out.shape == q.shape
+    with pytest.raises(ValueError):
+        volumetric_attention(q, k, v, use_flash=True)
+
+
+def test_softmax_stability_large_logits():
+    """Online softmax must survive large-magnitude logits (bf16 training)."""
+    q, k, v = _qkv(b=1, n=64, h=1, d=64, seed=4)
+    q = q * 30.0
+    out = volumetric_attention(q, k, v, use_flash=True, interpret=True)
+    ref = volumetric_attention(q, k, v, use_flash=False)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
