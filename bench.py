@@ -105,16 +105,16 @@ def main():
     # host materialization (np.asarray), which is also the honest e2e cost —
     # a user needs the volume on the host to write NIfTI.
     _progress("compiling decode ...")
-    jax.block_until_ready(decode_jit(ae_params, noise))
+    np.asarray(decode_jit(ae_params, noise))  # warm-up must also materialize
     t0 = time.perf_counter()
     for _ in range(3):
         np.asarray(decode_jit(ae_params, noise))
     decode_ms = (time.perf_counter() - t0) / 3 * 1000
     _progress(f"decode+readback {decode_ms:.1f}ms; compiling DDIM-50 scan ...")
 
-    lat = jax.block_until_ready(scan_ddim(u_params, noise, rng, condition))  # compile
-    _progress("DDIM scan compile done")
+    lat = scan_ddim(u_params, noise, rng, condition)  # compile
     out = np.asarray(decode_jit(ae_params, lat).astype(jnp.float32))
+    _progress("DDIM scan compile done")
     assert np.isfinite(out).all(), "non-finite sample"
     times = []
     for i in range(3):
@@ -138,7 +138,7 @@ def main():
     ts = np.asarray(ddpm.timesteps)[:BASELINE_MEASURE_STEPS]
     # warm-up one python-loop step
     pred = unet_jit(u_params, jnp.concatenate([x, condition], axis=-1), jnp.full((BATCH,), int(ts[0]), jnp.int32))
-    jax.block_until_ready(step_jit(pred, jnp.int32(ts[0]), x, rng))
+    np.asarray(step_jit(pred, jnp.int32(ts[0]), x, rng))  # warm both programs fully
     t0 = time.perf_counter()
     for t in ts:
         model_in = jnp.concatenate([x, condition], axis=-1)
