@@ -45,6 +45,10 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--track", action="store_true",
                    help="record the run in the experiment tracker (MLflow if installed, local JSON otherwise)")
     p.add_argument("--experiment", default="ldm3d-tpu", help="experiment name for --track")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="dev mode: raise at the op producing a NaN (jax_debug_nans)")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="gradient accumulation steps (the reference documents but never implemented this)")
     return p
 
 
@@ -81,6 +85,9 @@ def setup(args) -> tuple:
     )
     # orbax/absl emit INFO per checkpoint shard; keep trainer logs readable
     logging.getLogger("absl").setLevel(logging.WARNING)
+    if getattr(args, "debug_nans", False):
+        jax.config.update("jax_debug_nans", True)
+        logging.info("debug mode: jax_debug_nans enabled")
     merge_configs_onto_args(args, args.environment_file, args.config_file)
     devices = jax.devices()
     n = args.gpus if args.gpus and args.gpus > 0 else len(devices)

@@ -106,8 +106,10 @@ def main(argv=None):
         kl_weight=train_cfg["kl_weight"],
         perceptual_weight=train_cfg.get("perceptual_weight", 0.0),
     )
-    g_state = TrainState.create(ae.apply, g_vars["params"], make_optimizer(schedule, s1cfg.grad_clip))
-    d_state = TrainState.create(disc.apply, d_vars["params"], make_optimizer(schedule, s1cfg.grad_clip))
+    g_state = TrainState.create(ae.apply, g_vars["params"],
+                                make_optimizer(schedule, s1cfg.grad_clip, grad_accum=args.grad_accum))
+    d_state = TrainState.create(disc.apply, d_vars["params"],
+                                make_optimizer(schedule, s1cfg.grad_clip, grad_accum=args.grad_accum))
 
     # checkpoints ------------------------------------------------------------
     g_ckpt = CheckpointManager(args.model_dir, StageArtifacts.AUTOENCODER)

@@ -108,7 +108,8 @@ def main(argv=None):
     val_interval = train_cfg["val_interval"]
     schedule = build_lr_schedule("multistep", train_cfg["lr"], max_epochs, steps_per_epoch)
     s2cfg = Stage2Config(conditional=not args.unconditional)
-    u_state = TrainState.create(unet.apply, u_vars["params"], make_diffusion_optimizer(schedule))
+    u_state = TrainState.create(unet.apply, u_vars["params"],
+                                make_diffusion_optimizer(schedule, grad_accum=args.grad_accum))
 
     u_ckpt = CheckpointManager(args.model_dir, StageArtifacts.DIFFUSION)
     start_epoch = 0

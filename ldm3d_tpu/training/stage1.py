@@ -52,12 +52,21 @@ class Stage1Config:
     clamp_inputs: bool = True
 
 
-def make_optimizer(lr_schedule, grad_clip: float = 0.5, weight_decay: float = 1e-5) -> optax.GradientTransformation:
-    """AdamW with the reference's hyperparameters and clip-then-step order."""
-    return optax.chain(
+def make_optimizer(lr_schedule, grad_clip: float = 0.5, weight_decay: float = 1e-5,
+                   grad_accum: int = 1) -> optax.GradientTransformation:
+    """AdamW with the reference's hyperparameters and clip-then-step order.
+
+    ``grad_accum > 1`` enables true gradient accumulation (optax.MultiSteps) —
+    a capability the reference documents but never implemented
+    (SURVEY.md 2.3: doc/code drift in MULTI_GPU_OPTIMIZATION_SUMMARY.md).
+    """
+    tx = optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.adamw(lr_schedule, b1=0.5, b2=0.9, eps=1e-8, weight_decay=weight_decay),
     )
+    if grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
+    return tx
 
 
 def _recon_fn(name: str) -> Callable:

