@@ -59,4 +59,10 @@ def prepare_dataloader(
                                seed=seed, num_hosts=num_hosts, host_id=host_id)
     val_loader = BatchLoader(val_ds, batch_size, shuffle=False, drop_last=True,
                              pad_partial=True, seed=seed, num_hosts=num_hosts, host_id=host_id)
+    if train_loader.steps_per_epoch() == 0:
+        raise ValueError(
+            f"training set ({len(train_ds)} volumes / {num_hosts} host(s)) is smaller than "
+            f"the global batch size {batch_size}; add data, raise synthetic_num, or lower "
+            f"batch_size / device count (drop_last keeps compiled batch shapes uniform)"
+        )
     return train_loader, val_loader

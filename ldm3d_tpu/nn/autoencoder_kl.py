@@ -12,7 +12,7 @@ Everything is NDHWC / bf16-capable; see :mod:`ldm3d_tpu.nn.blocks`.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -42,32 +42,34 @@ class Encoder3D(nn.Module):
     with_nonlocal_attn: bool = False
     dtype: Dtype = jnp.float32
     remat: bool = False
+    spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        sp = self.spatial_axis
         ResBlock = nn.remat(ResBlock3D) if self.remat else ResBlock3D
-        h = _conv3(self.channels[0], self.dtype, name="conv_in")(x)
+        h = _conv3(self.channels[0], self.dtype, name="conv_in", spatial_axis=sp)(x)
         num_levels = len(self.channels)
         for level in range(num_levels):
             for block in range(self.num_res_blocks[level]):
                 h = ResBlock(
-                    self.channels[level], self.num_groups, self.norm_eps, self.dtype,
+                    self.channels[level], self.num_groups, self.norm_eps, self.dtype, sp,
                     name=f"down_{level}_res_{block}",
                 )(h)
                 if self.attention_levels[level]:
                     h = AttentionBlock3D(
                         num_groups=self.num_groups, norm_eps=self.norm_eps, dtype=self.dtype,
-                        name=f"down_{level}_attn_{block}",
+                        spatial_axis=sp, name=f"down_{level}_attn_{block}",
                     )(h)
             if level < num_levels - 1:
-                h = Downsample3D(self.channels[level], self.dtype, name=f"down_{level}_downsample")(h)
+                h = Downsample3D(self.channels[level], self.dtype, sp, name=f"down_{level}_downsample")(h)
         if self.with_nonlocal_attn:
-            h = ResBlock3D(self.channels[-1], self.num_groups, self.norm_eps, self.dtype, name="mid_res_1")(h)
-            h = AttentionBlock3D(num_groups=self.num_groups, norm_eps=self.norm_eps, dtype=self.dtype, name="mid_attn")(h)
-            h = ResBlock3D(self.channels[-1], self.num_groups, self.norm_eps, self.dtype, name="mid_res_2")(h)
-        h = GroupNorm32(self.num_groups, self.norm_eps, name="norm_out")(h)
+            h = ResBlock3D(self.channels[-1], self.num_groups, self.norm_eps, self.dtype, sp, name="mid_res_1")(h)
+            h = AttentionBlock3D(num_groups=self.num_groups, norm_eps=self.norm_eps, dtype=self.dtype, spatial_axis=sp, name="mid_attn")(h)
+            h = ResBlock3D(self.channels[-1], self.num_groups, self.norm_eps, self.dtype, sp, name="mid_res_2")(h)
+        h = GroupNorm32(self.num_groups, self.norm_eps, spatial_axis=sp, name="norm_out")(h)
         h = nn.silu(h)
-        h = _conv3(self.latent_channels, self.dtype, name="conv_out")(h)
+        h = _conv3(self.latent_channels, self.dtype, name="conv_out", spatial_axis=sp)(h)
         return h
 
 
@@ -81,36 +83,38 @@ class Decoder3D(nn.Module):
     with_nonlocal_attn: bool = False
     dtype: Dtype = jnp.float32
     remat: bool = False
+    spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, z: jax.Array) -> jax.Array:
+        sp = self.spatial_axis
         ResBlock = nn.remat(ResBlock3D) if self.remat else ResBlock3D
         rev_channels = list(reversed(self.channels))
         rev_blocks = list(reversed(self.num_res_blocks))
         rev_attn = list(reversed(self.attention_levels))
 
-        h = _conv3(rev_channels[0], self.dtype, name="conv_in")(z)
+        h = _conv3(rev_channels[0], self.dtype, name="conv_in", spatial_axis=sp)(z)
         if self.with_nonlocal_attn:
-            h = ResBlock3D(rev_channels[0], self.num_groups, self.norm_eps, self.dtype, name="mid_res_1")(h)
-            h = AttentionBlock3D(num_groups=self.num_groups, norm_eps=self.norm_eps, dtype=self.dtype, name="mid_attn")(h)
-            h = ResBlock3D(rev_channels[0], self.num_groups, self.norm_eps, self.dtype, name="mid_res_2")(h)
+            h = ResBlock3D(rev_channels[0], self.num_groups, self.norm_eps, self.dtype, sp, name="mid_res_1")(h)
+            h = AttentionBlock3D(num_groups=self.num_groups, norm_eps=self.norm_eps, dtype=self.dtype, spatial_axis=sp, name="mid_attn")(h)
+            h = ResBlock3D(rev_channels[0], self.num_groups, self.norm_eps, self.dtype, sp, name="mid_res_2")(h)
         num_levels = len(rev_channels)
         for level in range(num_levels):
             for block in range(rev_blocks[level]):
                 h = ResBlock(
-                    rev_channels[level], self.num_groups, self.norm_eps, self.dtype,
+                    rev_channels[level], self.num_groups, self.norm_eps, self.dtype, sp,
                     name=f"up_{level}_res_{block}",
                 )(h)
                 if rev_attn[level]:
                     h = AttentionBlock3D(
                         num_groups=self.num_groups, norm_eps=self.norm_eps, dtype=self.dtype,
-                        name=f"up_{level}_attn_{block}",
+                        spatial_axis=sp, name=f"up_{level}_attn_{block}",
                     )(h)
             if level < num_levels - 1:
-                h = Upsample3D(rev_channels[level], self.dtype, name=f"up_{level}_upsample")(h)
-        h = GroupNorm32(self.num_groups, self.norm_eps, name="norm_out")(h)
+                h = Upsample3D(rev_channels[level], self.dtype, sp, name=f"up_{level}_upsample")(h)
+        h = GroupNorm32(self.num_groups, self.norm_eps, spatial_axis=sp, name="norm_out")(h)
         h = nn.silu(h)
-        h = _conv3(self.out_channels, self.dtype, name="conv_out")(h)
+        h = _conv3(self.out_channels, self.dtype, name="conv_out", spatial_axis=sp)(h)
         return h
 
 
@@ -129,6 +133,7 @@ class AutoencoderKL(nn.Module):
     with_decoder_nonlocal_attn: bool = False
     dtype: Dtype = jnp.float32
     remat: bool = False  # rematerialize ResBlocks (gradient checkpointing)
+    spatial_axis: Optional[str] = None  # depth-shard activations over this mesh axis
 
     @classmethod
     def from_config(cls, **kw) -> "AutoencoderKL":
@@ -157,6 +162,7 @@ class AutoencoderKL(nn.Module):
             with_decoder_nonlocal_attn=kw.pop("with_decoder_nonlocal_attn", False),
             dtype=dtype,
             remat=kw.pop("remat", False),
+            spatial_axis=kw.pop("spatial_axis", None),
         )
         return cls(**known)
 
@@ -175,6 +181,7 @@ class AutoencoderKL(nn.Module):
             with_nonlocal_attn=self.with_encoder_nonlocal_attn,
             dtype=self.dtype,
             remat=self.remat,
+            spatial_axis=self.spatial_axis,
         )
         self.decoder = Decoder3D(
             channels=self.channels,
@@ -186,6 +193,7 @@ class AutoencoderKL(nn.Module):
             with_nonlocal_attn=self.with_decoder_nonlocal_attn,
             dtype=self.dtype,
             remat=self.remat,
+            spatial_axis=self.spatial_axis,
         )
         self.quant_conv_mu = _conv3(self.latent_channels, self.dtype, kernel=1)
         self.quant_conv_log_sigma = _conv3(self.latent_channels, self.dtype, kernel=1)

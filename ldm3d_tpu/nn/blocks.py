@@ -7,6 +7,13 @@ TPU-first conventions used throughout the model zoo:
     what lets us drop the reference's NaN-guard machinery
     (reference ``3d_ldm/train_autoencoder.py:353-437`` and NaN_FIX_GUIDE.md).
 
+Every block takes an optional ``spatial_axis``: when set (a mesh axis name,
+used under ``shard_map``), activations are depth-sharded across that axis and
+the block stays mathematically exact — convolutions exchange halos
+(:func:`ldm3d_tpu.parallel.spatial.halo_exchange`), GroupNorm psums its
+moments, attention all-gathers keys/values. This is the volumetric analog of
+sequence parallelism; the reference has none (SURVEY.md section 5.7).
+
 Capability parity targets: MONAI's ResBlock / AttentionBlock / Upsample /
 Downsample as used by ``monai.networks.nets.AutoencoderKL`` and
 ``DiffusionModelUNet`` (reference config ``config_train_32g.json:7-49``).
@@ -14,17 +21,19 @@ Downsample as used by ``monai.networks.nets.AutoencoderKL`` and
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from ldm3d_tpu.ops.attention import volumetric_attention
+from ldm3d_tpu.parallel.spatial import halo_exchange
 
 Dtype = Any
 
 __all__ = [
+    "Conv3D",
     "GroupNorm32",
     "ResBlock3D",
     "TimeResBlock3D",
@@ -35,32 +44,116 @@ __all__ = [
     "TimestepEmbedding",
 ]
 
+_CONV_DN = jax.lax.conv_dimension_numbers((1, 1, 1, 1, 1), (1, 1, 1, 1, 1), ("NDHWC", "DHWIO", "NDHWC"))
 
-class GroupNorm32(nn.Module):
-    """GroupNorm that normalizes in fp32 regardless of compute dtype."""
 
-    num_groups: int = 32
-    epsilon: float = 1e-6
+class Conv3D(nn.Module):
+    """3D convolution (NDHWC, fp32 params, compute in ``dtype``).
+
+    Param tree matches ``flax.linen.Conv`` (``kernel``/``bias``) so sharded
+    and unsharded instances of a model are checkpoint-compatible. ``padding``
+    is the *global* semantic padding; with ``spatial_axis`` set, the depth
+    padding is realized by a neighbor halo exchange (boundary shards receive
+    the zero pad) and the conv runs depth-VALID on the widened slab.
+    """
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    padding: str = "same"  # "same" | "valid" | "down" ((0,1) per dim, stride-2)
+    zero_init: bool = False
     dtype: Dtype = jnp.float32
+    spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        orig_dtype = x.dtype
-        x = x.astype(jnp.float32)
-        x = nn.GroupNorm(num_groups=self.num_groups, epsilon=self.epsilon, dtype=jnp.float32, param_dtype=jnp.float32)(x)
-        return x.astype(orig_dtype)
+        k = self.kernel
+        if self.padding == "same":
+            pad = ((k - 1) // 2, k // 2)
+        elif self.padding == "down":
+            pad = (0, 1)
+        else:
+            pad = (0, 0)
+        kernel = self.param(
+            "kernel",
+            nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal(),
+            (k, k, k, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
+        depth_pad = pad
+        if self.spatial_axis is not None and (pad[0] or pad[1]):
+            x = halo_exchange(x, self.spatial_axis, lo=pad[0], hi=pad[1], axis=1)
+            depth_pad = (0, 0)
+        out = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(self.stride,) * 3,
+            padding=(depth_pad, pad, pad),
+            dimension_numbers=_CONV_DN,
+        )
+        return out + bias.astype(self.dtype)
 
 
-def _conv3(features: int, dtype: Dtype, name: str | None = None, kernel: int = 3, zero_init: bool = False) -> nn.Conv:
-    return nn.Conv(
+def _conv3(
+    features: int,
+    dtype: Dtype,
+    name: str | None = None,
+    kernel: int = 3,
+    zero_init: bool = False,
+    spatial_axis: Optional[str] = None,
+) -> Conv3D:
+    return Conv3D(
         features=features,
-        kernel_size=(kernel, kernel, kernel),
-        padding="SAME" if kernel > 1 else "VALID",
+        kernel=kernel,
+        padding="same" if kernel > 1 else "valid",
+        zero_init=zero_init,
         dtype=dtype,
-        param_dtype=jnp.float32,
-        kernel_init=nn.initializers.zeros if zero_init else nn.initializers.lecun_normal(),
+        spatial_axis=spatial_axis,
         name=name,
     )
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm with fp32 statistics regardless of compute dtype.
+
+    With ``spatial_axis`` set the moments are psum-reduced across depth
+    shards, replacing the reference's SyncBatchNorm concern (GroupNorm there
+    never needed cross-device sync because activations were never sharded;
+    here they are, so the sync is one small fp32 psum per norm).
+    """
+
+    num_groups: int = 32
+    epsilon: float = 1e-6
+    dtype: Dtype = jnp.float32  # kept for call-site compat; stats are fp32
+    spatial_axis: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        g = self.num_groups
+        if c % g:
+            raise ValueError(f"channels {c} not divisible by {g} groups")
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        orig_dtype = x.dtype
+        b = x.shape[0]
+        xg = x.astype(jnp.float32).reshape(b, -1, g, c // g)
+        s1 = jnp.sum(xg, axis=(1, 3))
+        s2 = jnp.sum(xg * xg, axis=(1, 3))
+        count = jnp.float32(xg.shape[1] * xg.shape[3])
+        if self.spatial_axis is not None:
+            s1 = jax.lax.psum(s1, self.spatial_axis)
+            s2 = jax.lax.psum(s2, self.spatial_axis)
+            count = count * jax.lax.axis_size(self.spatial_axis)
+        mean = s1 / count
+        var = jnp.maximum(s2 / count - mean * mean, 0.0)
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        y = (xg - mean[:, None, :, None]) * inv[:, None, :, None]
+        y = y.reshape(b, -1, c) * scale + bias
+        return y.reshape(x.shape).astype(orig_dtype)
 
 
 class ResBlock3D(nn.Module):
@@ -70,17 +163,19 @@ class ResBlock3D(nn.Module):
     num_groups: int = 32
     norm_eps: float = 1e-6
     dtype: Dtype = jnp.float32
+    spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        h = GroupNorm32(self.num_groups, self.norm_eps, name="norm1")(x)
+        sp = self.spatial_axis
+        h = GroupNorm32(self.num_groups, self.norm_eps, spatial_axis=sp, name="norm1")(x)
         h = nn.silu(h)
-        h = _conv3(self.out_channels, self.dtype, name="conv1")(h)
-        h = GroupNorm32(self.num_groups, self.norm_eps, name="norm2")(h)
+        h = _conv3(self.out_channels, self.dtype, name="conv1", spatial_axis=sp)(h)
+        h = GroupNorm32(self.num_groups, self.norm_eps, spatial_axis=sp, name="norm2")(h)
         h = nn.silu(h)
-        h = _conv3(self.out_channels, self.dtype, name="conv2")(h)
+        h = _conv3(self.out_channels, self.dtype, name="conv2", spatial_axis=sp)(h)
         if x.shape[-1] != self.out_channels:
-            x = _conv3(self.out_channels, self.dtype, name="shortcut", kernel=1)(x)
+            x = _conv3(self.out_channels, self.dtype, name="shortcut", kernel=1, spatial_axis=sp)(x)
         return x + h
 
 
@@ -91,20 +186,22 @@ class TimeResBlock3D(nn.Module):
     num_groups: int = 32
     norm_eps: float = 1e-6
     dtype: Dtype = jnp.float32
+    spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, temb: jax.Array) -> jax.Array:
-        h = GroupNorm32(self.num_groups, self.norm_eps, name="norm1")(x)
+        sp = self.spatial_axis
+        h = GroupNorm32(self.num_groups, self.norm_eps, spatial_axis=sp, name="norm1")(x)
         h = nn.silu(h)
-        h = _conv3(self.out_channels, self.dtype, name="conv1")(h)
+        h = _conv3(self.out_channels, self.dtype, name="conv1", spatial_axis=sp)(h)
         t = nn.silu(temb)
         t = nn.Dense(self.out_channels, dtype=self.dtype, param_dtype=jnp.float32, name="time_proj")(t)
         h = h + t[:, None, None, None, :]
-        h = GroupNorm32(self.num_groups, self.norm_eps, name="norm2")(h)
+        h = GroupNorm32(self.num_groups, self.norm_eps, spatial_axis=sp, name="norm2")(h)
         h = nn.silu(h)
-        h = _conv3(self.out_channels, self.dtype, name="conv2")(h)
+        h = _conv3(self.out_channels, self.dtype, name="conv2", spatial_axis=sp)(h)
         if x.shape[-1] != self.out_channels:
-            x = _conv3(self.out_channels, self.dtype, name="shortcut", kernel=1)(x)
+            x = _conv3(self.out_channels, self.dtype, name="shortcut", kernel=1, spatial_axis=sp)(x)
         return x + h
 
 
@@ -114,6 +211,8 @@ class AttentionBlock3D(nn.Module):
     Mirrors the capability of MONAI's AttentionBlock (used at
     ``attention_levels`` of both networks); the matmuls run through
     :func:`ldm3d_tpu.ops.volumetric_attention` (Pallas flash kernel on TPU).
+    Depth-sharded: queries stay local, keys/values are all-gathered (exact —
+    attention is permutation-invariant over the kv axis).
     """
 
     num_head_channels: int = 0  # 0 => single head over all channels
@@ -121,6 +220,7 @@ class AttentionBlock3D(nn.Module):
     norm_eps: float = 1e-6
     dtype: Dtype = jnp.float32
     use_flash: Optional[bool] = None
+    spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -129,13 +229,16 @@ class AttentionBlock3D(nn.Module):
         head_dim = c // heads
 
         residual = x
-        y = GroupNorm32(self.num_groups, self.norm_eps, name="norm")(x)
+        y = GroupNorm32(self.num_groups, self.norm_eps, spatial_axis=self.spatial_axis, name="norm")(x)
         y = y.reshape(b, d * h * w, c)
         qkv = nn.Dense(3 * c, dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(y)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(b, -1, heads, head_dim)
         k = k.reshape(b, -1, heads, head_dim)
         v = v.reshape(b, -1, heads, head_dim)
+        if self.spatial_axis is not None:
+            k = jax.lax.all_gather(k, self.spatial_axis, axis=1, tiled=True)
+            v = jax.lax.all_gather(v, self.spatial_axis, axis=1, tiled=True)
         attn = volumetric_attention(q, k, v, use_flash=self.use_flash)
         attn = attn.reshape(b, d * h * w, c)
         out = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32, name="proj")(attn)
@@ -144,35 +247,37 @@ class AttentionBlock3D(nn.Module):
 
 class Downsample3D(nn.Module):
     """Stride-2 conv; pads (0, 1) per spatial dim like the reference stack so
-    output size is exactly floor(n/2) for any parity."""
+    output size is exactly floor(n/2) for any parity. Depth-sharded shards
+    need even local depth (see ``parallel.spatial.validate_spatial_divisibility``)."""
 
     out_channels: int
     dtype: Dtype = jnp.float32
+    spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        return nn.Conv(
+        return Conv3D(
             self.out_channels,
-            kernel_size=(3, 3, 3),
-            strides=(2, 2, 2),
-            padding=((0, 1), (0, 1), (0, 1)),
+            kernel=3,
+            stride=2,
+            padding="down",
             dtype=self.dtype,
-            param_dtype=jnp.float32,
+            spatial_axis=self.spatial_axis,
             name="conv",
         )(x)
 
 
 class Upsample3D(nn.Module):
-    """Nearest-neighbor x2 then conv3."""
+    """Nearest-neighbor x2 then conv3 (x2 repeat is shard-local)."""
 
     out_channels: int
     dtype: Dtype = jnp.float32
+    spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        b, d, h, w, c = x.shape
         x = jnp.repeat(jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2), 2, axis=3)
-        return _conv3(self.out_channels, self.dtype, name="conv")(x)
+        return _conv3(self.out_channels, self.dtype, name="conv", spatial_axis=self.spatial_axis)(x)
 
 
 def sinusoidal_time_embedding(timesteps: jax.Array, dim: int, max_period: float = 10000.0) -> jax.Array:

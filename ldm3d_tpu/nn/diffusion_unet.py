@@ -14,7 +14,7 @@ kernel on TPU (:mod:`ldm3d_tpu.ops.attention`).
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +46,7 @@ class DiffusionUNet3D(nn.Module):
     norm_eps: float = 1e-6
     dtype: Dtype = jnp.float32
     remat: bool = False  # rematerialize ResBlocks (gradient checkpointing)
+    spatial_axis: Optional[str] = None  # depth-shard activations over this mesh axis
 
     @classmethod
     def from_config(cls, **kw) -> "DiffusionUNet3D":
@@ -75,6 +76,7 @@ class DiffusionUNet3D(nn.Module):
             norm_eps=kw.pop("norm_eps", 1e-6),
             dtype=dtype,
             remat=kw.pop("remat", False),
+            spatial_axis=kw.pop("spatial_axis", None),
         )
 
     @property
@@ -90,39 +92,41 @@ class DiffusionUNet3D(nn.Module):
           timesteps: ``(B,)`` integer timesteps.
         """
         num_levels = len(self.channels)
+        sp = self.spatial_axis
         # remat trades recompute for activation memory — the TPU equivalent of
         # the reference's gradient checkpointing (train_autoencoder.py:161-164)
         ResBlock = nn.remat(TimeResBlock3D) if self.remat else TimeResBlock3D
         temb = TimestepEmbedding(self.channels[0], 4 * self.channels[0], dtype=self.dtype, name="time_embed")(timesteps)
 
-        h = _conv3(self.channels[0], self.dtype, name="conv_in")(x)
+        h = _conv3(self.channels[0], self.dtype, name="conv_in", spatial_axis=sp)(x)
         skips = [h]
 
         # --- down path ---
         for level in range(num_levels):
             for block in range(self.num_res_blocks[level]):
                 h = ResBlock(
-                    self.channels[level], self.norm_num_groups, self.norm_eps, self.dtype,
+                    self.channels[level], self.norm_num_groups, self.norm_eps, self.dtype, sp,
                     name=f"down_{level}_res_{block}",
                 )(h, temb)
                 if self.attention_levels[level]:
                     h = AttentionBlock3D(
                         num_head_channels=self.num_head_channels[level],
                         num_groups=self.norm_num_groups, norm_eps=self.norm_eps, dtype=self.dtype,
-                        name=f"down_{level}_attn_{block}",
+                        spatial_axis=sp, name=f"down_{level}_attn_{block}",
                     )(h)
                 skips.append(h)
             if level < num_levels - 1:
-                h = Downsample3D(self.channels[level], self.dtype, name=f"down_{level}_downsample")(h)
+                h = Downsample3D(self.channels[level], self.dtype, sp, name=f"down_{level}_downsample")(h)
                 skips.append(h)
 
         # --- middle ---
-        h = TimeResBlock3D(self.channels[-1], self.norm_num_groups, self.norm_eps, self.dtype, name="mid_res_1")(h, temb)
+        h = TimeResBlock3D(self.channels[-1], self.norm_num_groups, self.norm_eps, self.dtype, sp, name="mid_res_1")(h, temb)
         h = AttentionBlock3D(
             num_head_channels=self.num_head_channels[-1],
-            num_groups=self.norm_num_groups, norm_eps=self.norm_eps, dtype=self.dtype, name="mid_attn",
+            num_groups=self.norm_num_groups, norm_eps=self.norm_eps, dtype=self.dtype,
+            spatial_axis=sp, name="mid_attn",
         )(h)
-        h = TimeResBlock3D(self.channels[-1], self.norm_num_groups, self.norm_eps, self.dtype, name="mid_res_2")(h, temb)
+        h = TimeResBlock3D(self.channels[-1], self.norm_num_groups, self.norm_eps, self.dtype, sp, name="mid_res_2")(h, temb)
 
         # --- up path ---
         for idx, level in enumerate(reversed(range(num_levels))):
@@ -130,20 +134,20 @@ class DiffusionUNet3D(nn.Module):
                 skip = skips.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
                 h = ResBlock(
-                    self.channels[level], self.norm_num_groups, self.norm_eps, self.dtype,
+                    self.channels[level], self.norm_num_groups, self.norm_eps, self.dtype, sp,
                     name=f"up_{level}_res_{block}",
                 )(h, temb)
                 if self.attention_levels[level]:
                     h = AttentionBlock3D(
                         num_head_channels=self.num_head_channels[level],
                         num_groups=self.norm_num_groups, norm_eps=self.norm_eps, dtype=self.dtype,
-                        name=f"up_{level}_attn_{block}",
+                        spatial_axis=sp, name=f"up_{level}_attn_{block}",
                     )(h)
             if idx < num_levels - 1:
-                h = Upsample3D(self.channels[level], self.dtype, name=f"up_{level}_upsample")(h)
+                h = Upsample3D(self.channels[level], self.dtype, sp, name=f"up_{level}_upsample")(h)
 
         # --- out ---
-        h = GroupNorm32(self.norm_num_groups, self.norm_eps, name="norm_out")(h)
+        h = GroupNorm32(self.norm_num_groups, self.norm_eps, spatial_axis=sp, name="norm_out")(h)
         h = nn.silu(h)
-        h = _conv3(self.out_channels, self.dtype, name="conv_out", zero_init=True)(h)
+        h = _conv3(self.out_channels, self.dtype, name="conv_out", zero_init=True, spatial_axis=sp)(h)
         return h

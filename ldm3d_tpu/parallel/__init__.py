@@ -5,6 +5,14 @@ from ldm3d_tpu.parallel.mesh import (
     replicated_sharding,
     shard_batch,
 )
+from ldm3d_tpu.parallel.spatial import (
+    SPATIAL_AXIS,
+    halo_exchange,
+    make_spatial_sampler,
+    shard_volume,
+    spatial_sharding,
+    validate_spatial_divisibility,
+)
 
 __all__ = [
     "MeshSpec",
@@ -12,4 +20,10 @@ __all__ = [
     "batch_sharding",
     "replicated_sharding",
     "shard_batch",
+    "SPATIAL_AXIS",
+    "halo_exchange",
+    "make_spatial_sampler",
+    "shard_volume",
+    "spatial_sharding",
+    "validate_spatial_divisibility",
 ]

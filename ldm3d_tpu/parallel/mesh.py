@@ -32,21 +32,25 @@ __all__ = ["MeshSpec", "create_mesh", "batch_sharding", "replicated_sharding", "
 class MeshSpec:
     data: int = -1  # -1: all remaining devices
     model: int = 1
+    spatial: int = 1  # depth-sharding (context-parallel) axis, see parallel/spatial.py
 
-    def resolve(self, n_devices: int) -> tuple[int, int]:
+    def resolve(self, n_devices: int) -> tuple[int, int, int]:
         model = max(1, self.model)
-        data = self.data if self.data > 0 else n_devices // model
-        if data * model != n_devices:
-            raise ValueError(f"mesh {data}x{model} does not tile {n_devices} devices")
-        return data, model
+        spatial = max(1, self.spatial)
+        data = self.data if self.data > 0 else n_devices // (model * spatial)
+        if data * model * spatial != n_devices:
+            raise ValueError(f"mesh {data}x{model}x{spatial} does not tile {n_devices} devices")
+        return data, model, spatial
 
 
 def create_mesh(spec: MeshSpec | None = None, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     spec = spec or MeshSpec()
-    data, model = spec.resolve(len(devices))
-    arr = np.asarray(devices).reshape(data, model)
-    return Mesh(arr, axis_names=("data", "model"))
+    data, model, spatial = spec.resolve(len(devices))
+    # spatial is the innermost (fastest-varying) axis so depth-neighbor
+    # ppermutes ride adjacent ICI links
+    arr = np.asarray(devices).reshape(data, model, spatial)
+    return Mesh(arr, axis_names=("data", "model", "spatial"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -36,6 +36,7 @@ __all__ = [
     "make_diffusion_optimizer",
     "compute_scale_factor",
     "make_stage2_train_step",
+    "make_stage2_train_step_spatial",
     "make_stage2_eval_step",
 ]
 
@@ -107,6 +108,99 @@ def make_stage2_train_step(unet, ae, scheduler, cfg: Stage2Config):
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, ae_params, batch, scale_factor, rng):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, ae_params, batch, scale_factor, rng)
+        state = state.apply_gradients(grads)
+        return state, {"diffusion_loss": loss, "grad_norm": optax.global_norm(grads)}
+
+    return train_step
+
+
+def make_stage2_train_step_spatial(unet, ae, scheduler, cfg: Stage2Config, mesh):
+    """LDM train step sharded over BOTH the data and spatial mesh axes.
+
+    Batch layout: ``(B, D, H, W, C)`` with B on ``data`` and D on ``spatial``
+    — each device holds a depth slab of its data-shard's volumes. The frozen
+    VAE encode, the UNet forward, and the backward all run depth-sharded
+    (halo-exchange convs / psum GroupNorm / gathered-kv attention,
+    :mod:`ldm3d_tpu.parallel.spatial`); shard_map autodiff inserts the adjoint
+    collectives. Gradients are psum-replicated over both axes, so the
+    optimizer update is identical on every device.
+
+    RNG discipline: timesteps and the noising noise must agree across the
+    spatial shards of one volume, so their keys fold in only the data index
+    (noise slabs are sliced from a per-(data,volume) keyed stream by depth
+    offset); the VAE posterior sample is per-voxel and folds in both axes.
+
+    This goes beyond the reference, which is data-parallel only
+    (SURVEY.md section 2.3) and scales volume size by cropping alone.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ldm3d_tpu.parallel.spatial import SPATIAL_AXIS
+
+    try:
+        from jax import shard_map as _shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map as _shard_map
+
+    unet_sp = unet.clone(spatial_axis=SPATIAL_AXIS)
+    ae_sp = ae.clone(spatial_axis=SPATIAL_AXIS)
+    n_data = mesh.shape["data"]
+    n_spatial = mesh.shape[SPATIAL_AXIS]
+    vol_spec = P("data", SPATIAL_AXIS)
+
+    def encode(ae_params, x, rng):
+        return ae_sp.apply({"params": ae_params}, x, method="encode_stage_2_inputs", rngs={"sample": rng})
+
+    def local_loss(params, ae_params, batch, scale_factor, rng):
+        di = jax.lax.axis_index("data")
+        si = jax.lax.axis_index(SPATIAL_AXIS)
+        rng_vol = jax.random.fold_in(rng, di)          # same across a volume's slabs
+        rng_slab = jax.random.fold_in(rng_vol, si + 1)  # unique per slab
+        rng_zl, rng_zi = jax.random.split(rng_slab)
+        rng_n, rng_t = jax.random.split(jax.random.fold_in(rng_vol, 0))
+
+        images, labels = batch["image"], batch["label"]
+        if cfg.clamp_inputs:
+            images = jnp.clip(images, 0.0, 1.0)
+            labels = jnp.clip(labels, 0.0, 1.0)
+        z_labels = jax.lax.stop_gradient(encode(ae_params, labels, rng_zl)) * scale_factor
+        condition = None
+        if cfg.conditional:
+            condition = jax.lax.stop_gradient(encode(ae_params, images, rng_zi))
+
+        # per-volume noise: generate the slab from a per-(volume, slab) fold of
+        # the VOLUME key so the full-volume field is well-defined; epsilon
+        # prediction only ever compares pred vs target slab-locally.
+        noise = jax.random.normal(
+            jax.random.fold_in(rng_n, si), z_labels.shape, dtype=jnp.float32
+        ).astype(z_labels.dtype)
+        b = z_labels.shape[0]
+        timesteps = jax.random.randint(rng_t, (b,), 0, scheduler.num_train_timesteps)
+        model_in = inferer.noise_prediction_inputs(scheduler, z_labels, noise, timesteps, condition)
+        pred = unet_sp.apply({"params": params}, model_in, timesteps)
+        target = inferer.training_targets(scheduler, z_labels, noise, timesteps)
+        # local sum / global count: psum of this over the mesh is the global mean
+        diff = (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
+        global_count = diff.size * n_data * n_spatial
+        return jnp.sum(diff) / global_count
+
+    def sharded_grads(params, ae_params, batch, scale_factor, rng):
+        loss, grads = jax.value_and_grad(local_loss)(params, ae_params, batch, scale_factor, rng)
+        loss = jax.lax.psum(loss, ("data", SPATIAL_AXIS))
+        grads = jax.lax.psum(grads, ("data", SPATIAL_AXIS))
+        return loss, grads
+
+    grad_fn = _shard_map(
+        sharded_grads,
+        mesh=mesh,
+        in_specs=(P(), P(), vol_spec, P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, ae_params, batch, scale_factor, rng):
+        loss, grads = grad_fn(state.params, ae_params, batch, scale_factor, rng)
         state = state.apply_gradients(grads)
         return state, {"diffusion_loss": loss, "grad_norm": optax.global_norm(grads)}
 

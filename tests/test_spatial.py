@@ -1,0 +1,240 @@
+"""Spatial (context) parallelism: sharded ops must match unsharded math.
+
+The reference has no sequence/context parallelism at all (SURVEY.md section
+5.7 — it scales volumes by cropping); these tests pin the exactness of the
+TPU-native depth-sharding: halo-exchange convs, psum GroupNorm, gathered-kv
+attention, whole-model forwards, the sharded DDIM sampler, and the dp x sp
+train step — all on the virtual 8-device CPU mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+try:
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from ldm3d_tpu.configs import ConfigResolver, load_json, preset_path
+from ldm3d_tpu.diffusion import DDIMScheduler, DDPMScheduler, inferer
+from ldm3d_tpu.nn.blocks import AttentionBlock3D, Conv3D, GroupNorm32, Upsample3D
+from ldm3d_tpu.parallel import (
+    MeshSpec,
+    create_mesh,
+    halo_exchange,
+    make_spatial_sampler,
+    validate_spatial_divisibility,
+)
+from ldm3d_tpu.training import (
+    Stage2Config,
+    TrainState,
+    build_lr_schedule,
+    make_diffusion_optimizer,
+)
+from ldm3d_tpu.training.stage2 import make_stage2_train_step_spatial
+
+RNG = jax.random.PRNGKey(0)
+
+
+def _sharded_apply(mesh, module, params, x, out_specs=P(None, "spatial"), **apply_kw):
+    f = shard_map(
+        lambda p, v: module.apply({"params": p}, v, **apply_kw),
+        mesh=mesh,
+        in_specs=(P(), P(None, "spatial")),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return f(params, x)
+
+
+@pytest.fixture(scope="module")
+def mesh8(eight_devices):
+    return create_mesh(MeshSpec(data=1, spatial=8), devices=eight_devices)
+
+
+@pytest.fixture(scope="module")
+def mesh2x4(eight_devices):
+    return create_mesh(MeshSpec(data=2, spatial=4), devices=eight_devices)
+
+
+@pytest.fixture(scope="module")
+def mesh4x2(eight_devices):
+    return create_mesh(MeshSpec(data=4, spatial=2), devices=eight_devices)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = load_json(preset_path("config_tiny_cpu.json"))
+    r = ConfigResolver(cfg)
+    return r.instantiate("autoencoder_def"), r.instantiate("diffusion_def")
+
+
+def test_halo_exchange_matches_pad(mesh8):
+    x = jax.random.normal(RNG, (1, 16, 2, 2, 3), jnp.float32)
+
+    f = shard_map(
+        lambda v: halo_exchange(v, "spatial", lo=1, hi=1),
+        mesh=mesh8, in_specs=P(None, "spatial"), out_specs=P(None, "spatial"), check_vma=False,
+    )
+    out = np.asarray(f(x))  # (1, 8*(2+2), ...) concatenated widened slabs
+    slabs = out.reshape(1, 8, 4, 2, 2, 3)
+    padded = np.pad(np.asarray(x), ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    for i in range(8):
+        np.testing.assert_array_equal(slabs[:, i], padded[:, i * 2 : i * 2 + 4])
+
+
+@pytest.mark.parametrize("padding,stride", [("same", 1), ("down", 2)])
+def test_conv3d_sharded_matches(mesh8, padding, stride):
+    x = jax.random.normal(RNG, (2, 16, 6, 6, 12), jnp.float32)
+    conv = Conv3D(10, kernel=3, stride=stride, padding=padding)
+    params = conv.init(RNG, x)["params"]
+    ref = conv.apply({"params": params}, x)
+    out = _sharded_apply(mesh8, conv.clone(spatial_axis="spatial"), params, x)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=2e-5)
+
+
+def test_groupnorm_sharded_matches(mesh8):
+    x = jax.random.normal(RNG, (2, 16, 4, 4, 12), jnp.float32) * 3 + 1
+    gn = GroupNorm32(4)
+    params = gn.init(RNG, x)["params"]
+    ref = gn.apply({"params": params}, x)
+    out = _sharded_apply(mesh8, gn.clone(spatial_axis="spatial"), params, x)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=2e-5)
+
+
+def test_attention_sharded_matches(mesh8):
+    x = jax.random.normal(RNG, (2, 8, 4, 4, 16), jnp.float32)
+    attn = AttentionBlock3D(num_head_channels=8, num_groups=4)
+    params = attn.init(RNG, x)["params"]
+    ref = attn.apply({"params": params}, x)
+    out = _sharded_apply(mesh8, attn.clone(spatial_axis="spatial"), params, x)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=2e-5)
+
+
+def test_upsample_sharded_matches(mesh8):
+    x = jax.random.normal(RNG, (1, 8, 4, 4, 6), jnp.float32)
+    up = Upsample3D(6)
+    params = up.init(RNG, x)["params"]
+    ref = up.apply({"params": params}, x)
+    out = _sharded_apply(mesh8, up.clone(spatial_axis="spatial"), params, x)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=2e-5)
+
+
+def test_autoencoder_sharded_matches(mesh2x4, tiny):
+    ae, _ = tiny
+    x = jax.random.uniform(RNG, (2, 32, 32, 32, 1), jnp.float32)
+    variables = ae.init({"params": RNG, "sample": RNG}, x[:1])
+    mu_ref, sig_ref = ae.apply({"params": variables["params"]}, x, method="encode")
+    ae_sp = ae.clone(spatial_axis="spatial")
+    f = shard_map(
+        lambda p, v: ae_sp.apply({"params": p}, v, method="encode"),
+        mesh=mesh2x4,
+        in_specs=(P(), P("data", "spatial")),
+        out_specs=(P("data", "spatial"), P("data", "spatial")),
+        check_vma=False,
+    )
+    mu, sig = f(variables["params"], x)
+    np.testing.assert_allclose(np.asarray(mu_ref), np.asarray(mu), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(sig_ref), np.asarray(sig), atol=3e-5)
+
+    z = jax.random.normal(RNG, (2, 8, 8, 8, ae.latent_channels), jnp.float32)
+    dec_ref = ae.apply({"params": variables["params"]}, z, method="decode_stage_2_outputs")
+    g = shard_map(
+        lambda p, v: ae_sp.apply({"params": p}, v, method="decode_stage_2_outputs"),
+        mesh=mesh2x4,
+        in_specs=(P(), P("data", "spatial")),
+        out_specs=P("data", "spatial"),
+        check_vma=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dec_ref), np.asarray(g(variables["params"], z)), atol=3e-5
+    )
+
+
+def _randomize_out_conv(params):
+    """The UNet's conv_out is zero-init; randomize it so parity isn't vacuous."""
+    kernel = params["conv_out"]["kernel"]
+    params = jax.tree_util.tree_map(lambda a: a, params)  # copy containers
+    params["conv_out"] = dict(
+        params["conv_out"], kernel=jax.random.normal(RNG, kernel.shape, kernel.dtype) * 0.1
+    )
+    return params
+
+
+def test_unet_sharded_matches(mesh4x2, tiny):
+    _, unet = tiny
+    z = jax.random.normal(RNG, (4, 8, 8, 8, unet.in_channels), jnp.float32)
+    t = jnp.array([1, 5, 9, 13], jnp.int32)
+    params = _randomize_out_conv(unet.init(RNG, z[:1], t[:1])["params"])
+    ref = unet.apply({"params": params}, z, t)
+    assert float(jnp.abs(ref).max()) > 0  # non-vacuous
+    unet_sp = unet.clone(spatial_axis="spatial")
+    f = shard_map(
+        lambda p, v, tt: unet_sp.apply({"params": p}, v, tt),
+        mesh=mesh4x2,
+        in_specs=(P(), P("data", "spatial"), P("data")),
+        out_specs=P("data", "spatial"),
+        check_vma=False,
+    )
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(f(params, z, t)), atol=5e-5)
+
+
+def test_spatial_sampler_matches_unsharded(mesh4x2, tiny):
+    ae, unet = tiny
+    x = jax.random.uniform(RNG, (1, 32, 32, 32, 1), jnp.float32)
+    ae_vars = ae.init({"params": RNG, "sample": RNG}, x)
+    u_params = _randomize_out_conv(
+        unet.init(RNG, jnp.zeros((1, 8, 8, 8, unet.in_channels)), jnp.zeros((1,), jnp.int32))["params"]
+    )
+    ddim = DDIMScheduler.create(num_inference_steps=4, num_train_timesteps=16)
+    noise = jax.random.normal(RNG, (4, 8, 8, 8, ae.latent_channels), jnp.float32)
+    condition = jax.random.normal(
+        jax.random.PRNGKey(5), (4, 8, 8, 8, unet.in_channels - ae.latent_channels), jnp.float32
+    )
+
+    ref = inferer.sample(
+        lambda xx, tt: unet.apply({"params": u_params}, xx, tt),
+        lambda zz: ae.apply({"params": ae_vars["params"]}, zz, method="decode_stage_2_outputs"),
+        ddim, noise, RNG, condition,
+    )
+    sampler = make_spatial_sampler(unet, ae, ddim, mesh4x2)
+    out = sampler(u_params, ae_vars["params"], noise, RNG, condition)
+    assert float(jnp.abs(ref).max()) > 0
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-4)
+
+
+def test_stage2_spatial_train_step(mesh4x2, tiny):
+    ae, unet = tiny
+    rng = jax.random.PRNGKey(7)
+    x = jax.random.uniform(rng, (4, 32, 32, 32, 1), jnp.float32)
+    ae_vars = ae.init({"params": rng, "sample": rng}, x[:1])
+    u_vars = unet.init(rng, jnp.zeros((1, 8, 8, 8, unet.in_channels)), jnp.zeros((1,), jnp.int32))
+    sched = DDPMScheduler.create(num_train_timesteps=16)
+    state = TrainState.create(
+        unet.apply, u_vars["params"],
+        make_diffusion_optimizer(build_lr_schedule("multistep", 1e-3, 1, 1)),
+    )
+    baseline = jax.tree_util.tree_map(jnp.copy, u_vars["params"])
+    step = make_stage2_train_step_spatial(unet, ae, sched, Stage2Config(), mesh4x2)
+    with mesh4x2:
+        state, metrics = step(state, ae_vars["params"], {"image": x, "label": x}, jnp.float32(1.0), rng)
+    loss = float(metrics["diffusion_loss"])
+    gnorm = float(metrics["grad_norm"])
+    assert np.isfinite(loss) and 0.3 < loss < 3.0  # epsilon-MSE near 1 at init
+    assert np.isfinite(gnorm) and gnorm > 0
+    moved = sum(
+        float(jnp.abs(a - b).sum())
+        for a, b in zip(jax.tree_util.tree_leaves(state.params), jax.tree_util.tree_leaves(baseline))
+    )
+    assert moved > 0
+
+
+def test_validate_spatial_divisibility():
+    validate_spatial_divisibility(32, 4, 2)  # 8 -> 4 -> 2 OK
+    with pytest.raises(ValueError):
+        validate_spatial_divisibility(30, 4, 2)
+    with pytest.raises(ValueError):
+        validate_spatial_divisibility(8, 4, 2)  # local 2 -> 1 -> odd
