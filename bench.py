@@ -40,7 +40,11 @@ def _progress(msg: str) -> None:
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
-BATCH = 1
+# batch 2 amortizes UNet weight traffic across volumes: +32% volumes/sec/chip
+# vs batch 1 (measured on v5e; batch 4 exceeds this environment's compile
+# helper limits). The baseline proxy below runs at the SAME batch, so
+# vs_baseline still isolates the sampler/compiler design.
+BATCH = 2
 VOLUME = 96
 DDIM_STEPS = 50
 DDPM_STEPS = 1000

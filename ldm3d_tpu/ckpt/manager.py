@@ -72,9 +72,13 @@ class CheckpointManager:
             best = {"params": state["params"]} if isinstance(state, dict) and "params" in state else state
             self.save("best", best, meta)
 
-    def restore_params(self, role: str, abstract_params: Any) -> Any:
-        """Restore a params-only checkpoint (the ``best`` artifact)."""
-        return self.restore(role, {"params": abstract_params})["params"]
+    def restore_params(self, role: str, abstract_params: Any, sharding=None) -> Any:
+        """Restore a params-only checkpoint (the ``best`` artifact).
+
+        Pass ``sharding`` (e.g. ``replicated_sharding(mesh)``) when the active
+        mesh uses a subset of the visible devices; the default replicates over
+        ALL devices, which jit rejects when mixed with subset-mesh arrays."""
+        return self.restore(role, {"params": abstract_params}, sharding=sharding)["params"]
 
     # -- restore ---------------------------------------------------------------
 
@@ -111,10 +115,10 @@ class CheckpointManager:
         with open(p) as f:
             return json.load(f)
 
-    def try_restore(self, role: str, abstract_state: Any) -> tuple[Any, bool]:
+    def try_restore(self, role: str, abstract_state: Any, sharding=None) -> tuple[Any, bool]:
         """Restore if present; (state, restored?) — resume-from-scratch parity
         with the reference's silent fallback (``train_autoencoder.py:196-212``),
         but loud: callers log the outcome."""
         if not self.exists(role):
             return abstract_state, False
-        return self.restore(role, abstract_state), True
+        return self.restore(role, abstract_state, sharding=sharding), True

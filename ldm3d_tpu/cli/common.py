@@ -49,6 +49,9 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    help="dev mode: raise at the op producing a NaN (jax_debug_nans)")
     p.add_argument("--grad-accum", type=int, default=1,
                    help="gradient accumulation steps (the reference documents but never implemented this)")
+    p.add_argument("--spatial", type=int, default=1,
+                   help="spatial (context) parallel axis size: shard volume depth over this many "
+                        "devices per replica (see docs/SCALING.md)")
     return p
 
 
@@ -93,8 +96,11 @@ def setup(args) -> tuple:
     n = args.gpus if args.gpus and args.gpus > 0 else len(devices)
     if n > len(devices):
         raise ValueError(f"requested {n} devices, only {len(devices)} visible")
-    mesh = create_mesh(MeshSpec(data=n, model=1), devices=devices[:n])
-    logging.info("mesh: %d x data over %s", n, devices[0].platform)
+    spatial = max(1, getattr(args, "spatial", 1))
+    if n % spatial:
+        raise ValueError(f"--spatial {spatial} does not divide {n} devices")
+    mesh = create_mesh(MeshSpec(data=n // spatial, model=1, spatial=spatial), devices=devices[:n])
+    logging.info("mesh: %d data x %d spatial over %s", n // spatial, spatial, devices[0].platform)
     if getattr(args, "synthetic_data", False):
         args.synthetic_data = True
     return args, mesh

@@ -104,15 +104,18 @@ def main(argv=None):
     ae = define_instance(args, "autoencoder_def").clone(dtype=dt)
     g_vars = jax.jit(ae.init)({"params": rng, "sample": rng},
                      jnp.zeros((1, *patch_size, args.image_channels), dt))
+    from ldm3d_tpu.parallel import replicated_sharding
+
+    rep = replicated_sharding(mesh)
     ae_params = CheckpointManager(args.model_dir, StageArtifacts.AUTOENCODER).restore_params(
-        "best", g_vars["params"])
+        "best", g_vars["params"], sharding=rep)
 
     unet = define_instance(args, "diffusion_def").clone(dtype=dt)
     latent_shape = [p // ae.downsample_factor for p in patch_size]
     probe = jnp.zeros((1, *latent_shape, unet.in_channels), dt)
     u_vars = jax.jit(unet.init)(rng, probe, jnp.zeros((1,), jnp.int32))
     u_ckpt = CheckpointManager(args.model_dir, StageArtifacts.DIFFUSION)
-    u_params = u_ckpt.restore_params("best", u_vars["params"])
+    u_params = u_ckpt.restore_params("best", u_vars["params"], sharding=rep)
     scale_factor = float(u_ckpt.load_meta("best").get("scale_factor", 1.0))
     log.info("scale_factor from checkpoint: %.6f", scale_factor)
 
@@ -141,7 +144,25 @@ def main(argv=None):
                              method="encode_stage_2_inputs", rngs={"sample": crng})
         log.info("conditional sampling (concat) with condition shape %s", condition.shape)
 
-    run = build_sampler_fn(args, ae, ae_params, unet, u_params, scheduler, scale_factor)
+    if mesh.shape.get("spatial", 1) > 1:
+        # depth-sharded sampling: one sample spread over the spatial axis
+        # (halo convs / psum norms / gathered-kv attention, docs/SCALING.md)
+        from ldm3d_tpu.parallel import make_spatial_sampler, validate_spatial_divisibility
+
+        validate_spatial_divisibility(latent_shape[0], mesh.shape["spatial"],
+                                      len(args.diffusion_def["channels"]) - 1)
+        if args.batch % mesh.shape["data"]:
+            raise ValueError(
+                f"--batch {args.batch} must be divisible by the data axis "
+                f"({mesh.shape['data']} = devices/spatial); e.g. use -g {mesh.shape['spatial']} "
+                f"--spatial {mesh.shape['spatial']} to devote all devices to one volume"
+            )
+        sampler = make_spatial_sampler(unet, ae, scheduler, mesh, scale_factor=scale_factor)
+
+        def run(noise, rng, condition=None):
+            return sampler(u_params, ae_params, noise, rng, condition)
+    else:
+        run = build_sampler_fn(args, ae, ae_params, unet, u_params, scheduler, scale_factor)
 
     noise_shape = (args.batch, *latent_shape, ae.latent_channels)
     os.makedirs(args.output_dir, exist_ok=True)

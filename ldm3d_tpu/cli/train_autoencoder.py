@@ -32,7 +32,7 @@ from ldm3d_tpu.configs import define_instance
 from ldm3d_tpu.data import prepare_dataloader
 from ldm3d_tpu.nn import LPIPS, PatchDiscriminator3D
 from ldm3d_tpu.obs import MetricsWriter, StepProfiler, visualize_one_slice_in_3d_image
-from ldm3d_tpu.parallel import shard_batch
+from ldm3d_tpu.parallel import replicated_sharding, shard_batch
 from ldm3d_tpu.training import (
     Stage1Config,
     TrainState,
@@ -117,14 +117,14 @@ def main(argv=None):
     start_epoch = 0
     if args.resume_ckpt:
         full = {"params": g_state.params, "opt_state": g_state.opt_state, "step": g_state.step}
-        restored, ok = g_ckpt.try_restore("last", full)
+        restored, ok = g_ckpt.try_restore("last", full, sharding=replicated_sharding(mesh))
         if ok:
             g_state = g_state.replace(**restored)
             meta = g_ckpt.load_meta("last")
             start_epoch = int(meta.get("epoch", -1)) + 1
             log.info("resumed autoencoder from epoch %d", start_epoch)
         full_d = {"params": d_state.params, "opt_state": d_state.opt_state, "step": d_state.step}
-        restored_d, ok_d = d_ckpt.try_restore("last", full_d)
+        restored_d, ok_d = d_ckpt.try_restore("last", full_d, sharding=replicated_sharding(mesh))
         if ok_d:
             d_state = d_state.replace(**restored_d)
         if not ok:

@@ -27,7 +27,7 @@ from ldm3d_tpu.configs import define_instance
 from ldm3d_tpu.data import prepare_dataloader
 from ldm3d_tpu.diffusion import DDPMScheduler, inferer
 from ldm3d_tpu.obs import MetricsWriter, visualize_one_slice_in_3d_image
-from ldm3d_tpu.parallel import shard_batch
+from ldm3d_tpu.parallel import replicated_sharding, shard_batch
 from ldm3d_tpu.training import (
     Stage2Config,
     TrainState,
@@ -42,7 +42,7 @@ from ldm3d_tpu.utils.config_merge import TrainContext
 log = logging.getLogger("train_diffusion")
 
 
-def load_frozen_autoencoder(args, dt, rng, patch_size):
+def load_frozen_autoencoder(args, dt, rng, patch_size, mesh=None):
     """Build the stage-1 VAE and load its best params (required artifact)."""
     ae = define_instance(args, "autoencoder_def").clone(dtype=dt)
     sample_shape = (1, *patch_size, args.image_channels)
@@ -52,7 +52,8 @@ def load_frozen_autoencoder(args, dt, rng, patch_size):
         raise FileNotFoundError(
             f"stage-1 autoencoder checkpoint not found under {ckpt.root}; train stage 1 first"
         )
-    params = ckpt.restore_params("best", g_vars["params"])
+    sharding = replicated_sharding(mesh) if mesh is not None else None
+    params = ckpt.restore_params("best", g_vars["params"], sharding=sharding)
     log.info("loaded trained autoencoder from %s", ckpt.path("best"))
     return ae, params
 
@@ -80,7 +81,7 @@ def main(argv=None):
     rng = jax.random.PRNGKey(int(getattr(args, "seed", 0)) or 42)
 
     # frozen stage-1 VAE ----------------------------------------------------
-    ae, ae_params = load_frozen_autoencoder(args, dt, rng, train_cfg["patch_size"])
+    ae, ae_params = load_frozen_autoencoder(args, dt, rng, train_cfg["patch_size"], mesh)
 
     # scale factor from the first batch (global std over the sharded batch) --
     first = next(iter(train_loader.epoch(0)))
@@ -115,7 +116,7 @@ def main(argv=None):
     start_epoch = 0
     if args.resume_ckpt:
         full = {"params": u_state.params, "opt_state": u_state.opt_state, "step": u_state.step}
-        restored, ok = u_ckpt.try_restore("last", full)
+        restored, ok = u_ckpt.try_restore("last", full, sharding=replicated_sharding(mesh))
         if ok:
             u_state = u_state.replace(**restored)
             start_epoch = int(u_ckpt.load_meta("last").get("epoch", -1)) + 1
@@ -123,7 +124,20 @@ def main(argv=None):
         else:
             log.info("train diffusion model from scratch")
 
-    train_step = make_stage2_train_step(unet, ae, scheduler, s2cfg)
+    if mesh.shape.get("spatial", 1) > 1:
+        # dp x sp: volume depth sharded over the spatial axis (docs/SCALING.md)
+        from ldm3d_tpu.parallel import validate_spatial_divisibility
+        from ldm3d_tpu.training.stage2 import make_stage2_train_step_spatial
+
+        validate_spatial_divisibility(
+            train_cfg["patch_size"][0], mesh.shape["spatial"],
+            len(args.autoencoder_def["channels"]) + len(args.diffusion_def["channels"]) - 2,
+        )
+        train_step = make_stage2_train_step_spatial(unet, ae, scheduler, s2cfg, mesh)
+        place_batch = lambda b: b  # jitted shard_map places P('data','spatial') itself
+    else:
+        train_step = make_stage2_train_step(unet, ae, scheduler, s2cfg)
+        place_batch = lambda b: shard_batch(mesh, b)
     eval_step = make_stage2_eval_step(unet, ae, scheduler, s2cfg)
 
     writer = MetricsWriter(os.path.join(args.tfevent_path, "diffusion"))
@@ -143,7 +157,7 @@ def main(argv=None):
             t0 = time.time()
             losses = []
             for batch in train_loader.epoch(epoch):
-                sb = shard_batch(mesh, {"image": batch["image"], "label": batch["label"]})
+                sb = place_batch({"image": batch["image"], "label": batch["label"]})
                 rng, step_rng = jax.random.split(rng)
                 u_state, metrics = train_step(u_state, ae_params, sb, scale_factor, step_rng)
                 losses.append(metrics["diffusion_loss"])
@@ -157,7 +171,7 @@ def main(argv=None):
                 val_losses = []
                 last_batch = None
                 for batch in val_loader.epoch(epoch):
-                    sb = shard_batch(mesh, {"image": batch["image"], "label": batch["label"]})
+                    sb = place_batch({"image": batch["image"], "label": batch["label"]})
                     rng, vrng = jax.random.split(rng)
                     vm = eval_step(u_state.params, ae_params, sb, scale_factor, vrng)
                     val_losses.append(vm["val_diffusion_loss"])

@@ -130,11 +130,25 @@ def make_spatial_sampler(unet, ae, scheduler, mesh: Mesh, scale_factor=1.0):
         latents = latents / jnp.asarray(scale_factor, dtype=latents.dtype)
         return ae_sp.apply({"params": ae_params}, latents, method="decode_stage_2_outputs")
 
-    sharded = _shard_map(
+    sharded = jax.jit(_shard_map(
         _local,
         mesh=mesh,
         in_specs=(P(), P(), vol_spec, P(), vol_spec),
         out_specs=vol_spec,
         check_vma=False,
-    )
-    return jax.jit(sharded)
+    ))
+    rep = NamedSharding(mesh, P())
+    vol_sh = NamedSharding(mesh, vol_spec)
+
+    def sampler(u_params, ae_params, noise, rng, condition=None):
+        # explicit placement: inputs may live on devices outside this mesh
+        # (e.g. checkpoints restored onto all visible chips); device_put is a
+        # no-op when already placed correctly
+        u_params = jax.device_put(u_params, rep)
+        ae_params = jax.device_put(ae_params, rep)
+        noise = jax.device_put(noise, vol_sh)
+        if condition is not None:
+            condition = jax.device_put(condition, vol_sh)
+        return sharded(u_params, ae_params, noise, jax.device_put(rng, rep), condition)
+
+    return sampler

@@ -206,6 +206,26 @@ def test_spatial_sampler_matches_unsharded(mesh4x2, tiny):
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-4)
 
 
+def test_spatial_sampler_unconditional(mesh4x2, tiny):
+    """condition=None must flow through the shard_map specs (empty pytree)."""
+    from ldm3d_tpu.nn import AutoencoderKL, DiffusionUNet3D
+
+    ae, _ = tiny
+    unet = DiffusionUNet3D(
+        in_channels=ae.latent_channels, out_channels=ae.latent_channels,
+        channels=(8, 16, 16), attention_levels=(False, True, True),
+        num_head_channels=(0, 8, 8), num_res_blocks=(1, 1, 1), norm_num_groups=4,
+    )
+    ae_vars = ae.init({"params": RNG, "sample": RNG}, jnp.zeros((1, 16, 16, 16, 1)))
+    u_vars = unet.init(RNG, jnp.zeros((1, 8, 8, 8, ae.latent_channels)), jnp.zeros((1,), jnp.int32))
+    ddim = DDIMScheduler.create(num_inference_steps=2, num_train_timesteps=8)
+    sampler = make_spatial_sampler(unet, ae, ddim, mesh4x2)
+    noise = jax.random.normal(RNG, (4, 8, 8, 8, ae.latent_channels), jnp.float32)
+    out = sampler(u_vars["params"], ae_vars["params"], noise, RNG, None)
+    assert out.shape == (4, 32, 32, 32, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_stage2_spatial_train_step(mesh4x2, tiny):
     ae, unet = tiny
     rng = jax.random.PRNGKey(7)
