@@ -130,7 +130,18 @@ def main(argv=None):
         if not ok:
             log.info("train autoencoder from scratch")
 
-    train_step = make_stage1_train_step(ae, disc, lpips_apply, s1cfg)
+    if mesh.shape.get("spatial", 1) > 1:
+        # dp x sp: volume depth sharded over the spatial axis (docs/SCALING.md)
+        from ldm3d_tpu.parallel import validate_spatial_divisibility
+        from ldm3d_tpu.training.stage1 import make_stage1_train_step_spatial
+
+        validate_spatial_divisibility(train_cfg["patch_size"][0], mesh.shape["spatial"],
+                                      len(args.autoencoder_def["channels"]) - 1)
+        train_step = make_stage1_train_step_spatial(ae, disc, lpips_apply, s1cfg, mesh)
+        place_images = lambda b: b  # jitted shard_map places P('data','spatial') itself
+    else:
+        train_step = make_stage1_train_step(ae, disc, lpips_apply, s1cfg)
+        place_images = lambda b: shard_batch(mesh, b)
     eval_step = make_stage1_eval_step(ae, lpips_apply, s1cfg)
 
     writer = MetricsWriter(os.path.join(args.tfevent_path, "autoencoder"))
@@ -144,7 +155,7 @@ def main(argv=None):
             adv_active = epoch > s1cfg.warmup_epochs
             accum: dict[str, list] = {}
             for step, batch in enumerate(train_loader.epoch(epoch)):
-                images = shard_batch(mesh, batch["image"])
+                images = place_images(batch["image"])
                 rng, step_rng = jax.random.split(rng)
                 g_state, d_state, metrics = train_step(g_state, d_state, images, step_rng, adv_active=adv_active)
                 for k, v in metrics.items():

@@ -37,7 +37,13 @@ from ldm3d_tpu.losses import (
 from ldm3d_tpu.nn.lpips import perceptual_loss_25d
 from ldm3d_tpu.training.state import TrainState
 
-__all__ = ["Stage1Config", "make_optimizer", "make_stage1_train_step", "make_stage1_eval_step"]
+__all__ = [
+    "Stage1Config",
+    "make_optimizer",
+    "make_stage1_train_step",
+    "make_stage1_train_step_spatial",
+    "make_stage1_eval_step",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -129,6 +135,124 @@ def make_stage1_train_step(ae, disc, lpips_apply: Optional[Callable], cfg: Stage
             metrics["d_loss"] = d_raw
         else:
             metrics["d_loss"] = jnp.zeros((), jnp.float32)
+        return g_state, d_state, metrics
+
+    return train_step
+
+
+def make_stage1_train_step_spatial(ae, disc, lpips_apply: Optional[Callable],
+                                   cfg: Stage1Config, mesh):
+    """VAE-GAN train step sharded over BOTH the data and spatial mesh axes.
+
+    The autoencoder forward/backward runs depth-sharded (halo convs / psum
+    GroupNorm / gathered-kv attention, :mod:`ldm3d_tpu.parallel.spatial`).
+    The discriminator and LPIPS operate on the *gathered* single-channel
+    volumes — recon/images are tiny compared to activations (96^3 x 1 x bf16
+    = 1.7 MB), so one depth all_gather per term is cheap and keeps the small
+    PatchGAN/SqueezeNet exactly unsharded. ``all_gather`` is differentiable
+    (its transpose scatters the cotangent slabs back), so generator gradients
+    from the adversarial/perceptual terms flow into the sharded VAE.
+
+    Loss accounting: per-device partial losses are constructed so their psum
+    over ('data', 'spatial') equals the global mean — shard-local sums are
+    divided by global element counts; gathered terms (identical across a data
+    shard's spatial members) are divided by the full device count.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ldm3d_tpu.parallel.spatial import SPATIAL_AXIS
+
+    try:
+        from jax import shard_map as _shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map as _shard_map
+
+    recon_loss_fn = _recon_fn(cfg.recon_loss)
+    ae_sp = ae.clone(spatial_axis=SPATIAL_AXIS)
+    n_data = mesh.shape["data"]
+    n_spatial = mesh.shape[SPATIAL_AXIS]
+    n_dev = n_data * n_spatial
+    vol_spec = P("data", SPATIAL_AXIS)
+    axes = ("data", SPATIAL_AXIS)
+
+    def _gather(x):
+        return jax.lax.all_gather(x, SPATIAL_AXIS, axis=1, tiled=True)
+
+    def g_loss_fn(g_params, d_params, images, rng, adv_active: bool):
+        di = jax.lax.axis_index("data")
+        si = jax.lax.axis_index(SPATIAL_AXIS)
+        rng_sample = jax.random.fold_in(jax.random.fold_in(rng, di), si + 1)
+        rng_p = jax.random.fold_in(rng, di)  # same across a volume's slabs
+
+        recon, z_mu, z_sigma = ae_sp.apply({"params": g_params}, images,
+                                           rngs={"sample": rng_sample})
+        # local recon sum / global count -> psum = global mean
+        if cfg.recon_loss == "l2":
+            rl_sum = jnp.sum((recon.astype(jnp.float32) - images.astype(jnp.float32)) ** 2)
+        else:
+            rl_sum = jnp.sum(jnp.abs(recon.astype(jnp.float32) - images.astype(jnp.float32)))
+        rl = rl_sum / (recon.size * n_dev)  # local size x device count = global count
+        # KL: per-sample sum over (sharded) latent dims, / global batch
+        mu = z_mu.astype(jnp.float32)
+        sig = jnp.clip(z_sigma.astype(jnp.float32), 1e-8, None)
+        kl = 0.5 * jnp.sum(mu * mu + sig * sig - 2.0 * jnp.log(sig) - 1.0)
+        kl = kl / (images.shape[0] * n_data)
+
+        recon_full = _gather(recon)
+        images_full = _gather(images)
+        if lpips_apply is not None and cfg.perceptual_weight:
+            pl = perceptual_loss_25d(lpips_apply, recon_full, images_full, rng_p,
+                                     cfg.fake_3d_ratio) / n_dev
+        else:
+            pl = jnp.zeros((), jnp.float32)
+        adv = jnp.zeros((), jnp.float32)
+        if adv_active:
+            logits_fake = disc.apply({"params": d_params}, recon_full)[-1]
+            adv = lsgan_generator_loss(logits_fake) / n_dev
+        loss = rl + cfg.kl_weight * kl + cfg.perceptual_weight * pl + cfg.adv_weight * adv
+        metrics = {"recon_loss": rl, "kl_loss": kl, "perceptual_loss": pl, "adv_loss": adv}
+        return loss, (metrics, recon_full, images_full)
+
+    def d_loss_fn(d_params, recon_full, images_full):
+        logits_fake = disc.apply({"params": d_params}, jax.lax.stop_gradient(recon_full))[-1]
+        logits_real = disc.apply({"params": d_params}, images_full)[-1]
+        d_raw = lsgan_discriminator_loss(logits_fake, logits_real) / n_dev
+        return cfg.adv_weight * d_raw, d_raw
+
+    def sharded_grads(g_params, d_params, images, rng, adv_active: bool):
+        if cfg.clamp_inputs:
+            images = jnp.clip(images, 0.0, 1.0)
+        (g_loss, (metrics, recon_full, images_full)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(g_params, d_params, images, rng, adv_active)
+        if adv_active:
+            (_, d_raw), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+                d_params, recon_full, images_full)
+        else:
+            d_raw = jnp.zeros((), jnp.float32)
+            d_grads = jax.tree_util.tree_map(jnp.zeros_like, d_params)
+        metrics["g_loss"] = g_loss
+        metrics["d_loss"] = d_raw
+        out = (metrics, g_grads, d_grads)
+        return jax.tree_util.tree_map(lambda a: jax.lax.psum(a, axes), out)
+
+    grad_fns = {}
+    for adv in (False, True):  # adv_active is static: two shard_map closures
+        grad_fns[adv] = _shard_map(
+            functools.partial(sharded_grads, adv_active=adv),
+            mesh=mesh,
+            in_specs=(P(), P(), vol_spec, P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+
+    @functools.partial(jax.jit, static_argnames=("adv_active",), donate_argnums=(0, 1))
+    def train_step(g_state: TrainState, d_state: TrainState, images, rng, adv_active: bool = False):
+        metrics, g_grads, d_grads = grad_fns[adv_active](
+            g_state.params, d_state.params, images, rng)
+        g_state = g_state.apply_gradients(g_grads)
+        metrics["g_grad_norm"] = optax.global_norm(g_grads)
+        if adv_active:
+            d_state = d_state.apply_gradients(d_grads)
         return g_state, d_state, metrics
 
     return train_step
