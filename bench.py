@@ -158,11 +158,13 @@ def main():
         "value": round(vols_per_sec, 4),
         "unit": "volumes/sec/chip",
         "vs_baseline": round(vols_per_sec / baseline_vols_per_sec, 2),
-        "baseline": "reference-style Python-stepped DDPM-1000 + decode on same chip (measured)",
-        "ddim50_seconds_per_volume": round(ddim_time, 3),
-        "denoise_step_ms_implied": round(denoise_ms, 2),
-        "vae_decode_readback_ms": round(decode_ms, 2),
-        "ddpm1000_python_loop_seconds_per_volume": round(baseline_time, 3),
+        "baseline": "reference-style Python-stepped DDPM-1000 + decode on same chip (measured, same batch)",
+        "batch": BATCH,
+        "ddim50_seconds_per_batch": round(ddim_time, 3),
+        "ddim50_seconds_per_volume": round(ddim_time / BATCH, 3),
+        "denoise_step_ms_per_batch_implied": round(denoise_ms, 2),
+        "vae_decode_readback_ms_per_batch": round(decode_ms, 2),
+        "ddpm1000_python_loop_seconds_per_volume": round(baseline_time / BATCH, 3),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
