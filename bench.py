@@ -133,7 +133,6 @@ def main():
     denoise_ms = (ddim_time - decode_ms / 1000) / DDIM_STEPS * 1000
     _progress(f"ddim50+decode {ddim_time:.2f}s/volume; measuring eager baseline ...")
 
-    step_in = jnp.concatenate([noise, condition], axis=-1)
     unet_jit = jax.jit(lambda params, z, t: unet.apply({"params": params}, z, t))
     # --- baseline proxy: reference-style Python-stepped DDPM-1000 ------------
     ddpm = DDPMScheduler.create(num_train_timesteps=DDPM_STEPS)

@@ -52,6 +52,9 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--spatial", type=int, default=1,
                    help="spatial (context) parallel axis size: shard volume depth over this many "
                         "devices per replica (see docs/SCALING.md)")
+    p.add_argument("--tensor", type=int, default=1,
+                   help="tensor-parallel axis size: shard weight output channels (GSPMD) over "
+                        "this many devices per replica (see docs/SCALING.md)")
     return p
 
 
@@ -97,10 +100,16 @@ def setup(args) -> tuple:
     if n > len(devices):
         raise ValueError(f"requested {n} devices, only {len(devices)} visible")
     spatial = max(1, getattr(args, "spatial", 1))
-    if n % spatial:
-        raise ValueError(f"--spatial {spatial} does not divide {n} devices")
-    mesh = create_mesh(MeshSpec(data=n // spatial, model=1, spatial=spatial), devices=devices[:n])
-    logging.info("mesh: %d data x %d spatial over %s", n // spatial, spatial, devices[0].platform)
+    tensor = max(1, getattr(args, "tensor", 1))
+    if spatial > 1 and tensor > 1:
+        raise ValueError("--spatial and --tensor are mutually exclusive per train step "
+                         "(GSPMD weight sharding inside the spatial shard_map is not wired up)")
+    if n % (spatial * tensor):
+        raise ValueError(f"--spatial {spatial} x --tensor {tensor} does not divide {n} devices")
+    mesh = create_mesh(MeshSpec(data=n // (spatial * tensor), model=tensor, spatial=spatial),
+                       devices=devices[:n])
+    logging.info("mesh: %d data x %d tensor x %d spatial over %s",
+                 n // (spatial * tensor), tensor, spatial, devices[0].platform)
     if getattr(args, "synthetic_data", False):
         args.synthetic_data = True
     return args, mesh

@@ -138,10 +138,14 @@ def main(argv=None):
         validate_spatial_divisibility(train_cfg["patch_size"][0], mesh.shape["spatial"],
                                       len(args.autoencoder_def["channels"]) - 1)
         train_step = make_stage1_train_step_spatial(ae, disc, lpips_apply, s1cfg, mesh)
-        place_images = lambda b: b  # jitted shard_map places P('data','spatial') itself
+
+        def place_images(b):
+            return b  # jitted shard_map places P('data','spatial') itself
     else:
         train_step = make_stage1_train_step(ae, disc, lpips_apply, s1cfg)
-        place_images = lambda b: shard_batch(mesh, b)
+
+        def place_images(b):
+            return shard_batch(mesh, b)
     eval_step = make_stage1_eval_step(ae, lpips_apply, s1cfg)
 
     writer = MetricsWriter(os.path.join(args.tfevent_path, "autoencoder"))

@@ -124,6 +124,13 @@ def main(argv=None):
         else:
             log.info("train diffusion model from scratch")
 
+    if mesh.shape.get("model", 1) > 1:
+        # tensor parallel: GSPMD-shard weight/optimizer channels (docs/SCALING.md)
+        from ldm3d_tpu.parallel import shard_train_state_tp
+
+        u_state = shard_train_state_tp(u_state, mesh)
+        log.info("tensor parallel: params + optimizer sharded over %d devices",
+                 mesh.shape["model"])
     if mesh.shape.get("spatial", 1) > 1:
         # dp x sp: volume depth sharded over the spatial axis (docs/SCALING.md)
         from ldm3d_tpu.parallel import validate_spatial_divisibility
@@ -134,10 +141,14 @@ def main(argv=None):
             len(args.autoencoder_def["channels"]) + len(args.diffusion_def["channels"]) - 2,
         )
         train_step = make_stage2_train_step_spatial(unet, ae, scheduler, s2cfg, mesh)
-        place_batch = lambda b: b  # jitted shard_map places P('data','spatial') itself
+
+        def place_batch(b):
+            return b  # jitted shard_map places P('data','spatial') itself
     else:
         train_step = make_stage2_train_step(unet, ae, scheduler, s2cfg)
-        place_batch = lambda b: shard_batch(mesh, b)
+
+        def place_batch(b):
+            return shard_batch(mesh, b)
     eval_step = make_stage2_eval_step(unet, ae, scheduler, s2cfg)
 
     writer = MetricsWriter(os.path.join(args.tfevent_path, "diffusion"))

@@ -5,6 +5,11 @@ from ldm3d_tpu.parallel.mesh import (
     replicated_sharding,
     shard_batch,
 )
+from ldm3d_tpu.parallel.tensor import (
+    shard_params_tp,
+    shard_train_state_tp,
+    tp_sharding_tree,
+)
 from ldm3d_tpu.parallel.spatial import (
     SPATIAL_AXIS,
     halo_exchange,
@@ -26,4 +31,7 @@ __all__ = [
     "shard_volume",
     "spatial_sharding",
     "validate_spatial_divisibility",
+    "shard_params_tp",
+    "shard_train_state_tp",
+    "tp_sharding_tree",
 ]
