@@ -36,7 +36,7 @@ from ldm3d_tpu.ckpt import CheckpointManager, StageArtifacts
 from ldm3d_tpu.cli.common import build_parser, model_dtype, setup
 from ldm3d_tpu.configs import define_instance
 from ldm3d_tpu.data import prepare_dataloader
-from ldm3d_tpu.diffusion import DDIMScheduler, DDPMScheduler, inferer
+from ldm3d_tpu.diffusion import DDIMScheduler, DDPMScheduler, DPMSolverPPScheduler, inferer
 from ldm3d_tpu.utils.config_merge import TrainContext
 
 log = logging.getLogger("inference")
@@ -88,9 +88,10 @@ def build_sampler_fn(args, ae, ae_params, unet, u_params, scheduler, scale_facto
 def main(argv=None):
     parser = build_parser("TPU latent diffusion inference")
     parser.add_argument("-n", "--num", type=int, default=1, help="number of generated images")
-    parser.add_argument("--sampler", choices=("ddpm", "ddim"), default="ddpm",
-                        help="ddpm = full-loop reference parity; ddim = fast path")
-    parser.add_argument("--steps", type=int, default=50, help="DDIM inference steps")
+    parser.add_argument("--sampler", choices=("ddpm", "ddim", "dpm"), default="ddpm",
+                        help="ddpm = full-loop reference parity; ddim = fast path; "
+                             "dpm = DPM-Solver++ 2M (fewer steps at equal quality)")
+    parser.add_argument("--steps", type=int, default=50, help="ddim/dpm inference steps")
     parser.add_argument("--batch", type=int, default=1, help="volumes per compiled sample call")
     args = parser.parse_args(argv)
     args, mesh = setup(args)
@@ -120,7 +121,12 @@ def main(argv=None):
     log.info("scale_factor from checkpoint: %.6f", scale_factor)
 
     sched_cfg = ctx.scheduler_config()
-    if args.sampler == "ddim":
+    if args.sampler == "dpm":
+        scheduler = DPMSolverPPScheduler.create(
+            num_train_timesteps=sched_cfg["num_train_timesteps"], schedule="scaled_linear_beta",
+            beta_start=sched_cfg["beta_start"], beta_end=sched_cfg["beta_end"],
+            num_inference_steps=args.steps)
+    elif args.sampler == "ddim":
         scheduler = DDIMScheduler.create(
             num_train_timesteps=sched_cfg["num_train_timesteps"], schedule="scaled_linear_beta",
             beta_start=sched_cfg["beta_start"], beta_end=sched_cfg["beta_end"],

@@ -70,6 +70,20 @@ def sample_latents(
     timesteps = scheduler.timesteps
     step_rngs = jax.random.split(rng, timesteps.shape[0])
 
+    if getattr(scheduler, "multistep", False):
+        # second-order multistep (DPM-Solver++ 2M): carry the previous x0
+        def body_ms(carry, scan_in):
+            x, x0_prev = carry
+            t, i = scan_in
+            model_in = x if condition is None else jnp.concatenate([x, condition.astype(x.dtype)], axis=-1)
+            pred = unet_apply(model_in, jnp.full((batch,), t, dtype=jnp.int32))
+            x_next, x0 = scheduler.step_multistep(pred, i, t, x, x0_prev)
+            return (x_next, x0), None
+
+        idx = jnp.arange(timesteps.shape[0], dtype=jnp.int32)
+        (final, _), _ = jax.lax.scan(body_ms, (noise, jnp.zeros_like(noise)), (timesteps, idx))
+        return final
+
     def body(x, scan_in):
         t, step_rng = scan_in
         model_in = x if condition is None else jnp.concatenate([x, condition.astype(x.dtype)], axis=-1)

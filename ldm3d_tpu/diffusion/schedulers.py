@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-__all__ = ["DDPMScheduler", "DDIMScheduler", "make_betas"]
+__all__ = ["DDPMScheduler", "DDIMScheduler", "DPMSolverPPScheduler", "make_betas"]
 
 Schedule = Literal["linear_beta", "scaled_linear_beta", "cosine"]
 Prediction = Literal["epsilon", "sample", "v_prediction"]
@@ -202,3 +202,113 @@ class DDIMScheduler:
             z = jax.random.normal(rng, x_t.shape, dtype=jnp.float32)
             sample = sample + jnp.where(t_prev >= 0, sigma, 0.0) * z
         return sample.astype(x_t.dtype)
+
+
+@struct.dataclass
+class DPMSolverPPScheduler:
+    """DPM-Solver++ (2M): deterministic second-order multistep ODE solver.
+
+    A modern fast sampler beyond the reference's capability set (the
+    reference has only the 1000-step DDPM loop; we add DDIM and this) —
+    typically matches DDIM quality at 2-4x fewer steps. Data-prediction
+    formulation (Lu et al. 2022, "DPM-Solver++"), second-order multistep with
+    first-order first/final steps.
+
+    All update coefficients are precomputed per step index, so the reverse
+    loop scans with a ``(x, x0_prev)`` carry and no control flow:
+
+        x_{i+1} = c_x[i] * x_i + c_d[i] * x0_i + c2[i] * (x0_i - x0_{i-1})
+
+    with alpha = sqrt(alpha_bar), sigma = sqrt(1 - alpha_bar),
+    lambda = log(alpha/sigma), h_i = lambda_{i+1} - lambda_i:
+      c_x = sigma_{i+1}/sigma_i,  c_d = alpha_{i+1} * (1 - e^{-h_i}),
+      c2  = 0.5 * c_d * h_i/h_{i-1}   (0 on the first and final steps).
+    The terminal target is alpha_bar = 1 (x collapses onto the predicted x0:
+    c_x = 0, c_d = 1), which stays finite because e^{-h} is formed as a
+    sigma/alpha ratio product, never from h itself.
+    """
+
+    betas: jnp.ndarray
+    alphas_cumprod: jnp.ndarray
+    c_x: jnp.ndarray
+    c_d: jnp.ndarray
+    c2: jnp.ndarray
+    num_train_timesteps: int = struct.field(pytree_node=False, default=1000)
+    num_inference_steps: int = struct.field(pytree_node=False, default=20)
+    prediction_type: str = struct.field(pytree_node=False, default="epsilon")
+    clip_sample: bool = struct.field(pytree_node=False, default=True)
+    clip_range: float = struct.field(pytree_node=False, default=1.0)
+    multistep: bool = struct.field(pytree_node=False, default=True)
+
+    @classmethod
+    def create(
+        cls,
+        num_train_timesteps: int = 1000,
+        schedule: str = "scaled_linear_beta",
+        beta_start: float = 0.0015,
+        beta_end: float = 0.0195,
+        num_inference_steps: int = 20,
+        prediction_type: str = "epsilon",
+        clip_sample: bool = True,
+        clip_range: float = 1.0,
+    ) -> "DPMSolverPPScheduler":
+        betas = make_betas(num_train_timesteps, schedule, beta_start, beta_end)
+        a_bar = jnp.cumprod(1.0 - betas)
+        stride = num_train_timesteps // num_inference_steps
+        ts = jnp.arange(num_inference_steps - 1, -1, -1, dtype=jnp.int32) * stride
+        # grid of (alpha, sigma) at each visited state, plus the terminal x0 state
+        a_grid = jnp.concatenate([jnp.take(a_bar, ts), jnp.ones((1,), jnp.float32)])
+        alpha = jnp.sqrt(a_grid)
+        sigma = jnp.sqrt(1.0 - a_grid)
+        c_x = sigma[1:] / jnp.clip(sigma[:-1], 1e-12)
+        exp_neg_h = (sigma[1:] * alpha[:-1]) / jnp.clip(sigma[:-1] * alpha[1:], 1e-12)
+        c_d = alpha[1:] * (1.0 - exp_neg_h)
+        # second-order coefficient: finite h values only (not the terminal step)
+        lam = jnp.log(jnp.clip(alpha[:-1], 1e-12)) - jnp.log(jnp.clip(sigma[:-1], 1e-12))
+        h = lam[1:] - lam[:-1]  # h_i for i in [0, N-2]
+        n = num_inference_steps
+        c2 = jnp.zeros((n,), jnp.float32)
+        if n > 2:
+            ratio = h[1:] / jnp.clip(h[:-1], 1e-12)  # h_i / h_{i-1}, i in [1, N-2]
+            c2 = c2.at[1 : n - 1].set(0.5 * c_d[1 : n - 1] * ratio)
+        return cls(
+            betas=betas,
+            alphas_cumprod=a_bar,
+            c_x=c_x,
+            c_d=c_d,
+            c2=c2,
+            num_train_timesteps=num_train_timesteps,
+            num_inference_steps=num_inference_steps,
+            prediction_type=prediction_type,
+            clip_sample=clip_sample,
+            clip_range=clip_range,
+        )
+
+    @property
+    def timesteps(self) -> jnp.ndarray:
+        stride = self.num_train_timesteps // self.num_inference_steps
+        return jnp.arange(self.num_inference_steps - 1, -1, -1, dtype=jnp.int32) * stride
+
+    def add_noise(self, x0: jax.Array, noise: jax.Array, t: jax.Array) -> jax.Array:
+        a = jnp.take(self.alphas_cumprod, t)
+        a = a.reshape(a.shape + (1,) * (x0.ndim - a.ndim)).astype(x0.dtype)
+        return jnp.sqrt(a) * x0 + jnp.sqrt(1.0 - a) * noise
+
+    def step_multistep(
+        self, model_output: jax.Array, i: jax.Array, t: jax.Array,
+        x_t: jax.Array, x0_prev: jax.Array,
+    ) -> tuple[jax.Array, jax.Array]:
+        """One 2M update at step index ``i`` (timestep ``t``); returns
+        ``(x_next, x0_current)`` — the caller carries x0 across steps."""
+        x32 = x_t.astype(jnp.float32)
+        pred = model_output.astype(jnp.float32)
+        a_t = jnp.take(self.alphas_cumprod, t)
+        x0, _ = _pred_x0_and_eps(pred, x32, a_t, self.prediction_type)
+        if self.clip_sample:
+            x0 = jnp.clip(x0, -self.clip_range, self.clip_range)
+        x_next = (
+            jnp.take(self.c_x, i) * x32
+            + jnp.take(self.c_d, i) * x0
+            + jnp.take(self.c2, i) * (x0 - x0_prev)
+        )
+        return x_next.astype(x_t.dtype), x0.astype(x_t.dtype)

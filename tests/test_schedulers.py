@@ -92,3 +92,47 @@ def test_ddpm_full_loop_statistics():
 
     out = inferer.sample_latents(unet_apply, sch, noise, jax.random.PRNGKey(1))
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_dpm_solver_analytic_exactness():
+    """With an exact epsilon oracle for a point mass at x0*, the probability
+    flow is linear and every deterministic solver (DDIM, DPM-Solver++ 2M)
+    must land on x0* to machine precision from any starting noise level."""
+    import numpy as np
+
+    from ldm3d_tpu.diffusion import DDIMScheduler, DPMSolverPPScheduler, inferer
+
+    rng = jax.random.PRNGKey(0)
+    x0_star = jax.random.uniform(rng, (2, 4, 4, 4, 3), jnp.float32) * 0.8 - 0.4
+
+    for sched in (
+        DPMSolverPPScheduler.create(num_inference_steps=8, num_train_timesteps=64),
+        DPMSolverPPScheduler.create(num_inference_steps=3, num_train_timesteps=64),
+        DDIMScheduler.create(num_inference_steps=8, num_train_timesteps=64),
+    ):
+        a_bar = sched.alphas_cumprod
+
+        def exact_eps(x, t, a_bar=a_bar):
+            a = jnp.take(a_bar, t[0])
+            return (x - jnp.sqrt(a) * x0_star) / jnp.sqrt(1 - a)
+
+        t0 = int(np.asarray(sched.timesteps)[0])
+        a0 = float(a_bar[t0])
+        noise = (np.sqrt(a0) * x0_star
+                 + np.sqrt(1 - a0) * jax.random.normal(jax.random.PRNGKey(1), x0_star.shape))
+        out = inferer.sample_latents(exact_eps, sched, jnp.asarray(noise), rng)
+        assert float(jnp.abs(out - x0_star).max()) < 1e-4, type(sched).__name__
+
+
+def test_dpm_solver_tables_finite():
+    from ldm3d_tpu.diffusion import DPMSolverPPScheduler
+
+    s = DPMSolverPPScheduler.create(num_inference_steps=20)
+    import numpy as np
+
+    for name, arr in (("c_x", s.c_x), ("c_d", s.c_d), ("c2", s.c2)):
+        assert np.isfinite(np.asarray(arr)).all(), name
+    # terminal step collapses onto x0: c_x = 0, c_d = 1, first-order
+    assert abs(float(s.c_x[-1])) < 1e-6
+    assert abs(float(s.c_d[-1]) - 1.0) < 1e-6
+    assert abs(float(s.c2[-1])) < 1e-12 and abs(float(s.c2[0])) < 1e-12
