@@ -52,6 +52,9 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--spatial", type=int, default=1,
                    help="spatial (context) parallel axis size: shard volume depth over this many "
                         "devices per replica (see docs/SCALING.md)")
+    p.add_argument("--ema-decay", type=float, default=0.0,
+                   help="keep an EMA of the diffusion UNet params (e.g. 0.9999); saved as the "
+                        "'ema' checkpoint role, used by inference --use-ema")
     p.add_argument("--tensor", type=int, default=1,
                    help="tensor-parallel axis size: shard weight output channels (GSPMD) over "
                         "this many devices per replica (see docs/SCALING.md)")

@@ -93,6 +93,8 @@ def main(argv=None):
                              "dpm = DPM-Solver++ 2M (fewer steps at equal quality)")
     parser.add_argument("--steps", type=int, default=50, help="ddim/dpm inference steps")
     parser.add_argument("--batch", type=int, default=1, help="volumes per compiled sample call")
+    parser.add_argument("--use-ema", action="store_true",
+                        help="sample with the EMA UNet weights (requires --ema-decay at train time)")
     args = parser.parse_args(argv)
     args, mesh = setup(args)
     dt = model_dtype(args)
@@ -116,7 +118,10 @@ def main(argv=None):
     probe = jnp.zeros((1, *latent_shape, unet.in_channels), dt)
     u_vars = jax.jit(unet.init)(rng, probe, jnp.zeros((1,), jnp.int32))
     u_ckpt = CheckpointManager(args.model_dir, StageArtifacts.DIFFUSION)
-    u_params = u_ckpt.restore_params("best", u_vars["params"], sharding=rep)
+    role = "ema" if args.use_ema else "best"
+    if args.use_ema and not u_ckpt.exists("ema"):
+        raise FileNotFoundError("no 'ema' checkpoint found; train with --ema-decay first")
+    u_params = u_ckpt.restore_params(role, u_vars["params"], sharding=rep)
     scale_factor = float(u_ckpt.load_meta("best").get("scale_factor", 1.0))
     log.info("scale_factor from checkpoint: %.6f", scale_factor)
 

@@ -110,12 +110,15 @@ def main(argv=None):
     schedule = build_lr_schedule("multistep", train_cfg["lr"], max_epochs, steps_per_epoch)
     s2cfg = Stage2Config(conditional=not args.unconditional)
     u_state = TrainState.create(unet.apply, u_vars["params"],
-                                make_diffusion_optimizer(schedule, grad_accum=args.grad_accum))
+                                make_diffusion_optimizer(schedule, grad_accum=args.grad_accum),
+                                ema_decay=args.ema_decay)
 
     u_ckpt = CheckpointManager(args.model_dir, StageArtifacts.DIFFUSION)
     start_epoch = 0
     if args.resume_ckpt:
         full = {"params": u_state.params, "opt_state": u_state.opt_state, "step": u_state.step}
+        if u_state.ema_params is not None:
+            full["ema_params"] = u_state.ema_params
         restored, ok = u_ckpt.try_restore("last", full, sharding=replicated_sharding(mesh))
         if ok:
             u_state = u_state.replace(**restored)
@@ -193,12 +196,16 @@ def main(argv=None):
                     log.info("Epoch %d val_diffusion_loss: %.5f", epoch, val_loss)
                     is_best = val_loss < best_val
                     best_val = min(best_val, val_loss)
+                    full = {"params": u_state.params, "opt_state": u_state.opt_state, "step": u_state.step}
+                    if u_state.ema_params is not None:
+                        full["ema_params"] = u_state.ema_params
                     u_ckpt.save_best_and_last(
-                        {"params": u_state.params, "opt_state": u_state.opt_state, "step": u_state.step},
-                        is_best,
+                        full, is_best,
                         {"epoch": epoch, "val_loss": val_loss, "scale_factor": float(scale_factor)},
                     )
                     if is_best:
+                        if u_state.ema_params is not None:
+                            u_ckpt.save("ema", {"params": u_state.ema_params})
                         log.info("Got best val noise pred loss; saved to %s", u_ckpt.root)
 
                 # periodic conditional sampling (reference :308-333)

@@ -22,14 +22,26 @@ class TrainState:
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
     apply_fn: Callable = struct.field(pytree_node=False)
+    ema_params: Any = None  # exponential moving average of params (optional)
+    ema_decay: float = struct.field(pytree_node=False, default=0.0)
 
     @classmethod
-    def create(cls, apply_fn: Callable, params: Any, tx: optax.GradientTransformation) -> "TrainState":
+    def create(cls, apply_fn: Callable, params: Any, tx: optax.GradientTransformation,
+               ema_decay: float = 0.0) -> "TrainState":
         import jax.numpy as jnp
 
-        return cls(step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params), tx=tx, apply_fn=apply_fn)
+        ema = jax.tree_util.tree_map(jnp.copy, params) if ema_decay > 0 else None
+        return cls(step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params),
+                   tx=tx, apply_fn=apply_fn, ema_params=ema, ema_decay=ema_decay)
 
     def apply_gradients(self, grads: Any) -> "TrainState":
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
         new_params = optax.apply_updates(self.params, updates)
-        return self.replace(step=self.step + 1, params=new_params, opt_state=new_opt_state)
+        new_ema = self.ema_params
+        if self.ema_params is not None:
+            d = self.ema_decay
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: d * e + (1.0 - d) * p.astype(e.dtype), self.ema_params, new_params
+            )
+        return self.replace(step=self.step + 1, params=new_params, opt_state=new_opt_state,
+                            ema_params=new_ema)

@@ -157,3 +157,34 @@ def test_stage1_eval_step(stage1_setup):
     assert recon.shape == x.shape
     assert np.isfinite(float(m["val_recon_loss"]))
     assert float(np.max(np.asarray(recon))) <= 1.0
+
+
+def test_ema_params_track_updates():
+    """EMA tree follows params with the configured decay (capability beyond
+    the reference, which keeps no weight averages)."""
+    import optax
+
+    from ldm3d_tpu.training.state import TrainState
+
+    params = {"w": jnp.ones((4,), jnp.float32)}
+    state = TrainState.create(lambda *a: None, params, optax.sgd(0.5), ema_decay=0.9)
+    grads = {"w": jnp.ones((4,), jnp.float32)}
+    state = state.apply_gradients(grads)
+    # params: 1 - 0.5 = 0.5 ; ema: 0.9*1 + 0.1*0.5 = 0.95
+    np.testing.assert_allclose(np.asarray(state.params["w"]), 0.5)
+    np.testing.assert_allclose(np.asarray(state.ema_params["w"]), 0.95, rtol=1e-6)
+    state = state.apply_gradients(grads)
+    # params: 0.0 ; ema: 0.9*0.95 = 0.855
+    np.testing.assert_allclose(np.asarray(state.params["w"]), 0.0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(state.ema_params["w"]), 0.855, rtol=1e-6)
+
+
+def test_ema_none_by_default():
+    import optax
+
+    from ldm3d_tpu.training.state import TrainState
+
+    state = TrainState.create(lambda *a: None, {"w": jnp.ones((2,))}, optax.sgd(0.1))
+    assert state.ema_params is None
+    state = state.apply_gradients({"w": jnp.ones((2,))})
+    assert state.ema_params is None
