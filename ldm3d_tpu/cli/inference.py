@@ -72,7 +72,8 @@ def build_sampler_fn(args, ae, ae_params, unet, u_params, scheduler, scale_facto
     def scan_fn(params, noise, rng, condition):
         def unet_apply(z, t):
             return unet.apply({"params": params}, z, t)
-        return inferer.sample_latents(unet_apply, scheduler, noise, rng, condition=condition)
+        return inferer.sample_latents(unet_apply, scheduler, noise, rng, condition=condition,
+                                      guidance_scale=args.guidance)
 
     @jax.jit
     def decode_fn(params, z):
@@ -93,6 +94,8 @@ def main(argv=None):
                              "dpm = DPM-Solver++ 2M (fewer steps at equal quality)")
     parser.add_argument("--steps", type=int, default=50, help="ddim/dpm inference steps")
     parser.add_argument("--batch", type=int, default=1, help="volumes per compiled sample call")
+    parser.add_argument("--guidance", type=float, default=1.0,
+                        help="classifier-free guidance scale (1.0 = off; train with --cond-dropout)")
     parser.add_argument("--use-ema", action="store_true",
                         help="sample with the EMA UNet weights (requires --ema-decay at train time)")
     args = parser.parse_args(argv)
@@ -130,16 +133,17 @@ def main(argv=None):
         scheduler = DPMSolverPPScheduler.create(
             num_train_timesteps=sched_cfg["num_train_timesteps"], schedule="scaled_linear_beta",
             beta_start=sched_cfg["beta_start"], beta_end=sched_cfg["beta_end"],
-            num_inference_steps=args.steps)
+            num_inference_steps=args.steps, prediction_type=sched_cfg["prediction_type"])
     elif args.sampler == "ddim":
         scheduler = DDIMScheduler.create(
             num_train_timesteps=sched_cfg["num_train_timesteps"], schedule="scaled_linear_beta",
             beta_start=sched_cfg["beta_start"], beta_end=sched_cfg["beta_end"],
-            num_inference_steps=args.steps)
+            num_inference_steps=args.steps, prediction_type=sched_cfg["prediction_type"])
     else:
         scheduler = DDPMScheduler.create(
             num_train_timesteps=sched_cfg["num_train_timesteps"], schedule="scaled_linear_beta",
-            beta_start=sched_cfg["beta_start"], beta_end=sched_cfg["beta_end"])
+            beta_start=sched_cfg["beta_start"], beta_end=sched_cfg["beta_end"],
+            prediction_type=sched_cfg["prediction_type"])
 
     conditional = unet.in_channels > ae.latent_channels
     condition = None
@@ -168,7 +172,8 @@ def main(argv=None):
                 f"({mesh.shape['data']} = devices/spatial); e.g. use -g {mesh.shape['spatial']} "
                 f"--spatial {mesh.shape['spatial']} to devote all devices to one volume"
             )
-        sampler = make_spatial_sampler(unet, ae, scheduler, mesh, scale_factor=scale_factor)
+        sampler = make_spatial_sampler(unet, ae, scheduler, mesh, scale_factor=scale_factor,
+                                       guidance_scale=args.guidance)
 
         def run(noise, rng, condition=None):
             return sampler(u_params, ae_params, noise, rng, condition)

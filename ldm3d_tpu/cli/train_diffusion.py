@@ -62,6 +62,9 @@ def main(argv=None):
     parser = build_parser("TPU latent diffusion training (stage 2)")
     parser.add_argument("--unconditional", action="store_true",
                         help="train without concat conditioning (UNet in_channels == latent)")
+    parser.add_argument("--cond-dropout", type=float, default=0.0,
+                        help="per-sample probability of zeroing the condition during training "
+                             "(enables classifier-free guidance at inference)")
     args = parser.parse_args(argv)
     args, mesh = setup(args)
     dt = model_dtype(args)
@@ -103,12 +106,13 @@ def main(argv=None):
         schedule="scaled_linear_beta",
         beta_start=sched_cfg["beta_start"],
         beta_end=sched_cfg["beta_end"],
+        prediction_type=sched_cfg["prediction_type"],
     )
 
     max_epochs = args.max_epochs or train_cfg["max_epochs"]
     val_interval = train_cfg["val_interval"]
     schedule = build_lr_schedule("multistep", train_cfg["lr"], max_epochs, steps_per_epoch)
-    s2cfg = Stage2Config(conditional=not args.unconditional)
+    s2cfg = Stage2Config(conditional=not args.unconditional, cond_dropout=args.cond_dropout)
     u_state = TrainState.create(unet.apply, u_vars["params"],
                                 make_diffusion_optimizer(schedule, grad_accum=args.grad_accum),
                                 ema_decay=args.ema_decay)

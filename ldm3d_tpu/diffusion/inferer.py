@@ -56,27 +56,41 @@ def sample_latents(
     noise: jax.Array,
     rng: jax.Array,
     condition: Optional[jax.Array] = None,
+    guidance_scale: float = 1.0,
 ) -> jax.Array:
     """Run the full reverse loop in latent space as one ``lax.scan``.
 
     Args:
       unet_apply: ``(x, t) -> model_output`` (t of shape (B,)).
-      scheduler: DDPM or DDIM scheduler pytree.
+      scheduler: DDPM, DDIM, or DPM-Solver++ scheduler pytree.
       noise: initial latent noise ``(B, d, h, w, C)``.
       rng: PRNG key for ancestral noise (unused when sampling is deterministic).
       condition: optional concat conditioning, fixed across steps.
+      guidance_scale: classifier-free guidance weight w (concat mode: the
+        unconditional branch zeroes the condition channels). 1.0 disables the
+        extra UNet pass; w > 1 computes ``(1+w')·eps_c − w'·eps_u`` with
+        ``w' = w − 1`` — i.e. ``eps_u + w·(eps_c − eps_u)``.
     """
     batch = noise.shape[0]
     timesteps = scheduler.timesteps
     step_rngs = jax.random.split(rng, timesteps.shape[0])
+    guided = condition is not None and guidance_scale != 1.0
+
+    def model_pred(x, t_b):
+        model_in = x if condition is None else jnp.concatenate([x, condition.astype(x.dtype)], axis=-1)
+        pred = unet_apply(model_in, t_b)
+        if guided:
+            uncond_in = jnp.concatenate([x, jnp.zeros_like(condition).astype(x.dtype)], axis=-1)
+            pred_u = unet_apply(uncond_in, t_b)
+            pred = pred_u + guidance_scale * (pred - pred_u)
+        return pred
 
     if getattr(scheduler, "multistep", False):
         # second-order multistep (DPM-Solver++ 2M): carry the previous x0
         def body_ms(carry, scan_in):
             x, x0_prev = carry
             t, i = scan_in
-            model_in = x if condition is None else jnp.concatenate([x, condition.astype(x.dtype)], axis=-1)
-            pred = unet_apply(model_in, jnp.full((batch,), t, dtype=jnp.int32))
+            pred = model_pred(x, jnp.full((batch,), t, dtype=jnp.int32))
             x_next, x0 = scheduler.step_multistep(pred, i, t, x, x0_prev)
             return (x_next, x0), None
 
@@ -86,9 +100,7 @@ def sample_latents(
 
     def body(x, scan_in):
         t, step_rng = scan_in
-        model_in = x if condition is None else jnp.concatenate([x, condition.astype(x.dtype)], axis=-1)
-        t_b = jnp.full((batch,), t, dtype=jnp.int32)
-        pred = unet_apply(model_in, t_b)
+        pred = model_pred(x, jnp.full((batch,), t, dtype=jnp.int32))
         x_next = scheduler.step(pred, t, x, step_rng)
         return x_next, None
 
@@ -104,12 +116,14 @@ def sample(
     rng: jax.Array,
     condition: Optional[jax.Array] = None,
     scale_factor: float | jax.Array = 1.0,
+    guidance_scale: float = 1.0,
 ) -> jax.Array:
     """Reverse loop + VAE decode, one compiled program.
 
     Mirrors ``LatentDiffusionInferer.sample`` (reference ``inference.py:94-99``):
     the final latent is divided by ``scale_factor`` before decoding.
     """
-    latents = sample_latents(unet_apply, scheduler, noise, rng, condition)
+    latents = sample_latents(unet_apply, scheduler, noise, rng, condition,
+                             guidance_scale=guidance_scale)
     latents = latents / jnp.asarray(scale_factor, dtype=latents.dtype)
     return decode_apply(latents)

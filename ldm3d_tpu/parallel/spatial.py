@@ -103,7 +103,8 @@ def validate_spatial_divisibility(depth: int, n_spatial: int, num_downsamples: i
         local //= 2
 
 
-def make_spatial_sampler(unet, ae, scheduler, mesh: Mesh, scale_factor=1.0):
+def make_spatial_sampler(unet, ae, scheduler, mesh: Mesh, scale_factor=1.0,
+                         guidance_scale: float = 1.0):
     """Build a jitted spatially-sharded sampler: reverse loop + VAE decode.
 
     The returned ``sampler(u_params, ae_params, noise, rng, condition)`` takes
@@ -126,7 +127,8 @@ def make_spatial_sampler(unet, ae, scheduler, mesh: Mesh, scale_factor=1.0):
         def unet_apply(x, t):
             return unet_sp.apply({"params": u_params}, x, t)
 
-        latents = inferer.sample_latents(unet_apply, scheduler, noise, rng, condition)
+        latents = inferer.sample_latents(unet_apply, scheduler, noise, rng, condition,
+                                         guidance_scale=guidance_scale)
         latents = latents / jnp.asarray(scale_factor, dtype=latents.dtype)
         return ae_sp.apply({"params": ae_params}, latents, method="decode_stage_2_outputs")
 

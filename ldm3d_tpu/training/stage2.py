@@ -46,6 +46,14 @@ class Stage2Config:
     grad_clip: float = 1.0
     conditional: bool = True
     clamp_inputs: bool = True
+    # per-sample probability of zeroing the condition during training, which
+    # makes classifier-free guidance meaningful at sampling time
+    cond_dropout: float = 0.0
+
+
+def _drop_condition(condition, rng, p: float):
+    keep = jax.random.bernoulli(rng, 1.0 - p, (condition.shape[0],) + (1,) * (condition.ndim - 1))
+    return condition * keep.astype(condition.dtype)
 
 
 def make_diffusion_optimizer(lr_schedule, grad_clip: float = 1.0,
@@ -87,7 +95,7 @@ def make_stage2_train_step(unet, ae, scheduler, cfg: Stage2Config):
         return ae.apply({"params": ae_params}, x, method="encode_stage_2_inputs", rngs={"sample": rng})
 
     def loss_fn(params, ae_params, batch, scale_factor, rng):
-        rng_zl, rng_zi, rng_n, rng_t = jax.random.split(rng, 4)
+        rng_zl, rng_zi, rng_n, rng_t, rng_cd = jax.random.split(rng, 5)
         images, labels = batch["image"], batch["label"]
         if cfg.clamp_inputs:
             images = jnp.clip(images, 0.0, 1.0)
@@ -97,6 +105,8 @@ def make_stage2_train_step(unet, ae, scheduler, cfg: Stage2Config):
         condition = None
         if cfg.conditional:
             condition = jax.lax.stop_gradient(encode(ae_params, images, rng_zi))
+            if cfg.cond_dropout > 0:
+                condition = _drop_condition(condition, rng_cd, cfg.cond_dropout)
         noise = jax.random.normal(rng_n, z_labels.shape, dtype=jnp.float32).astype(z_labels.dtype)
         b = z_labels.shape[0]
         timesteps = jax.random.randint(rng_t, (b,), 0, scheduler.num_train_timesteps)
@@ -158,6 +168,7 @@ def make_stage2_train_step_spatial(unet, ae, scheduler, cfg: Stage2Config, mesh)
         rng_slab = jax.random.fold_in(rng_vol, si + 1)  # unique per slab
         rng_zl, rng_zi = jax.random.split(rng_slab)
         rng_n, rng_t = jax.random.split(jax.random.fold_in(rng_vol, 0))
+        rng_cd = jax.random.fold_in(rng_vol, 1)
 
         images, labels = batch["image"], batch["label"]
         if cfg.clamp_inputs:
@@ -167,6 +178,8 @@ def make_stage2_train_step_spatial(unet, ae, scheduler, cfg: Stage2Config, mesh)
         condition = None
         if cfg.conditional:
             condition = jax.lax.stop_gradient(encode(ae_params, images, rng_zi))
+            if cfg.cond_dropout > 0:
+                condition = _drop_condition(condition, rng_cd, cfg.cond_dropout)
 
         # per-volume noise: generate the slab from a per-(volume, slab) fold of
         # the VOLUME key so the full-volume field is well-defined; epsilon
