@@ -1,0 +1,143 @@
+"""Evaluation CLI: score the trained LDM on the validation set, gate CI.
+
+The reference's CI invokes a ``model_evaluation`` step and registers the
+model only when "performance > 0.8" (``mlops-pipeline.yml:212-227``), but the
+module does not exist in its repo (SURVEY.md §3.5). This driver is that step,
+for real: it loads both stage checkpoints, samples conditioned volumes for
+the validation pairs (same compiled reverse-loop + decode program as
+:mod:`ldm3d_tpu.cli.inference`), scores them with jitted 3-D
+SSIM / MS-SSIM / PSNR / MAE plus a VAE-latent Fréchet distance, writes
+``evaluation_report.json``, and — with ``--gate`` — exits non-zero when the
+composite score is below ``--threshold`` so the CI job fails closed.
+
+Usage: python -m ldm3d_tpu.cli.evaluate -c CONFIG -e ENV [-n NUM]
+       [--sampler ddim --steps 50] [--gate --threshold 0.8]
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ldm3d_tpu.ckpt import CheckpointManager, StageArtifacts
+from ldm3d_tpu.cli.common import build_parser, model_dtype, setup
+from ldm3d_tpu.cli.inference import build_sampler_fn
+from ldm3d_tpu.configs import define_instance
+from ldm3d_tpu.data import prepare_dataloader
+from ldm3d_tpu.diffusion import DDIMScheduler, DDPMScheduler, DPMSolverPPScheduler
+from ldm3d_tpu.evaluation import evaluate_pairs
+from ldm3d_tpu.utils.config_merge import TrainContext
+
+log = logging.getLogger("evaluate")
+
+
+def main(argv=None):
+    parser = build_parser("TPU latent diffusion model evaluation")
+    parser.add_argument("-n", "--num", type=int, default=8,
+                        help="max validation pairs to evaluate")
+    parser.add_argument("--sampler", choices=("ddpm", "ddim", "dpm"), default="ddim")
+    parser.add_argument("--steps", type=int, default=50, help="ddim/dpm inference steps")
+    parser.add_argument("--batch", type=int, default=1, help="volumes per compiled sample call")
+    parser.add_argument("--guidance", type=float, default=1.0,
+                        help="classifier-free guidance scale (1.0 = off)")
+    parser.add_argument("--use-ema", action="store_true", help="evaluate the EMA UNet weights")
+    parser.add_argument("--threshold", type=float, default=0.8,
+                        help="composite-score gate (reference CI uses 0.8)")
+    parser.add_argument("--gate", action="store_true",
+                        help="exit non-zero when score <= threshold (CI registration gate)")
+    parser.add_argument("--report", default=None,
+                        help="report path (default: <model_dir>/evaluation_report.json)")
+    args = parser.parse_args(argv)
+    args, mesh = setup(args)
+    dt = model_dtype(args)
+    ctx = TrainContext(args)
+    rng = jax.random.PRNGKey(int(getattr(args, "seed", 0)) or 42)
+
+    patch_size = args.diffusion_train["patch_size"]
+
+    # models + checkpoints (same contract as cli.inference) -------------------
+    ae = define_instance(args, "autoencoder_def").clone(dtype=dt)
+    g_vars = jax.jit(ae.init)({"params": rng, "sample": rng},
+                              jnp.zeros((1, *patch_size, args.image_channels), dt))
+    from ldm3d_tpu.parallel import replicated_sharding
+
+    rep = replicated_sharding(mesh)
+    ae_params = CheckpointManager(args.model_dir, StageArtifacts.AUTOENCODER).restore_params(
+        "best", g_vars["params"], sharding=rep)
+
+    unet = define_instance(args, "diffusion_def").clone(dtype=dt)
+    latent_shape = [p // ae.downsample_factor for p in patch_size]
+    u_vars = jax.jit(unet.init)(rng, jnp.zeros((1, *latent_shape, unet.in_channels), dt),
+                                jnp.zeros((1,), jnp.int32))
+    u_ckpt = CheckpointManager(args.model_dir, StageArtifacts.DIFFUSION)
+    role = "ema" if args.use_ema else "best"
+    u_params = u_ckpt.restore_params(role, u_vars["params"], sharding=rep)
+    scale_factor = float(u_ckpt.load_meta("best").get("scale_factor", 1.0))
+
+    sched_cfg = ctx.scheduler_config()
+    common = dict(num_train_timesteps=sched_cfg["num_train_timesteps"],
+                  schedule="scaled_linear_beta", beta_start=sched_cfg["beta_start"],
+                  beta_end=sched_cfg["beta_end"], prediction_type=sched_cfg["prediction_type"])
+    if args.sampler == "dpm":
+        scheduler = DPMSolverPPScheduler.create(num_inference_steps=args.steps, **common)
+    elif args.sampler == "ddim":
+        scheduler = DDIMScheduler.create(num_inference_steps=args.steps, **common)
+    else:
+        scheduler = DDPMScheduler.create(**common)
+
+    sampler = build_sampler_fn(args, ae, ae_params, unet, u_params, scheduler, scale_factor)
+    conditional = unet.in_channels > ae.latent_channels
+    if not conditional:
+        log.warning("unconditional UNet: paired metrics compare unconditional samples "
+                    "to validation labels — expect a low score")
+
+    # validation pairs ---------------------------------------------------------
+    _, val_loader = prepare_dataloader(
+        args, args.batch, patch_size, randcrop=False,
+        size_divisible=2 ** (len(args.autoencoder_def["channels"])
+                             + len(args.diffusion_def["channels"]) - 2))
+
+    generated, references = [], []
+    n_done = 0
+    noise_shape = (args.batch, *latent_shape, ae.latent_channels)
+    for batch in val_loader.epoch(0):
+        if n_done >= args.num:
+            break
+        images = jnp.clip(jnp.asarray(batch["image"]), 0, 1).astype(dt)
+        labels = jnp.clip(jnp.asarray(batch["label"]), 0, 1).astype(jnp.float32)
+        if images.shape[0] != args.batch:
+            break  # ragged tail: the sampler program is compiled for --batch
+        rng, crng, nrng, srng = jax.random.split(rng, 4)
+        condition = None
+        if conditional:
+            condition = ae.apply({"params": ae_params}, images,
+                                 method="encode_stage_2_inputs", rngs={"sample": crng})
+        noise = jax.random.normal(nrng, noise_shape, jnp.float32).astype(dt)
+        vols = jax.block_until_ready(sampler(noise, srng, condition))
+        generated.append(np.asarray(vols, np.float32))
+        references.append(np.asarray(labels, np.float32))
+        n_done += images.shape[0]
+        log.info("evaluated %d/%d pairs", n_done, args.num)
+
+    if not generated:
+        log.error("validation set produced no full batches of size %d", args.batch)
+        sys.exit(2)
+
+    report = evaluate_pairs(generated, references, ae=ae, ae_params=ae_params)
+    path = args.report or os.path.join(args.model_dir, "evaluation_report.json")
+    report.save(path)
+    log.info("wrote %s (score=%.4f, threshold=%.2f)", path, report.score, args.threshold)
+
+    if args.gate and not report.passed(args.threshold):
+        log.error("GATE FAILED: score %.4f <= threshold %.2f", report.score, args.threshold)
+        sys.exit(1)
+    return report
+
+
+if __name__ == "__main__":
+    main()

@@ -82,11 +82,26 @@ class TrainingPipeline:
 
     def step_evaluate(self, stage2_metrics: dict) -> dict:
         """Gate on model quality (CI gate parity: perf > threshold,
-        ``mlops-pipeline.yml:212-227``). Score = 1/(1+val_loss) so lower loss
-        -> higher score in [0, 1]."""
-        val = stage2_metrics.get("best_val_diffusion_loss", float("inf"))
-        score = 1.0 / (1.0 + val)
-        return {"score": score, "passed": score > self.eval_threshold}
+        ``mlops-pipeline.yml:212-227``).
+
+        Runs the real evaluation CLI (jitted 3-D SSIM/PSNR/MAE + VAE-latent
+        Fréchet distance over sampled validation pairs,
+        :mod:`ldm3d_tpu.cli.evaluate`); falls back to the cheap loss-based
+        proxy score ``1/(1+val_loss)`` if sampling-based eval fails (e.g. no
+        validation pairs in a smoke run)."""
+        try:
+            from ldm3d_tpu.cli.evaluate import main as eval_main
+
+            report = eval_main(self._cli_argv() + ["-n", "4", "--sampler", "ddim"])
+            return {"score": report.score, "ssim": report.ssim, "psnr": report.psnr,
+                    "frechet": report.frechet, "passed": report.passed(self.eval_threshold)}
+        except SystemExit:
+            raise
+        except Exception as e:  # noqa: BLE001 — smoke runs may lack val pairs
+            log.warning("sampling-based evaluation unavailable (%s); using loss proxy", e)
+            val = stage2_metrics.get("best_val_diffusion_loss", float("inf"))
+            score = 1.0 / (1.0 + val)
+            return {"score": score, "passed": score > self.eval_threshold}
 
     def step_register(self, eval_result: dict, metrics: dict) -> Optional[int]:
         if self.registry is None or not eval_result["passed"]:
@@ -125,8 +140,11 @@ class TrainingPipeline:
             {"name": "train-diffusion", "command": f"python -m ldm3d_tpu.cli.train_diffusion {base} --amp",
              "accelerator": accelerator, "depends_on": ["train-autoencoder"],
              "inputs": {"model_dir": self.model_dir}},
-            {"name": "evaluate-register", "command": f"python -m ldm3d_tpu.mlops.pipelines.training_pipeline --step evaluate {base}",
-             "depends_on": ["train-diffusion"]},
+            {"name": "evaluate-register",
+             "command": f"python -m ldm3d_tpu.cli.evaluate {base} --sampler ddim --gate "
+                        f"--threshold {self.eval_threshold}",
+             "accelerator": accelerator, "depends_on": ["train-diffusion"],
+             "inputs": {"model_dir": self.model_dir}},
         ]
         return {"image": image, "steps": steps}
 
