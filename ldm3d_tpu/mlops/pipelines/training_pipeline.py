@@ -92,7 +92,7 @@ class TrainingPipeline:
         try:
             from ldm3d_tpu.cli.evaluate import main as eval_main
 
-            report = eval_main(self._cli_argv() + ["-n", "4", "--sampler", "ddim"])
+            report = eval_main(self._cli_argv() + ["-n", "4", "--sampler", "ddim", "--steps", "8"])
             return {"score": report.score, "ssim": report.ssim, "psnr": report.psnr,
                     "frechet": report.frechet, "passed": report.passed(self.eval_threshold)}
         except SystemExit:
