@@ -38,7 +38,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import re
-from typing import Iterable, Optional
+from typing import Optional
 
 import numpy as np
 
