@@ -69,9 +69,25 @@ class Api:
         seed = body.get("seed")
         if seed is not None:
             seed = int(seed)
+        # optional low-count conditioning volume for concat-conditional
+        # models: {"condition": {"data": <base64 float32>, "shape": [D,H,W]}}
+        condition_volume = None
+        cond = body.get("condition")
+        if cond is not None:
+            import base64 as _b64
+
+            import numpy as np
+            try:
+                raw = _b64.b64decode(cond["data"])
+                condition_volume = np.frombuffer(raw, np.float32).reshape(cond["shape"])
+            except (KeyError, ValueError, TypeError) as e:
+                return 422, {"error": f"bad condition payload: {e}"}
         t0 = time.time()
         try:
-            result = self.server.generate(num_samples=num, seed=seed)
+            result = self.server.generate(num_samples=num, seed=seed,
+                                          condition_volume=condition_volume)
+        except ValueError as e:
+            return 422, {"error": str(e)}
         except RuntimeError as e:
             return 503, {"error": str(e)}
         INFERENCE_DURATION.observe(time.time() - t0)

@@ -40,6 +40,7 @@ class ModelServer:
         self._lock = threading.Lock()
         self._run = None  # compiled sampler fn
         self._latent_shape = None
+        self._encode_condition = None
         self._rng_counter = 0
 
     # -- loading -------------------------------------------------------------
@@ -118,21 +119,42 @@ class ModelServer:
             return ae.apply({"params": params}, z / jnp.asarray(scale_factor, z.dtype),
                             method="decode_stage_2_outputs")
 
+        @jax.jit
+        def encode_fn(params, x, rng_key):
+            return ae.apply({"params": params}, x, method="encode_stage_2_inputs",
+                            rngs={"sample": rng_key})
+
         def run(noise, rng_key, condition):
             return decode_fn(ae_params, scan_fn(u_params, noise, rng_key, condition))
 
+        def encode_condition(vol, rng_key):
+            return encode_fn(ae_params, vol, rng_key)
+
         self._cond_shape = (*latent, cond_ch) if conditional else None
+        self._encode_condition = encode_condition
         self._run = run
 
     def _load_dummy(self) -> None:
         self._latent_shape = None
         self._run = None
+        self._encode_condition = None
 
     # -- generation -------------------------------------------------------------
 
-    def generate(self, num_samples: int = 1, seed: Optional[int] = None) -> dict[str, Any]:
+    def generate(self, num_samples: int = 1, seed: Optional[int] = None,
+                 condition_volume: Optional[np.ndarray] = None) -> dict[str, Any]:
+        """Sample ``num_samples`` volumes.
+
+        For concat-conditional models (in_channels > latent_channels), pass
+        ``condition_volume`` — the low-count input volume, shape
+        ``patch_size`` (or ``(*patch_size, C)``), intensity-scaled to [0,1].
+        It is VAE-encoded once and conditions every sample. Without one,
+        conditioning latents are drawn from N(0,1) — only useful for smoke
+        tests, and flagged as ``"conditioning": "random"`` in the response.
+        """
         if not self.model_loaded:
             raise RuntimeError("model not loaded")
+        conditioning = "none"
         t0 = time.time()
         with self._lock:
             if self.is_dummy:
@@ -146,12 +168,30 @@ class ModelServer:
                 base = seed if seed is not None else self._rng_counter
                 self._rng_counter += 1
                 key = jax.random.PRNGKey(base)
+                fixed_cond = None
+                if self._cond_shape and condition_volume is not None:
+                    vol = np.asarray(condition_volume, np.float32)
+                    if vol.ndim == 3:
+                        vol = vol[..., None]
+                    if list(vol.shape[:3]) != list(self.patch_size):
+                        raise ValueError(
+                            f"condition volume shape {vol.shape} does not match "
+                            f"patch_size {self.patch_size}")
+                    key, ekey = jax.random.split(key)
+                    fixed_cond = self._encode_condition(
+                        jnp.clip(jnp.asarray(vol[None]), 0, 1), ekey)
+                    conditioning = "provided"
+                elif self._cond_shape:
+                    conditioning = "random"
                 outs = []
                 for i in range(num_samples):
                     key, nkey, ckey, skey = jax.random.split(key, 4)
                     noise = jax.random.normal(nkey, (1, *self._latent_shape), jnp.float32)
-                    cond = (jax.random.normal(ckey, (1, *self._cond_shape), jnp.float32)
-                            if self._cond_shape else None)
+                    if fixed_cond is not None:
+                        cond = fixed_cond
+                    else:
+                        cond = (jax.random.normal(ckey, (1, *self._cond_shape), jnp.float32)
+                                if self._cond_shape else None)
                     out = self._run(noise, skey, cond)
                     outs.append(np.asarray(out[0, ..., 0], dtype=np.float32))
                 vols = np.stack(outs)
@@ -169,6 +209,7 @@ class ModelServer:
             "generation_time": time.time() - t0,
             "model_version": "dummy" if self.is_dummy else "ldm3d_tpu",
             "num_samples": num_samples,
+            "conditioning": conditioning,
         }
 
     def model_info(self) -> dict[str, Any]:
