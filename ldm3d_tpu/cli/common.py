@@ -55,6 +55,9 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--ema-decay", type=float, default=0.0,
                    help="keep an EMA of the diffusion UNet params (e.g. 0.9999); saved as the "
                         "'ema' checkpoint role, used by inference --use-ema")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed for multi-host (pod) runs; "
+                        "auto-detects the coordinator on TPU pods")
     p.add_argument("--tensor", type=int, default=1,
                    help="tensor-parallel axis size: shard weight output channels (GSPMD) over "
                         "this many devices per replica (see docs/SCALING.md)")
@@ -97,6 +100,10 @@ def setup(args) -> tuple:
     if getattr(args, "debug_nans", False):
         jax.config.update("jax_debug_nans", True)
         logging.info("debug mode: jax_debug_nans enabled")
+    if getattr(args, "multihost", False):
+        from ldm3d_tpu.parallel import init_multihost
+
+        init_multihost()  # must precede the first device query below
     merge_configs_onto_args(args, args.environment_file, args.config_file)
     devices = jax.devices()
     n = args.gpus if args.gpus and args.gpus > 0 else len(devices)

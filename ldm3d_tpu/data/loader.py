@@ -40,14 +40,19 @@ class BatchLoader:
         host_id: int = 0,
         pad_partial: bool = False,
     ):
-        """``drop_last`` keeps uniform compiled batch shapes (reference
-        ``utils.py:215``). ``pad_partial`` instead pads a trailing partial
-        batch by repeating its last sample — used for small validation sets,
-        where the reference's drop-last silently skipped validation entirely."""
+        """``batch_size`` is the GLOBAL batch; on a pod each host yields its
+        ``batch_size / num_hosts`` shard (assembled into the global array by
+        ``shard_batch`` / ``multihost.global_batch``). ``drop_last`` keeps
+        uniform compiled batch shapes (reference ``utils.py:215``).
+        ``pad_partial`` instead pads a trailing partial batch by repeating its
+        last sample — used for small validation sets, where the reference's
+        drop-last silently skipped validation entirely."""
         if batch_size <= 0:
             raise ValueError("batch_size must be positive")
+        if batch_size % max(1, num_hosts):
+            raise ValueError(f"global batch {batch_size} not divisible by {num_hosts} hosts")
         self.dataset = dataset
-        self.batch_size = batch_size
+        self.batch_size = batch_size // max(1, num_hosts)
         self.shuffle = shuffle
         self.drop_last = drop_last and not pad_partial
         self.pad_partial = pad_partial

@@ -28,10 +28,18 @@ def prepare_dataloader(
     patch_size: Sequence[int],
     randcrop: bool = True,
     size_divisible: int = 16,
-    num_hosts: int = 1,
-    host_id: int = 0,
+    num_hosts: int | None = None,
+    host_id: int | None = None,
     scale_on_host: bool = True,
 ) -> tuple[BatchLoader, BatchLoader]:
+    # default to the JAX process topology: on a pod each host loads only its
+    # shard (the reference's DistributedSampler role, utils.py:188-193)
+    if num_hosts is None:
+        import jax
+
+        num_hosts = jax.process_count()
+        host_id = jax.process_index()
+    host_id = host_id or 0
     npz_dir_train = getattr(args, "npz_dir_train", None) or None
     npz_dir_val = getattr(args, "npz_dir_val", None) or None
     npz_dir = getattr(args, "npz_dir", None) or None

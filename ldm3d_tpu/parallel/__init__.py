@@ -5,6 +5,11 @@ from ldm3d_tpu.parallel.mesh import (
     replicated_sharding,
     shard_batch,
 )
+from ldm3d_tpu.parallel.multihost import (
+    global_batch,
+    init_multihost,
+    is_multihost,
+)
 from ldm3d_tpu.parallel.tensor import (
     shard_params_tp,
     shard_train_state_tp,
@@ -34,4 +39,7 @@ __all__ = [
     "shard_params_tp",
     "shard_train_state_tp",
     "tp_sharding_tree",
+    "global_batch",
+    "init_multihost",
+    "is_multihost",
 ]

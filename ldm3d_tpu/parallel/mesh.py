@@ -65,10 +65,19 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Mesh, batch):
     """Place a host batch (pytree of arrays) sharded on the data axis.
 
+    Single-process: ``batch`` is the global batch, placed with device_put.
+    Multi-host (pods): ``batch`` is this PROCESS's shard (what its
+    BatchLoader yields) and the global array is assembled across hosts —
+    see :mod:`ldm3d_tpu.parallel.multihost`.
+
     Pads nothing: callers must provide batch sizes divisible by the data-axis
     size (the reference enforces the same via ``drop_last=True``,
     ``utils.py:215``).
     """
+    if jax.process_count() > 1:
+        from ldm3d_tpu.parallel.multihost import global_batch
+
+        return global_batch(mesh, batch)
     sharding = batch_sharding(mesh)
 
     def _put(x):
