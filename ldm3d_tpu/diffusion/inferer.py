@@ -77,13 +77,19 @@ def sample_latents(
     guided = condition is not None and guidance_scale != 1.0
 
     def model_pred(x, t_b):
-        model_in = x if condition is None else jnp.concatenate([x, condition.astype(x.dtype)], axis=-1)
-        pred = unet_apply(model_in, t_b)
-        if guided:
-            uncond_in = jnp.concatenate([x, jnp.zeros_like(condition).astype(x.dtype)], axis=-1)
-            pred_u = unet_apply(uncond_in, t_b)
-            pred = pred_u + guidance_scale * (pred - pred_u)
-        return pred
+        if condition is None:
+            return unet_apply(x, t_b)
+        cond_in = jnp.concatenate([x, condition.astype(x.dtype)], axis=-1)
+        if not guided:
+            return unet_apply(cond_in, t_b)
+        # batched CFG: run the conditional and unconditional branches as ONE
+        # 2B-batch UNet call (same FLOPs as two B calls, better MXU
+        # utilization at the small batches typical of 96^3 volumes)
+        uncond_in = jnp.concatenate([x, jnp.zeros_like(condition).astype(x.dtype)], axis=-1)
+        both = unet_apply(jnp.concatenate([cond_in, uncond_in], axis=0),
+                          jnp.concatenate([t_b, t_b], axis=0))
+        pred, pred_u = both[:batch], both[batch:]
+        return pred_u + guidance_scale * (pred - pred_u)
 
     if getattr(scheduler, "multistep", False):
         # second-order multistep (DPM-Solver++ 2M): carry the previous x0
