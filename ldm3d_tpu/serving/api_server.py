@@ -209,10 +209,14 @@ def main(argv=None):
     p.add_argument("-e", "--environment-file", default=None)
     p.add_argument("--sampler", choices=("ddpm", "ddim"), default="ddim")
     p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--batch", type=int, default=1,
+                   help="volumes per compiled sampler call (8 maximizes v5e MXU "
+                        "utilization; multi-sample requests run in chunks)")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO, force=True)
 
-    server = ModelServer(args.config_file, args.environment_file, args.sampler, args.steps)
+    server = ModelServer(args.config_file, args.environment_file, args.sampler, args.steps,
+                         batch=args.batch)
     server.load_model()
     api = Api(server)
     try:

@@ -28,11 +28,16 @@ log = logging.getLogger("model_server")
 
 class ModelServer:
     def __init__(self, config_file: Optional[str] = None, environment_file: Optional[str] = None,
-                 sampler: str = "ddim", steps: int = 50):
+                 sampler: str = "ddim", steps: int = 50, batch: int = 1):
+        """``batch``: volumes per compiled sampler call. Larger batches raise
+        MXU utilization sharply (measured on v5e at 96^3: ~2.2x volumes/sec
+        from batch 1-2 to batch 8); requests for more than ``batch`` samples
+        run in chunks, shorter requests pad and trim."""
         self.config_file = config_file
         self.environment_file = environment_file
         self.sampler = sampler
         self.steps = steps
+        self.batch = max(1, int(batch))
         self.model_loaded = False
         self.is_dummy = False
         self.load_time: Optional[float] = None
@@ -183,18 +188,21 @@ class ModelServer:
                     conditioning = "provided"
                 elif self._cond_shape:
                     conditioning = "random"
+                b = self.batch
+                fixed_cond_b = (jnp.tile(fixed_cond, (b,) + (1,) * (fixed_cond.ndim - 1))
+                                if fixed_cond is not None else None)
                 outs = []
-                for i in range(num_samples):
+                for _ in range((num_samples + b - 1) // b):
                     key, nkey, ckey, skey = jax.random.split(key, 4)
-                    noise = jax.random.normal(nkey, (1, *self._latent_shape), jnp.float32)
-                    if fixed_cond is not None:
-                        cond = fixed_cond
+                    noise = jax.random.normal(nkey, (b, *self._latent_shape), jnp.float32)
+                    if fixed_cond_b is not None:
+                        cond = fixed_cond_b
                     else:
-                        cond = (jax.random.normal(ckey, (1, *self._cond_shape), jnp.float32)
+                        cond = (jax.random.normal(ckey, (b, *self._cond_shape), jnp.float32)
                                 if self._cond_shape else None)
                     out = self._run(noise, skey, cond)
-                    outs.append(np.asarray(out[0, ..., 0], dtype=np.float32))
-                vols = np.stack(outs)
+                    outs.append(np.asarray(out[..., 0], dtype=np.float32))
+                vols = np.concatenate(outs)[:num_samples]
         samples = []
         for v in vols:
             vmin, vmax = float(v.min()), float(v.max())

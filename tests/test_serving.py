@@ -169,3 +169,16 @@ def test_real_conditional_generate_rest(real_api):
         "POST", "/generate",
         {"num_samples": 1, "condition": {"data": "!!notbase64", "shape": [1]}})
     assert code == 422
+
+
+def test_batched_sampler_chunks(real_api):
+    """batch > 1: requests chunk into compiled batch-N calls and trim."""
+    srv = ModelServer(real_api.server.config_file, real_api.server.environment_file,
+                      sampler="ddim", steps=2, batch=2)
+    srv.load_model()
+    assert not srv.is_dummy
+    out = srv.generate(3, seed=0)  # ceil(3/2) = 2 chunks, trimmed to 3
+    assert out["num_samples"] == 3 and len(out["samples"]) == 3
+    for s in out["samples"]:
+        arr = np.frombuffer(base64.b64decode(s["data"]), np.float32)
+        assert np.isfinite(arr).all()
