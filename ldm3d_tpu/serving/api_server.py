@@ -212,11 +212,14 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=1,
                    help="volumes per compiled sampler call (8 maximizes v5e MXU "
                         "utilization; multi-sample requests run in chunks)")
+    p.add_argument("--spatial", type=int, default=1,
+                   help="shard each volume's depth over N chips (serve volumes "
+                        "larger than one chip's memory); needs batch*spatial devices")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO, force=True)
 
     server = ModelServer(args.config_file, args.environment_file, args.sampler, args.steps,
-                         batch=args.batch)
+                         batch=args.batch, spatial=args.spatial)
     server.load_model()
     api = Api(server)
     try:

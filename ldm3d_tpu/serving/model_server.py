@@ -28,16 +28,22 @@ log = logging.getLogger("model_server")
 
 class ModelServer:
     def __init__(self, config_file: Optional[str] = None, environment_file: Optional[str] = None,
-                 sampler: str = "ddim", steps: int = 50, batch: int = 1):
+                 sampler: str = "ddim", steps: int = 50, batch: int = 1, spatial: int = 1):
         """``batch``: volumes per compiled sampler call. Larger batches raise
         MXU utilization sharply (measured on v5e at 96^3: ~2.2x volumes/sec
         from batch 1-2 to batch 8); requests for more than ``batch`` samples
-        run in chunks, shorter requests pad and trim."""
+        run in chunks, shorter requests pad and trim.
+
+        ``spatial``: shard each volume's depth over this many chips
+        (halo-exchange convs / psum norms / gathered-kv attention,
+        docs/SCALING.md) — serves volumes larger than one chip's memory.
+        Requires ``batch * spatial`` visible devices."""
         self.config_file = config_file
         self.environment_file = environment_file
         self.sampler = sampler
         self.steps = steps
         self.batch = max(1, int(batch))
+        self.spatial = max(1, int(spatial))
         self.model_loaded = False
         self.is_dummy = False
         self.load_time: Optional[float] = None
@@ -110,27 +116,47 @@ class ModelServer:
         self._latent_shape = (*latent, ae.latent_channels)
         cond_ch = unet.in_channels - ae.latent_channels
 
-        # two compiled programs (scan + decode), params as explicit jit args
-        # (closing over weights would inline them as HLO constants)
-        @jax.jit
-        def scan_fn(params, noise, rng_key, condition):
-            def unet_apply(z, t):
-                return unet.apply({"params": params}, z, t)
-            return inferer.sample_latents(unet_apply, scheduler, noise, rng_key,
-                                          condition=condition if conditional else None)
-
-        @jax.jit
-        def decode_fn(params, z):
-            return ae.apply({"params": params}, z / jnp.asarray(scale_factor, z.dtype),
-                            method="decode_stage_2_outputs")
-
         @jax.jit
         def encode_fn(params, x, rng_key):
             return ae.apply({"params": params}, x, method="encode_stage_2_inputs",
                             rngs={"sample": rng_key})
 
-        def run(noise, rng_key, condition):
-            return decode_fn(ae_params, scan_fn(u_params, noise, rng_key, condition))
+        if self.spatial > 1:
+            # depth-sharded sampling: each volume spread over `spatial` chips
+            from ldm3d_tpu.parallel import (MeshSpec, create_mesh, make_spatial_sampler,
+                                            validate_spatial_divisibility)
+
+            devices = jax.devices()
+            need = self.batch * self.spatial
+            if len(devices) < need:
+                raise RuntimeError(f"--spatial {self.spatial} x --batch {self.batch} "
+                                   f"needs {need} devices, have {len(devices)}")
+            mesh = create_mesh(MeshSpec(data=self.batch, spatial=self.spatial),
+                               devices=devices[:need])
+            n_levels = len(getattr(unet, "channels", [1, 1, 1]))
+            validate_spatial_divisibility(latent[0], self.spatial, n_levels - 1)
+            sampler = make_spatial_sampler(unet, ae, scheduler, mesh,
+                                           scale_factor=scale_factor)
+
+            def run(noise, rng_key, condition):
+                return sampler(u_params, ae_params, noise, rng_key, condition)
+        else:
+            # two compiled programs (scan + decode), params as explicit jit
+            # args (closing over weights would inline them as HLO constants)
+            @jax.jit
+            def scan_fn(params, noise, rng_key, condition):
+                def unet_apply(z, t):
+                    return unet.apply({"params": params}, z, t)
+                return inferer.sample_latents(unet_apply, scheduler, noise, rng_key,
+                                              condition=condition if conditional else None)
+
+            @jax.jit
+            def decode_fn(params, z):
+                return ae.apply({"params": params}, z / jnp.asarray(scale_factor, z.dtype),
+                                method="decode_stage_2_outputs")
+
+            def run(noise, rng_key, condition):
+                return decode_fn(ae_params, scan_fn(u_params, noise, rng_key, condition))
 
         def encode_condition(vol, rng_key):
             return encode_fn(ae_params, vol, rng_key)

@@ -182,3 +182,16 @@ def test_batched_sampler_chunks(real_api):
     for s in out["samples"]:
         arr = np.frombuffer(base64.b64decode(s["data"]), np.float32)
         assert np.isfinite(arr).all()
+
+
+def test_spatial_serving(real_api):
+    """--spatial 2: each volume's depth sharded over two devices."""
+    srv = ModelServer(real_api.server.config_file, real_api.server.environment_file,
+                      sampler="ddim", steps=2, batch=1, spatial=2)
+    srv.load_model()
+    assert not srv.is_dummy, "spatial pipeline fell back to dummy"
+    vol = np.random.default_rng(2).random(srv.patch_size, dtype=np.float32)
+    out = srv.generate(1, seed=0, condition_volume=vol)
+    assert out["conditioning"] == "provided"
+    arr = np.frombuffer(base64.b64decode(out["samples"][0]["data"]), np.float32)
+    assert np.isfinite(arr).all() and arr.size == np.prod(srv.patch_size)
