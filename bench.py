@@ -40,11 +40,17 @@ def _progress(msg: str) -> None:
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
-# batch 2 amortizes UNet weight traffic across volumes: +32% volumes/sec/chip
-# vs batch 1 (measured on v5e; batch 4 exceeds this environment's compile
-# helper limits). The baseline proxy below runs at the SAME batch, so
+# Larger batches raise MXU utilization sharply (measured UNet-step cost per
+# volume on v5e: 20.8 ms at batch 2, 17.3 at batch 4, 9.6 at batch 8 — ~89%
+# MXU at batch 8, saturated by 16). The dev tunnel's remote-compile helper
+# rejects the full-resolution DECODER above batch 2 (HTTP 500; the UNet scan
+# compiles fine at batch 8), so the reverse scan runs at the headline batch
+# while the decode runs in DECODE_BATCH-sized chunks — identical FLOPs,
+# helper-sized programs. The bench walks a fallback chain and reports the
+# largest batch that runs; the baseline proxy runs at the SAME batch, so
 # vs_baseline still isolates the sampler/compiler design.
-BATCH = 2
+BATCH_CANDIDATES = (8, 4, 2)
+DECODE_BATCH = 2
 VOLUME = 96
 DDIM_STEPS = 50
 DDPM_STEPS = 1000
@@ -72,11 +78,26 @@ def build_models():
 
 
 def main():
+    models = build_models()
+    last_err = None
+    for batch in BATCH_CANDIDATES:
+        try:
+            run_bench(models, batch)
+            return
+        except Exception as e:  # noqa: BLE001 — tunnel compile-helper flakiness
+            last_err = e
+            _progress(f"batch {batch} failed ({type(e).__name__}: {str(e)[:120]}); "
+                      f"falling back")
+    raise last_err
+
+
+def run_bench(models, BATCH: int):
     from ldm3d_tpu.diffusion import DDIMScheduler, DDPMScheduler, inferer
 
-    ae, ae_params, unet, u_params, latent = build_models()
+    ae, ae_params, unet, u_params, latent = models
     cond_ch = unet.in_channels - ae.latent_channels
     rng = jax.random.PRNGKey(1)
+    _progress(f"benchmarking at batch {BATCH}")
     noise = jax.random.normal(rng, (BATCH, latent, latent, latent, ae.latent_channels),
                               jnp.float32).astype(jnp.bfloat16)
     condition = jax.random.normal(jax.random.PRNGKey(2),
@@ -99,9 +120,20 @@ def main():
             return unet.apply({"params": params}, z, t)
         return inferer.sample_latents(unet_apply, ddim, noise, rng, condition=condition)
 
+    db = min(DECODE_BATCH, BATCH)
+
     @jax.jit
     def decode_jit(params, z):
         return ae.apply({"params": params}, z, method="decode_stage_2_outputs")
+
+    def decode_all(lat):
+        """Decode BATCH latents with the db-sized decode program, chunked.
+
+        All chunks are enqueued before any is materialized: the device works
+        on chunk i+1 while chunk i's volumes stream back to the host, hiding
+        most of the readback behind decode compute."""
+        pending = [decode_jit(ae_params, lat[s:s + db]) for s in range(0, BATCH, db)]
+        return np.concatenate([np.asarray(p) for p in pending])
 
     # --- headline: scan + decode ----------------------------------------------
     # NOTE on timing: on the tunneled dev TPU, block_until_ready is optimistic
@@ -109,22 +141,22 @@ def main():
     # host materialization (np.asarray), which is also the honest e2e cost —
     # a user needs the volume on the host to write NIfTI.
     _progress("compiling decode ...")
-    np.asarray(decode_jit(ae_params, noise))  # warm-up must also materialize
+    decode_all(noise)  # warm-up must also materialize
     t0 = time.perf_counter()
     for _ in range(3):
-        np.asarray(decode_jit(ae_params, noise))
+        decode_all(noise)
     decode_ms = (time.perf_counter() - t0) / 3 * 1000
-    _progress(f"decode+readback {decode_ms:.1f}ms; compiling DDIM-50 scan ...")
+    _progress(f"decode+readback {decode_ms:.1f}ms/batch; compiling DDIM-50 scan ...")
 
     lat = scan_ddim(u_params, noise, rng, condition)  # compile
-    out = np.asarray(decode_jit(ae_params, lat).astype(jnp.float32))
+    out = decode_all(lat).astype(np.float32)
     _progress("DDIM scan compile done")
     assert np.isfinite(out).all(), "non-finite sample"
     times = []
     for i in range(3):
         t0 = time.perf_counter()
         lat = scan_ddim(u_params, noise, jax.random.PRNGKey(10 + i), condition)
-        np.asarray(decode_jit(ae_params, lat))
+        decode_all(lat)
         times.append(time.perf_counter() - t0)
     ddim_time = float(np.median(times))
     vols_per_sec = BATCH / ddim_time
