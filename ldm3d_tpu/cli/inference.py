@@ -182,18 +182,30 @@ def main(argv=None):
 
     noise_shape = (args.batch, *latent_shape, ae.latent_channels)
     os.makedirs(args.output_dir, exist_ok=True)
+    n_steps = len(np.asarray(scheduler.timesteps))
+
+    def flush(i, vols_dev, t_enq):
+        """Materialize + write one batch (called while the NEXT batch computes
+        on device, so host readback and NIfTI IO overlap device compute)."""
+        vols = np.asarray(vols_dev, dtype=np.float32)
+        log.info("sample %d: %s in %.2fs since enqueue (%s, %d steps)",
+                 i, vols.shape, time.perf_counter() - t_enq, args.sampler, n_steps)
+        for b in range(vols.shape[0]):
+            stem = datetime.now().strftime(f"synimg_%Y%m%d_%H%M%S_{i}_{b}")
+            path = save_volume(vols[b, ..., 0], args.output_dir, stem)
+            log.info("wrote %s", path)
+
+    pending = None
     for i in range(args.num):
         rng, nrng, srng = jax.random.split(rng, 3)
         noise = jax.random.normal(nrng, noise_shape, jnp.float32).astype(dt)
         t0 = time.perf_counter()
-        vols = jax.block_until_ready(run(noise, srng, condition))
-        dt_s = time.perf_counter() - t0
-        log.info("sample %d: %s in %.2fs (%s, %d steps)", i, vols.shape, dt_s,
-                 args.sampler, len(np.asarray(scheduler.timesteps)))
-        for b in range(vols.shape[0]):
-            stem = datetime.now().strftime(f"synimg_%Y%m%d_%H%M%S_{i}_{b}")
-            path = save_volume(np.asarray(vols[b, ..., 0], dtype=np.float32), args.output_dir, stem)
-            log.info("wrote %s", path)
+        cur = run(noise, srng, condition)
+        if pending is not None:
+            flush(*pending)
+        pending = (i, cur, t0)
+    if pending is not None:
+        flush(*pending)
 
 
 if __name__ == "__main__":

@@ -217,7 +217,7 @@ class ModelServer:
                 b = self.batch
                 fixed_cond_b = (jnp.tile(fixed_cond, (b,) + (1,) * (fixed_cond.ndim - 1))
                                 if fixed_cond is not None else None)
-                outs = []
+                pending = []
                 for _ in range((num_samples + b - 1) // b):
                     key, nkey, ckey, skey = jax.random.split(key, 4)
                     noise = jax.random.normal(nkey, (b, *self._latent_shape), jnp.float32)
@@ -226,9 +226,11 @@ class ModelServer:
                     else:
                         cond = (jax.random.normal(ckey, (b, *self._cond_shape), jnp.float32)
                                 if self._cond_shape else None)
-                    out = self._run(noise, skey, cond)
-                    outs.append(np.asarray(out[..., 0], dtype=np.float32))
-                vols = np.concatenate(outs)[:num_samples]
+                    pending.append(self._run(noise, skey, cond))
+                # all chunks enqueued before any readback: host transfer of
+                # chunk i overlaps device compute of chunk i+1
+                vols = np.concatenate([np.asarray(p[..., 0], dtype=np.float32)
+                                       for p in pending])[:num_samples]
         samples = []
         for v in vols:
             vmin, vmax = float(v.min()), float(v.max())
