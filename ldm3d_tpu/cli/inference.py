@@ -43,18 +43,19 @@ log = logging.getLogger("inference")
 
 
 def save_volume(vol: np.ndarray, out_dir: str, stem: str) -> str:
-    """NIfTI when nibabel exists (reference parity), .npy otherwise."""
+    """NIfTI output (reference parity, ``inference.py:100-102``): nibabel
+    when installed, else the built-in dependency-free NIfTI-1 writer."""
     os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, stem + ".nii.gz")
     try:
         import nibabel as nib
 
-        path = os.path.join(out_dir, stem + ".nii.gz")
         nib.save(nib.Nifti1Image(vol.astype(np.float32), np.eye(4)), path)
-        return path
     except ImportError:
-        path = os.path.join(out_dir, stem + ".npy")
-        np.save(path, vol.astype(np.float32))
-        return path
+        from ldm3d_tpu.utils.nifti import write_nifti
+
+        write_nifti(path, vol.astype(np.float32))
+    return path
 
 
 def build_sampler_fn(args, ae, ae_params, unet, u_params, scheduler, scale_factor):

@@ -57,9 +57,12 @@ def load_volume(path: str) -> np.ndarray:
     elif path.endswith((".nii", ".nii.gz")):
         try:
             import nibabel as nib
-        except ImportError as e:
-            raise RuntimeError(f"{path}: NIfTI input needs nibabel installed") from e
-        vol = np.asanyarray(nib.load(path).dataobj)
+
+            vol = np.asanyarray(nib.load(path).dataobj)
+        except ImportError:
+            from ldm3d_tpu.utils.nifti import read_nifti
+
+            vol, _ = read_nifti(path)
     else:
         raise ValueError(f"unsupported volume format: {path}")
     vol = np.asarray(vol, np.float32)
