@@ -65,6 +65,9 @@ def main(argv=None):
     parser.add_argument("--cond-dropout", type=float, default=0.0,
                         help="per-sample probability of zeroing the condition during training "
                              "(enables classifier-free guidance at inference)")
+    parser.add_argument("--min-snr-gamma", type=float, default=0.0,
+                        help="Min-SNR loss weighting gamma (0 = off, paper recommends 5.0): "
+                             "down-weights easy low-noise timesteps for faster convergence")
     args = parser.parse_args(argv)
     args, mesh = setup(args)
     dt = model_dtype(args)
@@ -112,7 +115,8 @@ def main(argv=None):
     max_epochs = args.max_epochs or train_cfg["max_epochs"]
     val_interval = train_cfg["val_interval"]
     schedule = build_lr_schedule("multistep", train_cfg["lr"], max_epochs, steps_per_epoch)
-    s2cfg = Stage2Config(conditional=not args.unconditional, cond_dropout=args.cond_dropout)
+    s2cfg = Stage2Config(conditional=not args.unconditional, cond_dropout=args.cond_dropout,
+                         min_snr_gamma=args.min_snr_gamma)
     u_state = TrainState.create(unet.apply, u_vars["params"],
                                 make_diffusion_optimizer(schedule, grad_accum=args.grad_accum),
                                 ema_decay=args.ema_decay)

@@ -49,6 +49,30 @@ class Stage2Config:
     # per-sample probability of zeroing the condition during training, which
     # makes classifier-free guidance meaningful at sampling time
     cond_dropout: float = 0.0
+    # Min-SNR-gamma loss weighting (Hang et al. 2023): down-weights easy
+    # low-noise timesteps, typically faster convergence at equal quality.
+    # 0 disables (uniform weighting, the reference's behavior); 5.0 is the
+    # paper's recommended gamma.
+    min_snr_gamma: float = 0.0
+
+
+def min_snr_weights(scheduler, timesteps: jax.Array, gamma: float) -> jax.Array:
+    """Per-sample Min-SNR-gamma loss weights for the scheduler's target.
+
+    SNR(t) = abar/(1-abar); epsilon-prediction weight = min(SNR, g)/SNR,
+    v-prediction = min(SNR, g)/(SNR+1), sample-prediction = min(SNR, g).
+    """
+    abar = jnp.take(scheduler.alphas_cumprod, timesteps).astype(jnp.float32)
+    snr = abar / jnp.maximum(1.0 - abar, 1e-12)
+    clipped = jnp.minimum(snr, gamma)
+    pt = scheduler.prediction_type
+    if pt == "epsilon":
+        return clipped / jnp.maximum(snr, 1e-12)
+    if pt == "v_prediction":
+        return clipped / (snr + 1.0)
+    if pt == "sample":
+        return clipped
+    raise ValueError(pt)
 
 
 def _drop_condition(condition, rng, p: float):
@@ -113,6 +137,10 @@ def make_stage2_train_step(unet, ae, scheduler, cfg: Stage2Config):
         model_in = inferer.noise_prediction_inputs(scheduler, z_labels, noise, timesteps, condition)
         pred = unet.apply({"params": params}, model_in, timesteps)
         target = inferer.training_targets(scheduler, z_labels, noise, timesteps)
+        if cfg.min_snr_gamma > 0:
+            d = (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
+            per_sample = jnp.mean(d.reshape(b, -1), axis=1)
+            return jnp.mean(min_snr_weights(scheduler, timesteps, cfg.min_snr_gamma) * per_sample)
         return l2_loss(pred, target)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -194,6 +222,10 @@ def make_stage2_train_step_spatial(unet, ae, scheduler, cfg: Stage2Config, mesh)
         target = inferer.training_targets(scheduler, z_labels, noise, timesteps)
         # local sum / global count: psum of this over the mesh is the global mean
         diff = (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
+        if cfg.min_snr_gamma > 0:
+            # per-sample weights; timesteps agree across a volume's slabs
+            w = min_snr_weights(scheduler, timesteps, cfg.min_snr_gamma)
+            diff = diff * w.reshape((b,) + (1,) * (diff.ndim - 1))
         global_count = diff.size * n_data * n_spatial
         return jnp.sum(diff) / global_count
 

@@ -188,3 +188,57 @@ def test_ema_none_by_default():
     assert state.ema_params is None
     state = state.apply_gradients({"w": jnp.ones((2,))})
     assert state.ema_params is None
+
+
+def test_min_snr_weights_closed_form():
+    """epsilon: min(SNR,g)/SNR; v: min(SNR,g)/(SNR+1); sample: min(SNR,g)."""
+    import numpy as np
+
+    from ldm3d_tpu.diffusion import DDPMScheduler
+    from ldm3d_tpu.training.stage2 import min_snr_weights
+
+    t = jnp.array([0, 3, 7], jnp.int32)
+    gamma = 5.0
+    for pt in ("epsilon", "v_prediction", "sample"):
+        sched = DDPMScheduler.create(num_train_timesteps=8, prediction_type=pt)
+        abar = np.asarray(sched.alphas_cumprod)[np.asarray(t)]
+        snr = abar / (1 - abar)
+        clipped = np.minimum(snr, gamma)
+        expect = {"epsilon": clipped / snr, "v_prediction": clipped / (snr + 1),
+                  "sample": clipped}[pt]
+        got = np.asarray(min_snr_weights(sched, t, gamma))
+        np.testing.assert_allclose(got, expect, rtol=1e-5)
+    # early (low-noise... actually high-abar) timesteps have SNR >> gamma ->
+    # weight < 1 for epsilon; late timesteps SNR < gamma -> weight 1
+    sched = DDPMScheduler.create(num_train_timesteps=1000)
+    w = np.asarray(min_snr_weights(sched, jnp.array([0, 999]), 5.0))
+    assert w[0] < 0.01 and abs(w[1] - 1.0) < 1e-5
+
+
+def test_min_snr_train_step_runs_and_differs():
+    """min_snr_gamma changes the loss but still trains (finite, updates)."""
+    from ldm3d_tpu.training.stage2 import make_stage2_train_step as _mk
+
+    rng = jax.random.PRNGKey(0)
+    ae = _tiny_ae()
+    unet = _tiny_unet()
+    ae_params = ae.init({"params": rng, "sample": rng},
+                        jnp.zeros((1, 16, 16, 16, 1)))["params"]
+    u_params = unet.init(rng, jnp.zeros((1, 4, 4, 4, unet.in_channels)),
+                         jnp.zeros((1,), jnp.int32))["params"]
+    sched = DDPMScheduler.create(num_train_timesteps=16)
+    x = jax.random.uniform(rng, (2, 16, 16, 16, 1), jnp.float32)
+    batch = {"image": x, "label": x}
+
+    losses = {}
+    for gamma in (0.0, 5.0):
+        params_copy = jax.tree_util.tree_map(jnp.array, u_params)  # step donates
+        state = TrainState.create(
+            unet.apply, params_copy,
+            make_diffusion_optimizer(build_lr_schedule("multistep", 1e-4, 1, 1)))
+        step = _mk(unet, ae, sched, Stage2Config(min_snr_gamma=gamma))
+        state, metrics = step(state, ae_params, batch, jnp.float32(1.0), rng)
+        loss = float(metrics["diffusion_loss"])
+        assert np.isfinite(loss)
+        losses[gamma] = loss
+    assert losses[0.0] != losses[5.0]
