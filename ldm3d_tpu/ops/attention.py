@@ -72,7 +72,7 @@ def _pick_block(n: int, preferred: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
-def _flash_attention(
+def _flash_attention_impl(
     q: jax.Array, k: jax.Array, v: jax.Array,
     block_q: int, block_k: int, interpret: bool = False,
 ) -> jax.Array:
@@ -99,6 +99,32 @@ def _flash_attention(
         interpret=interpret,
     )(qf, kf, vf)
     return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)
+
+
+# Differentiable wrapper: Pallas kernels have no automatic reverse-mode rule,
+# so without this the stage-1/2 TRAIN steps fail to linearize on TPU (the CPU
+# test mesh falls back to the XLA path and cannot catch it). Forward = the
+# flash kernel; backward recomputes attention through the mathematically
+# identical XLA formulation and differentiates that — exact gradients, at the
+# memory cost of materializing the (tokens x tokens) matrix for the backward
+# only (fine at training patch sizes; a flash backward kernel can replace it
+# without changing this interface).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_attention(q, k, v, block_q: int, block_k: int, interpret: bool = False):
+    return _flash_attention_impl(q, k, v, block_q, block_k, interpret)
+
+
+def _flash_attention_fwd(q, k, v, block_q, block_k, interpret):
+    return _flash_attention_impl(q, k, v, block_q, block_k, interpret), (q, k, v)
+
+
+def _flash_attention_bwd(block_q, block_k, interpret, residuals, g):
+    q, k, v = residuals
+    _, vjp = jax.vjp(_xla_attention, q, k, v)
+    return vjp(g)
+
+
+_flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
 
 
 def _flash_blocks(q: jax.Array, k: jax.Array, block_q: int, block_k: int) -> tuple[int, int] | None:
@@ -144,5 +170,5 @@ def volumetric_attention(
         if blocks is None:
             raise ValueError(f"flash kernel unsupported for shapes q={q.shape} k={k.shape}")
         bq, bk = blocks
-        return _flash_attention(q, k, v, block_q=bq, block_k=bk, interpret=interpret)
+        return _flash_attention(q, k, v, bq, bk, interpret)
     return _xla_attention(q, k, v)

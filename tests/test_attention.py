@@ -69,3 +69,33 @@ def test_softmax_stability_large_logits():
     ref = volumetric_attention(q, k, v, use_flash=False)
     assert np.isfinite(np.asarray(out)).all()
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
+def test_flash_attention_gradients_match_xla():
+    """Training differentiates through the flash kernel (custom VJP): grads
+    must match the XLA attention path. This exact failure mode — Pallas
+    forward with no reverse rule — crashed TPU train steps while CPU tests
+    silently used the XLA fallback, so this pins it in interpret mode."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ldm3d_tpu.ops.attention import volumetric_attention
+
+    rng = np.random.default_rng(0)
+    shape = (2, 64, 2, 64)  # (batch, tokens, heads, head_dim)
+    q, k, v = (jnp.asarray(rng.standard_normal(shape, dtype=np.float32)) for _ in range(3))
+
+    def loss_flash(q, k, v):
+        out = volumetric_attention(q, k, v, use_flash=True, interpret=True,
+                                   block_q=32, block_k=32)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    def loss_xla(q, k, v):
+        out = volumetric_attention(q, k, v, use_flash=False)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4)
