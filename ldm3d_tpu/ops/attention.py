@@ -31,12 +31,13 @@ def _xla_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     return out
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, kv_len: int, scale: float):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int, kv_len: int, scale: float):
     """Single-(batch, head, q-block) flash attention with online softmax.
 
     Grid: (batch*heads, num_q_blocks). Refs are VMEM blocks:
       q_ref: (block_q, head_dim), k_ref/v_ref: (kv_len, head_dim),
-      o_ref: (block_q, head_dim).
+      o_ref: (block_q, head_dim), lse_ref: (block_q,) row logsumexp — the
+      FlashAttention-2 residual the backward kernels need.
     """
     q = q_ref[0].astype(jnp.float32) * scale
     block_q, head_dim = q.shape
@@ -58,8 +59,61 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, kv_len: int, scal
     acc0 = jnp.zeros((block_q, head_dim), jnp.float32)
     m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc, _, l = jax.lax.fori_loop(0, num_kv_blocks, body, (acc0, m0, l0))
+    acc, m, l = jax.lax.fori_loop(0, num_kv_blocks, body, (acc0, m0, l0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(l)  # (block_q, 1)
+
+
+def _flash_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref, dq_ref,
+                     *, block_k: int, kv_len: int, scale: float):
+    """dQ for one (batch*head, q-block): dQ = scale * sum_k dS_k K_k with
+    dS = P * (dO V^T - D), P = exp(scale*QK^T - lse)."""
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]   # (block_q, 1)
+    dvec = dvec_ref[0]  # (block_q, 1)
+    block_q, head_dim = q.shape
+
+    def body(i, acc):
+        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = scale * jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+        p = jnp.exp(s - lse)
+        dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - dvec)
+        return acc + jnp.dot(ds, k_blk, preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(0, kv_len // block_k,
+                            body, jnp.zeros((block_q, head_dim), jnp.float32))
+    dq_ref[0] = (scale * acc).astype(dq_ref.dtype)
+
+
+def _flash_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref, dk_ref, dv_ref,
+                      *, block_q: int, q_len: int, scale: float):
+    """dK, dV for one (batch*head, kv-block): dV = sum_q P^T dO,
+    dK = scale * sum_q dS^T Q."""
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    block_k, head_dim = k.shape
+
+    def body(i, carry):
+        dk_acc, dv_acc = carry
+        q_blk = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        do_blk = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse_blk = lse_ref[0, pl.ds(i * block_q, block_q), :]    # (block_q, 1)
+        dvec_blk = dvec_ref[0, pl.ds(i * block_q, block_q), :]  # (block_q, 1)
+        s = scale * jnp.dot(q_blk, k.T, preferred_element_type=jnp.float32)  # (bq, bk)
+        p = jnp.exp(s - lse_blk)
+        dv_acc = dv_acc + jnp.dot(p.T, do_blk, preferred_element_type=jnp.float32)
+        dp = jnp.dot(do_blk, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - dvec_blk)
+        dk_acc = dk_acc + jnp.dot(ds.T, q_blk, preferred_element_type=jnp.float32)
+        return dk_acc, dv_acc
+
+    zeros = jnp.zeros((block_k, head_dim), jnp.float32)
+    dk_acc, dv_acc = jax.lax.fori_loop(0, q_len // block_q, body, (zeros, zeros))
+    dk_ref[0] = (scale * dk_acc).astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc.astype(dv_ref.dtype)
 
 
 def _pick_block(n: int, preferred: int) -> int:
@@ -71,57 +125,126 @@ def _pick_block(n: int, preferred: int) -> int:
     return best
 
 
+def _fold(x: jax.Array) -> jax.Array:
+    """(b, n, h, d) -> (b*h, n, d), tokens-major for the kernels."""
+    b, n, h, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b * h, n, d)
+
+
+def _unfold(x: jax.Array, b: int, h: int) -> jax.Array:
+    bh, n, d = x.shape
+    return x.reshape(b, h, n, d).transpose(0, 2, 1, 3)
+
+
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
-def _flash_attention_impl(
+def _flash_fwd_impl(
     q: jax.Array, k: jax.Array, v: jax.Array,
     block_q: int, block_k: int, interpret: bool = False,
-) -> jax.Array:
+):
+    """Forward kernel; returns ((b,n,h,d) output, (b*h, n) row logsumexp)."""
     b, n, h, d = q.shape
     kv_len = k.shape[1]
     scale = 1.0 / math.sqrt(d)
-    # fold batch and heads together; tokens-major layout for the kernel
-    qf = q.transpose(0, 2, 1, 3).reshape(b * h, n, d)
-    kf = k.transpose(0, 2, 1, 3).reshape(b * h, kv_len, d)
-    vf = v.transpose(0, 2, 1, 3).reshape(b * h, kv_len, d)
+    qf, kf, vf = _fold(q), _fold(k), _fold(v)
 
     grid = (b * h, n // block_q)
     kernel = functools.partial(_flash_kernel, block_k=block_k, kv_len=kv_len, scale=scale)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
+            # trailing singleton keeps the block's last-two dims tileable
+            # (Mosaic requires them divisible by (8, 128) or dim-equal)
+            jax.ShapeDtypeStruct((b * h, n, 1), jnp.float32),
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda g, i: (g, i, 0)),
             pl.BlockSpec((1, kv_len, d), lambda g, i: (g, 0, 0)),
             pl.BlockSpec((1, kv_len, d), lambda g, i: (g, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda g, i: (g, i, 0)),
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda g, i: (g, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda g, i: (g, i, 0)),
+        ),
         interpret=interpret,
     )(qf, kf, vf)
-    return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)
+    return _unfold(out, b, h), lse
 
 
-# Differentiable wrapper: Pallas kernels have no automatic reverse-mode rule,
-# so without this the stage-1/2 TRAIN steps fail to linearize on TPU (the CPU
-# test mesh falls back to the XLA path and cannot catch it). Forward = the
-# flash kernel; backward recomputes attention through the mathematically
-# identical XLA formulation and differentiates that — exact gradients, at the
-# memory cost of materializing the (tokens x tokens) matrix for the backward
-# only (fine at training patch sizes; a flash backward kernel can replace it
-# without changing this interface).
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def _flash_bwd_impl(q, k, v, o, lse, g, block_q: int, block_k: int, interpret: bool = False):
+    """FlashAttention-2 backward: dQ/dK/dV kernels, no (n x n) materialization."""
+    b, n, h, d = q.shape
+    kv_len = k.shape[1]
+    scale = 1.0 / math.sqrt(d)
+    qf, kf, vf, of, gf = _fold(q), _fold(k), _fold(v), _fold(o), _fold(g)
+    # D_i = rowsum(dO * O): one fused elementwise+reduce, fp32
+    dvec = jnp.sum(gf.astype(jnp.float32) * of.astype(jnp.float32),
+                   axis=-1, keepdims=True)  # (bh, n, 1)
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_dq_kernel, block_k=block_k, kv_len=kv_len, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
+        grid=(b * h, n // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda g_, i: (g_, i, 0)),   # q
+            pl.BlockSpec((1, kv_len, d), lambda g_, i: (g_, 0, 0)),    # k
+            pl.BlockSpec((1, kv_len, d), lambda g_, i: (g_, 0, 0)),    # v
+            pl.BlockSpec((1, block_q, d), lambda g_, i: (g_, i, 0)),   # dO
+            pl.BlockSpec((1, block_q, 1), lambda g_, i: (g_, i, 0)),   # lse
+            pl.BlockSpec((1, block_q, 1), lambda g_, i: (g_, i, 0)),   # D
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda g_, i: (g_, i, 0)),
+        interpret=interpret,
+    )(qf, kf, vf, gf, lse, dvec)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_dkv_kernel, block_q=block_q, q_len=n, scale=scale),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, kv_len, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, kv_len, d), v.dtype),
+        ),
+        grid=(b * h, kv_len // block_k),
+        in_specs=[
+            pl.BlockSpec((1, n, d), lambda g_, j: (g_, 0, 0)),         # q
+            pl.BlockSpec((1, block_k, d), lambda g_, j: (g_, j, 0)),   # k
+            pl.BlockSpec((1, block_k, d), lambda g_, j: (g_, j, 0)),   # v
+            pl.BlockSpec((1, n, d), lambda g_, j: (g_, 0, 0)),         # dO
+            pl.BlockSpec((1, n, 1), lambda g_, j: (g_, 0, 0)),         # lse
+            pl.BlockSpec((1, n, 1), lambda g_, j: (g_, 0, 0)),         # D
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k, d), lambda g_, j: (g_, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda g_, j: (g_, j, 0)),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, gf, lse, dvec)
+
+    return _unfold(dq, b, h), _unfold(dk, b, h), _unfold(dv, b, h)
+
+
+# Differentiable flash attention: Pallas kernels carry no automatic
+# reverse-mode rule, so without this custom VJP the stage-1/2 TRAIN steps
+# fail to linearize on TPU (the CPU test mesh falls back to the XLA path and
+# cannot catch it). Forward saves (q, k, v, o, row-logsumexp); backward is
+# the FlashAttention-2 recomputation — dQ/dK/dV kernels that rebuild each
+# (block_q x block_k) tile of P on the fly, never materializing the full
+# (tokens x tokens) matrix.
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _flash_attention(q, k, v, block_q: int, block_k: int, interpret: bool = False):
-    return _flash_attention_impl(q, k, v, block_q, block_k, interpret)
+    out, _ = _flash_fwd_impl(q, k, v, block_q, block_k, interpret)
+    return out
 
 
 def _flash_attention_fwd(q, k, v, block_q, block_k, interpret):
-    return _flash_attention_impl(q, k, v, block_q, block_k, interpret), (q, k, v)
+    out, lse = _flash_fwd_impl(q, k, v, block_q, block_k, interpret)
+    return out, (q, k, v, out, lse)
 
 
 def _flash_attention_bwd(block_q, block_k, interpret, residuals, g):
-    q, k, v = residuals
-    _, vjp = jax.vjp(_xla_attention, q, k, v)
-    return vjp(g)
+    q, k, v, o, lse = residuals
+    return _flash_bwd_impl(q, k, v, o, lse, g, block_q, block_k, interpret)
 
 
 _flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
