@@ -84,6 +84,8 @@ def main():
         try:
             run_bench(models, batch)
             return
+        except AssertionError:
+            raise  # non-finite sample = real numerical regression, never retry
         except Exception as e:  # noqa: BLE001 — tunnel compile-helper flakiness
             last_err = e
             _progress(f"batch {batch} failed ({type(e).__name__}: {str(e)[:120]}); "

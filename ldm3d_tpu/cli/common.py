@@ -133,3 +133,55 @@ def global_batch_size(per_device_batch: int, mesh) -> int:
     """Reference batch_size is per-replica (one process per GPU); the global
     batch over the mesh is per_device * data_axis."""
     return per_device_batch * mesh.shape["data"]
+
+
+def load_two_stage(args, mesh, dt, rng, use_ema: bool = False):
+    """Build AE + UNet from config and restore both stages' 'best' artifacts.
+
+    Shared by the inference and evaluate CLIs (same contract as the
+    reference's checkpoint loading, ``inference.py:71-77``). Returns
+    ``(ae, ae_params, unet, u_params, latent_shape, scale_factor)``;
+    ``use_ema`` restores the EMA UNet weights and fails with a clear error
+    when they were never trained.
+    """
+    from ldm3d_tpu.ckpt import CheckpointManager, StageArtifacts
+    from ldm3d_tpu.configs import define_instance
+    from ldm3d_tpu.parallel import replicated_sharding
+
+    patch_size = args.diffusion_train["patch_size"]
+    rep = replicated_sharding(mesh)
+
+    ae = define_instance(args, "autoencoder_def").clone(dtype=dt)
+    g_vars = jax.jit(ae.init)({"params": rng, "sample": rng},
+                              jnp.zeros((1, *patch_size, args.image_channels), dt))
+    ae_params = CheckpointManager(args.model_dir, StageArtifacts.AUTOENCODER).restore_params(
+        "best", g_vars["params"], sharding=rep)
+
+    unet = define_instance(args, "diffusion_def").clone(dtype=dt)
+    latent_shape = [p // ae.downsample_factor for p in patch_size]
+    u_vars = jax.jit(unet.init)(rng, jnp.zeros((1, *latent_shape, unet.in_channels), dt),
+                                jnp.zeros((1,), jnp.int32))
+    u_ckpt = CheckpointManager(args.model_dir, StageArtifacts.DIFFUSION)
+    role = "ema" if use_ema else "best"
+    if use_ema and not u_ckpt.exists("ema"):
+        raise FileNotFoundError("no 'ema' checkpoint found; train with --ema-decay first")
+    u_params = u_ckpt.restore_params(role, u_vars["params"], sharding=rep)
+    scale_factor = float(u_ckpt.load_meta("best").get("scale_factor", 1.0))
+    logging.info("restored two-stage checkpoints (role=%s, scale_factor=%.6f)", role, scale_factor)
+    return ae, ae_params, unet, u_params, latent_shape, scale_factor
+
+
+def make_sampling_scheduler(name: str, steps: int, sched_cfg: dict):
+    """ddpm (full-loop parity) / ddim (fast) / dpm (DPM-Solver++ 2M)."""
+    from ldm3d_tpu.diffusion import DDIMScheduler, DDPMScheduler, DPMSolverPPScheduler
+
+    common = dict(num_train_timesteps=sched_cfg["num_train_timesteps"],
+                  schedule="scaled_linear_beta", beta_start=sched_cfg["beta_start"],
+                  beta_end=sched_cfg["beta_end"], prediction_type=sched_cfg["prediction_type"])
+    if name == "dpm":
+        return DPMSolverPPScheduler.create(num_inference_steps=steps, **common)
+    if name == "ddim":
+        return DDIMScheduler.create(num_inference_steps=steps, **common)
+    if name == "ddpm":
+        return DDPMScheduler.create(**common)
+    raise ValueError(f"unknown sampler '{name}'")

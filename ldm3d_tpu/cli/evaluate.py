@@ -24,12 +24,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ldm3d_tpu.ckpt import CheckpointManager, StageArtifacts
 from ldm3d_tpu.cli.common import build_parser, model_dtype, setup
 from ldm3d_tpu.cli.inference import build_sampler_fn
-from ldm3d_tpu.configs import define_instance
 from ldm3d_tpu.data import prepare_dataloader
-from ldm3d_tpu.diffusion import DDIMScheduler, DDPMScheduler, DPMSolverPPScheduler
 from ldm3d_tpu.evaluation import evaluate_pairs
 from ldm3d_tpu.utils.config_merge import TrainContext
 
@@ -60,35 +57,12 @@ def main(argv=None):
 
     patch_size = args.diffusion_train["patch_size"]
 
-    # models + checkpoints (same contract as cli.inference) -------------------
-    ae = define_instance(args, "autoencoder_def").clone(dtype=dt)
-    g_vars = jax.jit(ae.init)({"params": rng, "sample": rng},
-                              jnp.zeros((1, *patch_size, args.image_channels), dt))
-    from ldm3d_tpu.parallel import replicated_sharding
+    # models + checkpoints + scheduler (shared with cli.inference) ------------
+    from ldm3d_tpu.cli.common import load_two_stage, make_sampling_scheduler
 
-    rep = replicated_sharding(mesh)
-    ae_params = CheckpointManager(args.model_dir, StageArtifacts.AUTOENCODER).restore_params(
-        "best", g_vars["params"], sharding=rep)
-
-    unet = define_instance(args, "diffusion_def").clone(dtype=dt)
-    latent_shape = [p // ae.downsample_factor for p in patch_size]
-    u_vars = jax.jit(unet.init)(rng, jnp.zeros((1, *latent_shape, unet.in_channels), dt),
-                                jnp.zeros((1,), jnp.int32))
-    u_ckpt = CheckpointManager(args.model_dir, StageArtifacts.DIFFUSION)
-    role = "ema" if args.use_ema else "best"
-    u_params = u_ckpt.restore_params(role, u_vars["params"], sharding=rep)
-    scale_factor = float(u_ckpt.load_meta("best").get("scale_factor", 1.0))
-
-    sched_cfg = ctx.scheduler_config()
-    common = dict(num_train_timesteps=sched_cfg["num_train_timesteps"],
-                  schedule="scaled_linear_beta", beta_start=sched_cfg["beta_start"],
-                  beta_end=sched_cfg["beta_end"], prediction_type=sched_cfg["prediction_type"])
-    if args.sampler == "dpm":
-        scheduler = DPMSolverPPScheduler.create(num_inference_steps=args.steps, **common)
-    elif args.sampler == "ddim":
-        scheduler = DDIMScheduler.create(num_inference_steps=args.steps, **common)
-    else:
-        scheduler = DDPMScheduler.create(**common)
+    ae, ae_params, unet, u_params, latent_shape, scale_factor = load_two_stage(
+        args, mesh, dt, rng, use_ema=args.use_ema)
+    scheduler = make_sampling_scheduler(args.sampler, args.steps, ctx.scheduler_config())
 
     sampler = build_sampler_fn(args, ae, ae_params, unet, u_params, scheduler, scale_factor)
     conditional = unet.in_channels > ae.latent_channels
@@ -110,8 +84,6 @@ def main(argv=None):
             break
         images = jnp.clip(jnp.asarray(batch["image"]), 0, 1).astype(dt)
         labels = jnp.clip(jnp.asarray(batch["label"]), 0, 1).astype(jnp.float32)
-        if images.shape[0] != args.batch:
-            break  # ragged tail: the sampler program is compiled for --batch
         rng, crng, nrng, srng = jax.random.split(rng, 4)
         condition = None
         if conditional:
@@ -119,9 +91,15 @@ def main(argv=None):
                                  method="encode_stage_2_inputs", rngs={"sample": crng})
         noise = jax.random.normal(nrng, noise_shape, jnp.float32).astype(dt)
         vols = jax.block_until_ready(sampler(noise, srng, condition))
-        generated.append(np.asarray(vols, np.float32))
-        references.append(np.asarray(labels, np.float32))
-        n_done += images.shape[0]
+        # trim to --num, to the real dataset size (the val loader pads partial
+        # batches by repeating the last sample), so nothing is double-weighted
+        # in the gate score
+        take = min(args.batch, args.num - n_done, len(val_loader.dataset) - n_done)
+        if take <= 0:
+            break
+        generated.append(np.asarray(vols, np.float32)[:take])
+        references.append(np.asarray(labels, np.float32)[:take])
+        n_done += take
         log.info("evaluated %d/%d pairs", n_done, args.num)
 
     if not generated:

@@ -32,11 +32,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ldm3d_tpu.ckpt import CheckpointManager, StageArtifacts
 from ldm3d_tpu.cli.common import build_parser, model_dtype, setup
-from ldm3d_tpu.configs import define_instance
 from ldm3d_tpu.data import prepare_dataloader
-from ldm3d_tpu.diffusion import DDIMScheduler, DDPMScheduler, DPMSolverPPScheduler, inferer
+from ldm3d_tpu.diffusion import inferer
 from ldm3d_tpu.utils.config_merge import TrainContext
 
 log = logging.getLogger("inference")
@@ -107,44 +105,12 @@ def main(argv=None):
 
     patch_size = args.diffusion_train["patch_size"]
 
-    # models + checkpoints -----------------------------------------------------
-    ae = define_instance(args, "autoencoder_def").clone(dtype=dt)
-    g_vars = jax.jit(ae.init)({"params": rng, "sample": rng},
-                     jnp.zeros((1, *patch_size, args.image_channels), dt))
-    from ldm3d_tpu.parallel import replicated_sharding
+    # models + checkpoints + scheduler (shared with cli.evaluate) --------------
+    from ldm3d_tpu.cli.common import load_two_stage, make_sampling_scheduler
 
-    rep = replicated_sharding(mesh)
-    ae_params = CheckpointManager(args.model_dir, StageArtifacts.AUTOENCODER).restore_params(
-        "best", g_vars["params"], sharding=rep)
-
-    unet = define_instance(args, "diffusion_def").clone(dtype=dt)
-    latent_shape = [p // ae.downsample_factor for p in patch_size]
-    probe = jnp.zeros((1, *latent_shape, unet.in_channels), dt)
-    u_vars = jax.jit(unet.init)(rng, probe, jnp.zeros((1,), jnp.int32))
-    u_ckpt = CheckpointManager(args.model_dir, StageArtifacts.DIFFUSION)
-    role = "ema" if args.use_ema else "best"
-    if args.use_ema and not u_ckpt.exists("ema"):
-        raise FileNotFoundError("no 'ema' checkpoint found; train with --ema-decay first")
-    u_params = u_ckpt.restore_params(role, u_vars["params"], sharding=rep)
-    scale_factor = float(u_ckpt.load_meta("best").get("scale_factor", 1.0))
-    log.info("scale_factor from checkpoint: %.6f", scale_factor)
-
-    sched_cfg = ctx.scheduler_config()
-    if args.sampler == "dpm":
-        scheduler = DPMSolverPPScheduler.create(
-            num_train_timesteps=sched_cfg["num_train_timesteps"], schedule="scaled_linear_beta",
-            beta_start=sched_cfg["beta_start"], beta_end=sched_cfg["beta_end"],
-            num_inference_steps=args.steps, prediction_type=sched_cfg["prediction_type"])
-    elif args.sampler == "ddim":
-        scheduler = DDIMScheduler.create(
-            num_train_timesteps=sched_cfg["num_train_timesteps"], schedule="scaled_linear_beta",
-            beta_start=sched_cfg["beta_start"], beta_end=sched_cfg["beta_end"],
-            num_inference_steps=args.steps, prediction_type=sched_cfg["prediction_type"])
-    else:
-        scheduler = DDPMScheduler.create(
-            num_train_timesteps=sched_cfg["num_train_timesteps"], schedule="scaled_linear_beta",
-            beta_start=sched_cfg["beta_start"], beta_end=sched_cfg["beta_end"],
-            prediction_type=sched_cfg["prediction_type"])
+    ae, ae_params, unet, u_params, latent_shape, scale_factor = load_two_stage(
+        args, mesh, dt, rng, use_ema=args.use_ema)
+    scheduler = make_sampling_scheduler(args.sampler, args.steps, ctx.scheduler_config())
 
     conditional = unet.in_channels > ae.latent_channels
     condition = None

@@ -22,6 +22,7 @@ the model only if "performance > 0.8") but the module itself does not exist
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import logging
 import os
@@ -74,13 +75,10 @@ def composite_score(ssim: float, psnr: float, mae: float) -> float:
     return 0.5 * max(min(ssim, 1.0), 0.0) + 0.25 * psnr_term + 0.25 * mae_term
 
 
-def latent_features(ae, ae_params, volumes: jax.Array, pool: str = "meanstd") -> np.ndarray:
-    """Per-volume feature vectors from the frozen VAE encoder's posterior mean.
-
-    ``(B,D,H,W,C_img) → encode → z_mu (B,d,h,w,C_lat) → spatial mean‖std →
-    (B, 2·C_lat)``. Deterministic (uses μ, not a posterior sample), so the
-    Fréchet estimate has no sampling noise from the encoder itself.
-    """
+@functools.lru_cache(maxsize=8)
+def _feature_fn(ae, pool: str):
+    """One jitted encoder-feature program per (module, pooling) — a fresh
+    closure per call would recompile the 3-D encoder for every batch."""
 
     @jax.jit
     def _feats(params, x):
@@ -92,7 +90,17 @@ def latent_features(ae, ae_params, volumes: jax.Array, pool: str = "meanstd") ->
             return mean
         return jnp.concatenate([mean, std], axis=-1)
 
-    return np.asarray(_feats(ae_params, volumes))
+    return _feats
+
+
+def latent_features(ae, ae_params, volumes: jax.Array, pool: str = "meanstd") -> np.ndarray:
+    """Per-volume feature vectors from the frozen VAE encoder's posterior mean.
+
+    ``(B,D,H,W,C_img) → encode → z_mu (B,d,h,w,C_lat) → spatial mean‖std →
+    (B, 2·C_lat)``. Deterministic (uses μ, not a posterior sample), so the
+    Fréchet estimate has no sampling noise from the encoder itself.
+    """
+    return np.asarray(_feature_fn(ae, pool)(ae_params, volumes))
 
 
 @jax.jit
@@ -150,12 +158,12 @@ def evaluate_pairs(
 
     def _mean(k: str) -> float:
         vals = np.asarray(per[k], np.float64)
-        finite = vals[np.isfinite(vals)]
-        # identical volumes → PSNR inf; treat as the 40 dB ceiling
-        n_inf = int(np.sum(~np.isfinite(vals)))
-        if n_inf:
-            finite = np.concatenate([finite, np.full(n_inf, PSNR_CEILING_DB)])
-        return float(finite.mean()) if finite.size else float("nan")
+        if k == "psnr":
+            # identical volumes → PSNR inf; treat as the 40 dB ceiling
+            vals = np.where(np.isfinite(vals), vals, PSNR_CEILING_DB)
+        # non-finite in any other metric means broken model output: propagate
+        # NaN so the composite score is NaN and the gate fails closed
+        return float(vals.mean()) if vals.size else float("nan")
 
     mean_mae, mean_psnr, mean_ssim = _mean("mae"), _mean("psnr"), _mean("ssim")
     report = EvalReport(

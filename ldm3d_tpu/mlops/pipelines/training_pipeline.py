@@ -95,9 +95,8 @@ class TrainingPipeline:
             report = eval_main(self._cli_argv() + ["-n", "4", "--sampler", "ddim", "--steps", "8"])
             return {"score": report.score, "ssim": report.ssim, "psnr": report.psnr,
                     "frechet": report.frechet, "passed": report.passed(self.eval_threshold)}
-        except SystemExit:
-            raise
-        except Exception as e:  # noqa: BLE001 — smoke runs may lack val pairs
+        except (Exception, SystemExit) as e:  # noqa: BLE001 — smoke runs may
+            # lack val pairs (the CLI sys.exits when no batch can be formed)
             log.warning("sampling-based evaluation unavailable (%s); using loss proxy", e)
             val = stage2_metrics.get("best_val_diffusion_loss", float("inf"))
             score = 1.0 / (1.0 + val)

@@ -103,6 +103,7 @@ def read_nifti(path: str) -> tuple[np.ndarray, np.ndarray]:
     count = int(np.prod(shape))
     data = np.frombuffer(raw, dtype=dtype, count=count, offset=vox_offset)
     vol = np.reshape(data, shape, order="F")
-    if slope not in (0.0, 1.0) or inter != 0.0:
-        vol = vol.astype(np.float32) * (slope or 1.0) + inter
+    # NIfTI-1: scl_slope == 0 means "no scaling stored" — ignore both fields
+    if slope != 0.0 and (slope != 1.0 or inter != 0.0):
+        vol = vol.astype(np.float32) * slope + inter
     return vol, zooms
