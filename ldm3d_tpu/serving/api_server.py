@@ -38,6 +38,9 @@ ACTIVE_REQUESTS = REGISTRY.register(Gauge(
     "api_active_requests", "Currently active requests"))
 MEMORY_USAGE = REGISTRY.register(Gauge(
     "process_memory_bytes", "Process RSS bytes"))
+DEVICE_MEMORY_USAGE = REGISTRY.register(Gauge(
+    "device_memory_bytes", "Accelerator HBM bytes in use (reference parity: "
+    "its server exports a GPU-memory gauge)"))
 
 
 class Api:
@@ -54,6 +57,13 @@ class Api:
             MEMORY_USAGE.set(psutil.Process().memory_info().rss)
         except Exception:
             pass
+        try:
+            import jax
+
+            stats = jax.local_devices()[0].memory_stats() or {}
+            DEVICE_MEMORY_USAGE.set(float(stats.get("bytes_in_use", 0)))
+        except Exception:
+            pass  # CPU backends may not expose memory_stats
         status = "healthy" if self.server.model_loaded else "degraded"
         return 200, {
             "status": status,
