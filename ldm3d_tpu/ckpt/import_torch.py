@@ -51,6 +51,7 @@ __all__ = [
     "sequential_manifest",
     "flatten_torch_state_dict",
     "match_state_dict",
+    "export_torch_state_dict",
     "ImportMismatchError",
 ]
 
@@ -358,3 +359,47 @@ def assigned_to_tree(template_params, assigned: dict):
         return jax.numpy.asarray(arr, dtype=node.dtype)
 
     return _build(template_params, ())
+
+
+def export_torch_state_dict(manifest: list[ManifestEntry], params,
+                            qkv_mode: str = "split") -> "OrderedDict":
+    """Inverse of :func:`match_state_dict`: emit an ordered torch-style
+    state_dict from our param tree (keys use our path names — consumers load
+    by position/shape, the same contract the importer reads by).
+
+    ``qkv_mode``: ``"split"`` emits MONAI-1.3-style ``to_q/to_k/to_v``
+    Linear weights (+biases); ``"fused"`` emits a single SABlock-style
+    ``qkv`` tensor. Round-trip with the importer is exact (tested).
+    """
+    from collections import OrderedDict
+
+    def leaf(path):
+        node = params
+        for k in path:
+            node = node[k]
+        return np.asarray(node)
+
+    out: "OrderedDict[str, np.ndarray]" = OrderedDict()
+    for e in manifest:
+        name = ".".join(e.path)
+        a = leaf(e.path)
+        if e.kind == "conv":
+            out[name] = np.transpose(a, (4, 3, 0, 1, 2)).copy()
+        elif e.kind == "dense":
+            out[name] = np.ascontiguousarray(a.T)
+        elif e.kind == "qkv":
+            c = a.shape[0]
+            if qkv_mode == "fused":
+                out[name] = np.ascontiguousarray(a.T)
+            else:
+                b = leaf(e.path[:-1] + ("bias",))
+                for i, nm in enumerate(("to_q", "to_k", "to_v")):
+                    out[f"{name}.{nm}.weight"] = np.ascontiguousarray(a[:, i * c:(i + 1) * c].T)
+                    out[f"{name}.{nm}.bias"] = b[i * c:(i + 1) * c].copy()
+        elif e.kind == "qkv_bias":
+            if qkv_mode == "fused":
+                out[name] = a.copy()
+            # split mode: biases already emitted interleaved above
+        else:
+            out[name] = a.copy()
+    return out

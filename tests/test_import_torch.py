@@ -39,38 +39,12 @@ def tiny():
 
 
 def _to_torch_items(manifest, params, qkv_mode="split", key_prefix=""):
-    """Inverse of the importer: emit (key, array) in registration order."""
+    """Torch-style ordered items via the library's own exporter (so the
+    round-trip tests pin export AND import)."""
+    from ldm3d_tpu.ckpt.import_torch import export_torch_state_dict
 
-    def leaf(path):
-        node = params
-        for k in path:
-            node = node[k]
-        return np.asarray(node)
-
-    items = []
-    for e in manifest:
-        name = key_prefix + ".".join(e.path)
-        a = leaf(e.path)
-        if e.kind == "conv":
-            items.append((name, np.transpose(a, (4, 3, 0, 1, 2))))
-        elif e.kind == "dense":
-            items.append((name, a.T))
-        elif e.kind == "qkv":
-            c = a.shape[0]
-            if qkv_mode == "fused":
-                items.append((name, a.T))
-            else:
-                b = leaf(e.path[:-1] + ("bias",))
-                for i, nm in enumerate(("to_q", "to_k", "to_v")):
-                    items.append((f"{name}.{nm}.weight", a[:, i * c:(i + 1) * c].T))
-                    items.append((f"{name}.{nm}.bias", b[i * c:(i + 1) * c]))
-        elif e.kind == "qkv_bias":
-            if qkv_mode == "fused":
-                items.append((name, a))
-            # split mode: biases were already emitted interleaved above
-        else:
-            items.append((name, a))
-    return items
+    sd = export_torch_state_dict(manifest, params, qkv_mode)
+    return [(key_prefix + k, v) for k, v in sd.items()]
 
 
 def _trees_equal(a, b):
