@@ -130,6 +130,16 @@ def main(argv=None):
         if not ok:
             log.info("train autoencoder from scratch")
 
+    if mesh.shape.get("model", 1) > 1:
+        # tensor parallel: GSPMD-shard weight/optimizer channels for BOTH the
+        # generator and the discriminator (docs/SCALING.md)
+        from ldm3d_tpu.parallel import shard_train_state_tp
+
+        g_state = shard_train_state_tp(g_state, mesh)
+        d_state = shard_train_state_tp(d_state, mesh)
+        log.info("tensor parallel: G+D params + optimizer sharded over %d devices",
+                 mesh.shape["model"])
+
     if mesh.shape.get("spatial", 1) > 1:
         # dp x sp: volume depth sharded over the spatial axis (docs/SCALING.md)
         from ldm3d_tpu.parallel import validate_spatial_divisibility
