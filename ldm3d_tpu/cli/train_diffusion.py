@@ -68,6 +68,10 @@ def main(argv=None):
     parser.add_argument("--min-snr-gamma", type=float, default=0.0,
                         help="Min-SNR loss weighting gamma (0 = off, paper recommends 5.0): "
                              "down-weights easy low-noise timesteps for faster convergence")
+    parser.add_argument("--cache-latents", action="store_true",
+                        help="encode the dataset's posteriors once and train purely in latent "
+                             "space: removes the per-step frozen-VAE encode (stage 2 uses "
+                             "deterministic center crops, so posteriors never change)")
     args = parser.parse_args(argv)
     args, mesh = setup(args)
     dt = model_dtype(args)
@@ -151,10 +155,27 @@ def main(argv=None):
             train_cfg["patch_size"][0], mesh.shape["spatial"],
             len(args.autoencoder_def["channels"]) + len(args.diffusion_def["channels"]) - 2,
         )
+        if args.cache_latents:
+            raise ValueError("--cache-latents is incompatible with --spatial "
+                             "(the cache stores whole-volume latents)")
         train_step = make_stage2_train_step_spatial(unet, ae, scheduler, s2cfg, mesh)
 
         def place_batch(b):
             return b  # jitted shard_map places P('data','spatial') itself
+    elif args.cache_latents:
+        from ldm3d_tpu.data import LatentCache
+        from ldm3d_tpu.training import make_stage2_train_step_latents
+
+        cache = LatentCache.build(ae, ae_params, train_loader.dataset, batch_size,
+                                  conditional=s2cfg.conditional,
+                                  seed=int(getattr(args, "seed", 0)) or 42)
+        lat_step = make_stage2_train_step_latents(unet, scheduler, s2cfg)
+
+        def train_step(state, _ae_params, sb, sf, r):  # uniform loop signature
+            return lat_step(state, sb, sf, r)
+
+        def place_batch(b):
+            return shard_batch(mesh, b)
     else:
         train_step = make_stage2_train_step(unet, ae, scheduler, s2cfg)
 
@@ -178,8 +199,11 @@ def main(argv=None):
         for epoch in range(start_epoch, max_epochs):
             t0 = time.time()
             losses = []
-            for batch in train_loader.epoch(epoch):
-                sb = place_batch({"image": batch["image"], "label": batch["label"]})
+            epoch_iter = (cache.epoch(epoch) if args.cache_latents
+                          else train_loader.epoch(epoch))
+            for batch in epoch_iter:
+                sb = place_batch(batch if args.cache_latents
+                                 else {"image": batch["image"], "label": batch["label"]})
                 rng, step_rng = jax.random.split(rng)
                 u_state, metrics = train_step(u_state, ae_params, sb, scale_factor, step_rng)
                 losses.append(metrics["diffusion_loss"])

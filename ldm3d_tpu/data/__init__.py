@@ -1,3 +1,4 @@
+from ldm3d_tpu.data.latent_cache import LatentCache
 from ldm3d_tpu.data.loader import BatchLoader
 from ldm3d_tpu.data.npz_dataset import NPZPairDataset, build_file_lists
 from ldm3d_tpu.data.synthetic import make_pair, write_synthetic_npz_dir
@@ -11,6 +12,7 @@ from ldm3d_tpu.data.transforms import (
 from ldm3d_tpu.data.pipeline import prepare_dataloader
 
 __all__ = [
+    "LatentCache",
     "BatchLoader",
     "NPZPairDataset",
     "build_file_lists",

@@ -12,6 +12,7 @@ from ldm3d_tpu.training.stage2 import (
     make_diffusion_optimizer,
     make_stage2_eval_step,
     make_stage2_train_step,
+    make_stage2_train_step_latents,
 )
 
 __all__ = [
@@ -26,5 +27,6 @@ __all__ = [
     "compute_scale_factor",
     "make_diffusion_optimizer",
     "make_stage2_train_step",
+    "make_stage2_train_step_latents",
     "make_stage2_eval_step",
 ]

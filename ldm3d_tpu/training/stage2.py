@@ -36,6 +36,7 @@ __all__ = [
     "make_diffusion_optimizer",
     "compute_scale_factor",
     "make_stage2_train_step",
+    "make_stage2_train_step_latents",
     "make_stage2_train_step_spatial",
     "make_stage2_eval_step",
 ]
@@ -146,6 +147,50 @@ def make_stage2_train_step(unet, ae, scheduler, cfg: Stage2Config):
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, ae_params, batch, scale_factor, rng):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, ae_params, batch, scale_factor, rng)
+        state = state.apply_gradients(grads)
+        return state, {"diffusion_loss": loss, "grad_norm": optax.global_norm(grads)}
+
+    return train_step
+
+
+def make_stage2_train_step_latents(unet, scheduler, cfg: Stage2Config):
+    """LDM train step over PRECOMPUTED posterior latents (see
+    :class:`ldm3d_tpu.data.latent_cache.LatentCache`): no frozen-VAE encode
+    inside the compiled step. Posterior sampling stays exact —
+    ``z = mu + sigma * N(0,1)`` drawn fresh per step, matching
+    ``encode_stage_2_inputs``.
+
+    ``batch``: {"label_mu", "label_sigma"[, "image_mu", "image_sigma"]}.
+    """
+
+    def loss_fn(params, batch, scale_factor, rng):
+        rng_zl, rng_zi, rng_n, rng_t, rng_cd = jax.random.split(rng, 5)
+        dt = unet.dtype
+        mu, sigma = batch["label_mu"], batch["label_sigma"]
+        eps_l = jax.random.normal(rng_zl, mu.shape, jnp.float32)
+        z_labels = ((mu + sigma * eps_l) * scale_factor).astype(dt)
+        condition = None
+        if cfg.conditional:
+            mu_i, sigma_i = batch["image_mu"], batch["image_sigma"]
+            eps_i = jax.random.normal(rng_zi, mu_i.shape, jnp.float32)
+            condition = (mu_i + sigma_i * eps_i).astype(dt)
+            if cfg.cond_dropout > 0:
+                condition = _drop_condition(condition, rng_cd, cfg.cond_dropout)
+        noise = jax.random.normal(rng_n, z_labels.shape, dtype=jnp.float32).astype(dt)
+        b = z_labels.shape[0]
+        timesteps = jax.random.randint(rng_t, (b,), 0, scheduler.num_train_timesteps)
+        model_in = inferer.noise_prediction_inputs(scheduler, z_labels, noise, timesteps, condition)
+        pred = unet.apply({"params": params}, model_in, timesteps)
+        target = inferer.training_targets(scheduler, z_labels, noise, timesteps)
+        if cfg.min_snr_gamma > 0:
+            d = (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
+            per_sample = jnp.mean(d.reshape(b, -1), axis=1)
+            return jnp.mean(min_snr_weights(scheduler, timesteps, cfg.min_snr_gamma) * per_sample)
+        return l2_loss(pred, target)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch, scale_factor, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, scale_factor, rng)
         state = state.apply_gradients(grads)
         return state, {"diffusion_loss": loss, "grad_norm": optax.global_norm(grads)}
 
