@@ -49,6 +49,10 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    help="dev mode: raise at the op producing a NaN (jax_debug_nans)")
     p.add_argument("--grad-accum", type=int, default=1,
                    help="gradient accumulation steps (the reference documents but never implemented this)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize ResBlocks (gradient checkpointing): ~25%% extra "
+                        "backward FLOPs for 20-30%% less activation memory — unlocks "
+                        "batch 8 latent-space training on one v5e (docs/PERFORMANCE.md)")
     p.add_argument("--spatial", type=int, default=1,
                    help="spatial (context) parallel axis size: shard volume depth over this many "
                         "devices per replica (see docs/SCALING.md)")

@@ -86,7 +86,7 @@ def main(argv=None):
     log.info("global batch %d, %d steps/epoch", batch_size, steps_per_epoch)
 
     # models ---------------------------------------------------------------
-    ae = define_instance(args, "autoencoder_def").clone(dtype=dt)
+    ae = define_instance(args, "autoencoder_def").clone(dtype=dt, **({'remat': True} if args.remat else {}))
     disc = PatchDiscriminator3D(num_layers_d=3, channels=32, in_channels=args.image_channels,
                                 out_channels=1, dtype=dt)
     rng = jax.random.PRNGKey(int(getattr(args, "seed", 0)) or 42)
