@@ -85,6 +85,9 @@ def recommend_settings(dev: dict, host: dict) -> dict:
             f"{dev['device_kind']} x{n}, ~{hbm_gb:.0f} GB HBM/chip",
             "bf16 compute with fp32 params; no loss scaler or NaN guards needed",
             "remat (gradient checkpointing) frees memory for larger patches if OOM",
+            "stage 2: --cache-latents --remat with batch 8/chip measured 5x the "
+            "full-step training throughput (docs/PERFORMANCE.md)",
+            "inference/serving: --batch 8 maximizes MXU utilization (~2x vol/s vs batch 2)",
         ],
     }
 
