@@ -186,6 +186,28 @@ def run_bench(models, BATCH: int):
     baseline_time = eager_per_step * DDPM_STEPS + decode_ms / 1000
     baseline_vols_per_sec = BATCH / baseline_time
 
+    # secondary: DPM-Solver++ 2M at 20 steps (fast-sampling capability the
+    # reference lacks entirely); failures here never affect the headline
+    dpm20_vols_per_sec = None
+    try:
+        from ldm3d_tpu.diffusion import DPMSolverPPScheduler
+
+        dpm = DPMSolverPPScheduler.create(num_inference_steps=20)
+
+        @jax.jit
+        def scan_dpm(params, noise, r, c):
+            def unet_apply(z, t):
+                return unet.apply({"params": params}, z, t)
+            return inferer.sample_latents(unet_apply, dpm, noise, r, condition=c)
+
+        decode_all(scan_dpm(u_params, noise, rng, condition))  # warm
+        t0 = time.perf_counter()
+        decode_all(scan_dpm(u_params, noise, jax.random.PRNGKey(99), condition))
+        dpm20_vols_per_sec = BATCH / (time.perf_counter() - t0)
+        _progress(f"dpm20 secondary: {dpm20_vols_per_sec:.3f} volumes/sec/chip")
+    except Exception as e:  # noqa: BLE001 — secondary metric only
+        _progress(f"dpm20 secondary skipped ({type(e).__name__})")
+
     result = {
         "metric": "volumes/sec/chip (DDIM-50 @ 96^3, conditional, bf16, scan-compiled)",
         "value": round(vols_per_sec, 4),
@@ -198,6 +220,8 @@ def run_bench(models, BATCH: int):
         "denoise_step_ms_per_batch_implied": round(denoise_ms, 2),
         "vae_decode_readback_ms_per_batch": round(decode_ms, 2),
         "ddpm1000_python_loop_seconds_per_volume": round(baseline_time / BATCH, 3),
+        "dpm20_volumes_per_sec_chip": (round(dpm20_vols_per_sec, 4)
+                                       if dpm20_vols_per_sec else None),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
