@@ -200,7 +200,8 @@ def run_bench(models, BATCH: int):
                 return unet.apply({"params": params}, z, t)
             return inferer.sample_latents(unet_apply, dpm, noise, r, condition=c)
 
-        decode_all(scan_dpm(u_params, noise, rng, condition))  # warm
+        warm = decode_all(scan_dpm(u_params, noise, rng, condition))
+        assert np.isfinite(warm.astype(np.float32)).all(), "non-finite DPM sample"
         t0 = time.perf_counter()
         decode_all(scan_dpm(u_params, noise, jax.random.PRNGKey(99), condition))
         dpm20_vols_per_sec = BATCH / (time.perf_counter() - t0)

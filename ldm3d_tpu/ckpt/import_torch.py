@@ -364,8 +364,11 @@ def assigned_to_tree(template_params, assigned: dict):
 def export_torch_state_dict(manifest: list[ManifestEntry], params,
                             qkv_mode: str = "split") -> "OrderedDict":
     """Inverse of :func:`match_state_dict`: emit an ordered torch-style
-    state_dict from our param tree (keys use our path names — consumers load
-    by position/shape, the same contract the importer reads by).
+    state_dict from our param tree. Keys use OUR path names (MONAI's names
+    vary by version, so we don't guess them); tensors are in the reference's
+    registration ORDER with its transposes, so loading into a MONAI model is
+    a zip over its ``state_dict()`` keys — see cli/export_checkpoint.py's
+    docstring for the one-liner.
 
     ``qkv_mode``: ``"split"`` emits MONAI-1.3-style ``to_q/to_k/to_v``
     Linear weights (+biases); ``"fused"`` emits a single SABlock-style

@@ -91,10 +91,12 @@ def main(argv=None):
                                  method="encode_stage_2_inputs", rngs={"sample": crng})
         noise = jax.random.normal(nrng, noise_shape, jnp.float32).astype(dt)
         vols = jax.block_until_ready(sampler(noise, srng, condition))
-        # trim to --num, to the real dataset size (the val loader pads partial
-        # batches by repeating the last sample), so nothing is double-weighted
-        # in the gate score
-        take = min(args.batch, args.num - n_done, len(val_loader.dataset) - n_done)
+        # trim to --num, to the real PER-HOST sample count (the val loader
+        # pads partial batches by repeating the last sample, and on pods each
+        # host iterates only its shard), so nothing is double-weighted in the
+        # gate score
+        host_samples = len(val_loader.dataset) // jax.process_count()
+        take = min(args.batch, args.num - n_done, host_samples - n_done)
         if take <= 0:
             break
         generated.append(np.asarray(vols, np.float32)[:take])
@@ -104,7 +106,7 @@ def main(argv=None):
 
     if not generated:
         log.error("validation set produced no full batches of size %d", args.batch)
-        sys.exit(2)
+        sys.exit(3)  # distinct from argparse's usage-error exit code 2
 
     report = evaluate_pairs(generated, references, ae=ae, ae_params=ae_params)
     path = args.report or os.path.join(args.model_dir, "evaluation_report.json")

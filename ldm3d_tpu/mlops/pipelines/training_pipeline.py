@@ -95,12 +95,16 @@ class TrainingPipeline:
             report = eval_main(self._cli_argv() + ["-n", "4", "--sampler", "ddim", "--steps", "8"])
             return {"score": report.score, "ssim": report.ssim, "psnr": report.psnr,
                     "frechet": report.frechet, "passed": report.passed(self.eval_threshold)}
-        except (Exception, SystemExit) as e:  # noqa: BLE001 — smoke runs may
-            # lack val pairs (the CLI sys.exits when no batch can be formed)
+        except SystemExit as e:
+            if e.code == 2:  # argparse usage error = real integration bug
+                raise
+            # exit 3 = no validation batches (smoke run): use the proxy
+            log.warning("sampling-based evaluation unavailable (exit %s); using loss proxy", e.code)
+        except Exception as e:  # noqa: BLE001 — smoke runs may lack checkpoints
             log.warning("sampling-based evaluation unavailable (%s); using loss proxy", e)
-            val = stage2_metrics.get("best_val_diffusion_loss", float("inf"))
-            score = 1.0 / (1.0 + val)
-            return {"score": score, "passed": score > self.eval_threshold}
+        val = stage2_metrics.get("best_val_diffusion_loss", float("inf"))
+        score = 1.0 / (1.0 + val)
+        return {"score": score, "passed": score > self.eval_threshold}
 
     def step_register(self, eval_result: dict, metrics: dict) -> Optional[int]:
         if self.registry is None or not eval_result["passed"]:

@@ -58,3 +58,38 @@ def test_try_restore_missing(tmp_path):
     restored, ok = mgr.try_restore("last", template)
     assert not ok
     assert restored is template
+
+
+def test_cli_resume_continues_epochs(tmp_path):
+    """Restart-based recovery (SURVEY.md 5.3/5.4): kill training after epoch 0,
+    rerun with resume_ckpt -> continues at epoch 1 with optimizer state and
+    epoch counter restored (the reference's .pt resume restarted the
+    schedule and lost the optimizer)."""
+    import json
+
+    from ldm3d_tpu.ckpt import CheckpointManager, StageArtifacts
+    from ldm3d_tpu.cli.train_autoencoder import main as train_ae
+    from ldm3d_tpu.cli.train_diffusion import main as train_diff
+    from ldm3d_tpu.configs import preset_path
+
+    env = tmp_path / "env.json"
+    env.write_text(json.dumps({
+        "model_dir": str(tmp_path / "ckpts"), "output_dir": str(tmp_path / "out"),
+        "tfevent_path": str(tmp_path / "runs"), "resume_ckpt": False,
+        "npz_dir_train": "", "npz_dir_val": "", "npz_dir": "",
+        "val_fraction": 0.25, "seed": 0, "synthetic_data": True, "synthetic_num": 48,
+    }))
+    cfg = preset_path("config_tiny_cpu.json")
+    argv = ["-c", cfg, "-e", str(env), "--synthetic-data"]
+
+    # stage 1 (needed by stage 2), then stage 2 epoch 0 only
+    train_ae(argv + ["--max-epochs", "1"])
+    train_diff(argv + ["--max-epochs", "1"])
+    mgr = CheckpointManager(str(tmp_path / "ckpts"), StageArtifacts.DIFFUSION)
+    assert mgr.load_meta("last")["epoch"] == 0
+
+    # "crash" happened; restart with resume for 2 epochs -> runs only epoch 1
+    env.write_text(env.read_text().replace('"resume_ckpt": false', '"resume_ckpt": true'))
+    train_diff(argv + ["--max-epochs", "2"])
+    meta = mgr.load_meta("last")
+    assert meta["epoch"] == 1  # continued, not restarted
