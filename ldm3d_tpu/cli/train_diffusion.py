@@ -166,11 +166,9 @@ def main(argv=None):
         from ldm3d_tpu.data import LatentCache
         from ldm3d_tpu.training import make_stage2_train_step_latents
 
-        if jax.process_count() > 1:
-            raise ValueError(
-                "--cache-latents is not yet multihost-aware: each host would "
-                "cache and train on the FULL dataset (duplicated batches). "
-                "Use the default encode-per-step path on pods.")
+        # on pods each host caches only its contiguous shard and yields
+        # batch/num_hosts per step (LatentCache.build defaults its host
+        # topology from the JAX process set, like prepare_dataloader)
         cache = LatentCache.build(ae, ae_params, train_loader.dataset, batch_size,
                                   conditional=s2cfg.conditional,
                                   seed=int(getattr(args, "seed", 0)) or 42)

@@ -40,6 +40,8 @@ class LatentCache:
 
     def __init__(self, label_mu, label_sigma, image_mu, image_sigma,
                  batch_size: int, seed: int = 0):
+        """``batch_size`` is this host's LOCAL batch (the global batch divided
+        by the host count happens in :meth:`build`)."""
         self.label_mu = label_mu
         self.label_sigma = label_sigma
         self.image_mu = image_mu  # None for unconditional training
@@ -51,14 +53,25 @@ class LatentCache:
 
     @classmethod
     def build(cls, ae, ae_params, dataset, batch_size: int, encode_batch: int = 2,
-              conditional: bool = True, seed: int = 0) -> "LatentCache":
-        """Encode every dataset sample once (chunked through a jitted encode).
+              conditional: bool = True, seed: int = 0,
+              num_hosts: int | None = None, host_id: int | None = None) -> "LatentCache":
+        """Encode this host's dataset shard once (chunked jitted encode).
 
         ``dataset[i]`` must yield ``{"image": ..., "label": ...}`` NDHWC
-        numpy volumes (the NPZPairDataset contract).
+        numpy volumes (the NPZPairDataset contract). ``batch_size`` is the
+        GLOBAL batch; on pods each host caches only its contiguous shard
+        (the same split as BatchLoader) and yields ``batch/num_hosts``
+        samples per step for ``shard_batch`` to assemble globally.
         """
         import jax
         import jax.numpy as jnp
+
+        if num_hosts is None:
+            num_hosts = jax.process_count()
+            host_id = jax.process_index()
+        host_id = host_id or 0
+        if batch_size % num_hosts:
+            raise ValueError(f"global batch {batch_size} not divisible by {num_hosts} hosts")
 
         @jax.jit
         def enc(params, x):
@@ -67,8 +80,10 @@ class LatentCache:
 
         t0 = time.time()
         lm, ls, im, isg = [], [], [], []
-        n = len(dataset)
-        for start in range(0, n, encode_batch):
+        per_host = len(dataset) // num_hosts
+        lo = host_id * per_host
+        n = lo + per_host
+        for start in range(lo, n, encode_batch):
             idx = range(start, min(start + encode_batch, n))
             samples = [dataset[i] for i in idx]
             labels = jnp.clip(jnp.asarray(np.stack([s["label"] for s in samples])), 0, 1)
@@ -86,9 +101,10 @@ class LatentCache:
         image_sigma = np.concatenate(isg) if conditional else None
         mb = (label_mu.nbytes + label_sigma.nbytes
               + (image_mu.nbytes + image_sigma.nbytes if conditional else 0)) / 1e6
-        log.info("cached %d samples' latents in %.1fs (%.1f MB host RAM)",
-                 n, time.time() - t0, mb)
-        return cls(label_mu, label_sigma, image_mu, image_sigma, batch_size, seed)
+        log.info("cached %d samples' latents (host %d/%d) in %.1fs (%.1f MB host RAM)",
+                 per_host, host_id, num_hosts, time.time() - t0, mb)
+        return cls(label_mu, label_sigma, image_mu, image_sigma,
+                   batch_size // num_hosts, seed)
 
     def __len__(self) -> int:
         return len(self.label_mu)

@@ -101,3 +101,20 @@ def test_cache_rejects_oversized_batch(tiny_ae):
     ae, params = tiny_ae
     with pytest.raises(ValueError, match="cannot serve batch"):
         LatentCache.build(ae, params, PairDataset(n=2), batch_size=4)
+
+
+def test_host_sharded_cache(tiny_ae):
+    """Pod semantics: hosts cache disjoint contiguous shards and serve the
+    global batch divided by the host count (BatchLoader parity)."""
+    ae, params = tiny_ae
+    ds = PairDataset(n=8)
+    c0 = LatentCache.build(ae, params, ds, batch_size=4, num_hosts=2, host_id=0)
+    c1 = LatentCache.build(ae, params, ds, batch_size=4, num_hosts=2, host_id=1)
+    assert len(c0) == len(c1) == 4
+    assert c0.batch_size == c1.batch_size == 2  # local = global / hosts
+    # disjoint contiguous shards: host0 = samples 0..3, host1 = 4..7
+    full = LatentCache.build(ae, params, ds, batch_size=4, num_hosts=1, host_id=0)
+    np.testing.assert_array_equal(c0.label_mu, full.label_mu[:4])
+    np.testing.assert_array_equal(c1.label_mu, full.label_mu[4:])
+    with pytest.raises(ValueError, match="divisible"):
+        LatentCache.build(ae, params, ds, batch_size=3, num_hosts=2, host_id=0)
