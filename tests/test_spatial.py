@@ -295,3 +295,28 @@ def test_validate_spatial_divisibility():
         validate_spatial_divisibility(30, 4, 2)
     with pytest.raises(ValueError):
         validate_spatial_divisibility(8, 4, 2)  # local 2 -> 1 -> odd
+
+
+def test_stage2_spatial_train_step_min_snr(mesh4x2, tiny):
+    """Min-SNR weighting in the depth-sharded step stays finite and differs
+    from uniform weighting (weights are per-sample, constant across slabs)."""
+    ae, unet = tiny
+    rng = jax.random.PRNGKey(7)
+    x = jax.random.uniform(rng, (4, 32, 32, 32, 1), jnp.float32)
+    ae_vars = ae.init({"params": rng, "sample": rng}, x[:1])
+    u_vars = unet.init(rng, jnp.zeros((1, 8, 8, 8, unet.in_channels)), jnp.zeros((1,), jnp.int32))
+    sched = DDPMScheduler.create(num_train_timesteps=16)
+    losses = {}
+    for gamma in (0.0, 5.0):
+        params = jax.tree_util.tree_map(jnp.array, u_vars["params"])
+        state = TrainState.create(
+            unet.apply, params,
+            make_diffusion_optimizer(build_lr_schedule("multistep", 1e-3, 1, 1)))
+        step = make_stage2_train_step_spatial(unet, ae, sched,
+                                              Stage2Config(min_snr_gamma=gamma), mesh4x2)
+        with mesh4x2:
+            state, metrics = step(state, ae_vars["params"], {"image": x, "label": x},
+                                  jnp.float32(1.0), rng)
+        losses[gamma] = float(metrics["diffusion_loss"])
+        assert np.isfinite(losses[gamma])
+    assert losses[0.0] != losses[5.0]
