@@ -65,6 +65,10 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--tensor", type=int, default=1,
                    help="tensor-parallel axis size: shard weight output channels (GSPMD) over "
                         "this many devices per replica (see docs/SCALING.md)")
+    p.add_argument("--zero", action="store_true",
+                   help="ZeRO-1: shard optimizer moments over the data axis (~1/N optimizer "
+                        "memory; the reference only lists this as future work). Composes with "
+                        "--tensor; see docs/SCALING.md")
     return p
 
 

@@ -140,6 +140,15 @@ def main(argv=None):
         log.info("tensor parallel: G+D params + optimizer sharded over %d devices",
                  mesh.shape["model"])
 
+    if getattr(args, "zero", False) and mesh.shape["data"] > 1:
+        # ZeRO-1: optimizer moments sharded over the data axis (parallel/zero.py)
+        from ldm3d_tpu.parallel import shard_train_state_zero
+
+        g_state = shard_train_state_zero(g_state, mesh)
+        d_state = shard_train_state_zero(d_state, mesh)
+        log.info("ZeRO-1: G+D optimizer state sharded over %d data-parallel devices",
+                 mesh.shape["data"])
+
     if mesh.shape.get("spatial", 1) > 1:
         # dp x sp: volume depth sharded over the spatial axis (docs/SCALING.md)
         from ldm3d_tpu.parallel import validate_spatial_divisibility

@@ -146,6 +146,13 @@ def main(argv=None):
         u_state = shard_train_state_tp(u_state, mesh)
         log.info("tensor parallel: params + optimizer sharded over %d devices",
                  mesh.shape["model"])
+    if getattr(args, "zero", False) and mesh.shape["data"] > 1:
+        # ZeRO-1: optimizer moments sharded over the data axis (parallel/zero.py)
+        from ldm3d_tpu.parallel import shard_train_state_zero
+
+        u_state = shard_train_state_zero(u_state, mesh)
+        log.info("ZeRO-1: optimizer state sharded over %d data-parallel devices",
+                 mesh.shape["data"])
     if mesh.shape.get("spatial", 1) > 1:
         # dp x sp: volume depth sharded over the spatial axis (docs/SCALING.md)
         from ldm3d_tpu.parallel import validate_spatial_divisibility

@@ -15,6 +15,11 @@ from ldm3d_tpu.parallel.tensor import (
     shard_train_state_tp,
     tp_sharding_tree,
 )
+from ldm3d_tpu.parallel.zero import (
+    shard_train_state_zero,
+    zero_sharding_tree,
+    zero_spec_for,
+)
 from ldm3d_tpu.parallel.spatial import (
     SPATIAL_AXIS,
     halo_exchange,
@@ -39,6 +44,9 @@ __all__ = [
     "shard_params_tp",
     "shard_train_state_tp",
     "tp_sharding_tree",
+    "shard_train_state_zero",
+    "zero_sharding_tree",
+    "zero_spec_for",
     "global_batch",
     "init_multihost",
     "is_multihost",

@@ -24,6 +24,9 @@ class TrainState:
     apply_fn: Callable = struct.field(pytree_node=False)
     ema_params: Any = None  # exponential moving average of params (optional)
     ema_decay: float = struct.field(pytree_node=False, default=0.0)
+    # optional hook pinning (params, opt_state) shardings through the update
+    # (set by parallel.zero.shard_train_state_zero; None = let GSPMD propagate)
+    constrain: Callable | None = struct.field(pytree_node=False, default=None)
 
     @classmethod
     def create(cls, apply_fn: Callable, params: Any, tx: optax.GradientTransformation,
@@ -37,6 +40,8 @@ class TrainState:
     def apply_gradients(self, grads: Any) -> "TrainState":
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
         new_params = optax.apply_updates(self.params, updates)
+        if self.constrain is not None:
+            new_params, new_opt_state = self.constrain(new_params, new_opt_state)
         new_ema = self.ema_params
         if self.ema_params is not None:
             d = self.ema_decay
