@@ -32,11 +32,16 @@ case "$MODE" in
   health)
     exec python -m ldm3d_tpu.serving.health_check "$@"
     ;;
+  jupyter)
+    # reference parity (its entrypoint.sh jupyter mode); optional dependency
+    exec python -m jupyter lab --ip 0.0.0.0 --port "${JUPYTER_PORT:-8888}" \
+      --no-browser --allow-root --NotebookApp.token="${JUPYTER_TOKEN:-}" "$@"
+    ;;
   bash)
     exec /bin/bash "$@"
     ;;
   *)
-    echo "unknown mode: $MODE (api|train|train-diffusion|pipeline|inference|health|bash)" >&2
+    echo "unknown mode: $MODE (api|train|train-diffusion|pipeline|inference|health|jupyter|bash)" >&2
     exit 2
     ;;
 esac

@@ -151,6 +151,8 @@ def main(argv=None):
     os.makedirs(args.output_dir, exist_ok=True)
     n_steps = len(np.asarray(scheduler.timesteps))
 
+    written: list[str] = []
+
     def flush(i, vols_dev, t_enq):
         """Materialize + write one batch (called while the NEXT batch computes
         on device, so host readback and NIfTI IO overlap device compute)."""
@@ -160,6 +162,7 @@ def main(argv=None):
         for b in range(vols.shape[0]):
             stem = datetime.now().strftime(f"synimg_%Y%m%d_%H%M%S_{i}_{b}")
             path = save_volume(vols[b, ..., 0], args.output_dir, stem)
+            written.append(path)
             log.info("wrote %s", path)
 
     pending = None
@@ -173,6 +176,7 @@ def main(argv=None):
         pending = (i, cur, t0)
     if pending is not None:
         flush(*pending)
+    return written
 
 
 if __name__ == "__main__":

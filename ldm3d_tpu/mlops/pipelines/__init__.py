@@ -1,3 +1,6 @@
-from ldm3d_tpu.mlops.pipelines.training_pipeline import TrainingPipeline
+from ldm3d_tpu.mlops.pipelines.training_pipeline import (
+    BatchInferencePipeline,
+    TrainingPipeline,
+)
 
-__all__ = ["TrainingPipeline"]
+__all__ = ["TrainingPipeline", "BatchInferencePipeline"]

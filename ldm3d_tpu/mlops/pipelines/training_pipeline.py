@@ -21,7 +21,7 @@ from typing import Any, Optional
 
 log = logging.getLogger("training_pipeline")
 
-__all__ = ["TrainingPipeline", "PipelineStep"]
+__all__ = ["TrainingPipeline", "BatchInferencePipeline", "PipelineStep"]
 
 
 @dataclasses.dataclass
@@ -152,6 +152,43 @@ class TrainingPipeline:
         return {"image": image, "steps": steps}
 
 
+class BatchInferencePipeline:
+    """Batch-generation DAG (reference ``azure_ml_pipeline.py:244``'s
+    batch-inference pipeline): one accelerator step running the real
+    inference CLI over ``num_samples``, writing NIfTI volumes to
+    ``output_dir`` from the registered/registered-dir checkpoints."""
+
+    def __init__(self, config_file: str, environment_file: str,
+                 num_samples: int = 8, sampler: str = "ddim", steps: int = 50,
+                 extra_flags: Optional[list[str]] = None):
+        self.config_file = config_file
+        self.environment_file = environment_file
+        self.num_samples = num_samples
+        self.sampler = sampler
+        self.steps = steps
+        self.extra_flags = extra_flags or []
+
+    def run_local(self) -> dict:
+        from ldm3d_tpu.cli.inference import main as infer_main
+
+        t0 = time.time()
+        argv = ["-c", self.config_file, "-e", self.environment_file,
+                "--num", str(self.num_samples), "--sampler", self.sampler,
+                "--steps", str(self.steps)] + self.extra_flags
+        written = infer_main(argv)
+        return {"num_samples": self.num_samples, "sampler": self.sampler,
+                "files": written, "wall_time_s": time.time() - t0}
+
+    def emit_cloud_spec(self, image: str = "ldm3d-tpu:latest",
+                        accelerator: str = "tpu-v5-lite-podslice") -> dict:
+        cmd = (f"python -m ldm3d_tpu.cli.inference -c {self.config_file} "
+               f"-e {self.environment_file} --num {self.num_samples} "
+               f"--sampler {self.sampler} --steps {self.steps}")
+        return {"image": image,
+                "steps": [{"name": "batch-inference", "command": cmd,
+                           "accelerator": accelerator}]}
+
+
 def main(argv=None):
     import argparse
 
@@ -162,10 +199,24 @@ def main(argv=None):
     p.add_argument("--max-epochs", type=int, default=None)
     p.add_argument("--synthetic-data", action="store_true")
     p.add_argument("--emit-spec", action="store_true", help="print the cloud DAG spec and exit")
+    p.add_argument("--batch-inference", type=int, default=0, metavar="N",
+                   help="run the batch-inference pipeline for N samples instead of training")
+    p.add_argument("--sampler", default="ddim", help="batch-inference sampler (ddpm/ddim/dpm)")
+    p.add_argument("--steps", type=int, default=50, help="batch-inference sampler steps")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO, force=True)
 
     extra = ["--synthetic-data"] if args.synthetic_data else []
+    if args.batch_inference > 0:
+        bpipe = BatchInferencePipeline(args.config_file, args.environment_file,
+                                       num_samples=args.batch_inference,
+                                       sampler=args.sampler, steps=args.steps,
+                                       extra_flags=extra)
+        if args.emit_spec:
+            print(json.dumps(bpipe.emit_cloud_spec(), indent=2))
+            return
+        print(json.dumps(bpipe.run_local(), default=str))
+        return
     pipe = TrainingPipeline(args.config_file, args.environment_file, args.model_dir,
                             max_epochs=args.max_epochs, extra_flags=extra)
     if args.emit_spec:

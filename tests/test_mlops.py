@@ -100,3 +100,14 @@ def test_pipeline_spec_emission(tmp_path):
     names = [s["name"] for s in spec["steps"]]
     assert names == ["data-prep", "train-autoencoder", "train-diffusion", "evaluate-register"]
     assert spec["steps"][2]["depends_on"] == ["train-autoencoder"]
+
+
+def test_batch_inference_pipeline_spec():
+    from ldm3d_tpu.mlops.pipelines import BatchInferencePipeline
+
+    bpipe = BatchInferencePipeline("cfg.json", "env.json", num_samples=16,
+                                   sampler="dpm", steps=20)
+    spec = bpipe.emit_cloud_spec(image="img:1")
+    assert spec["steps"][0]["name"] == "batch-inference"
+    cmd = spec["steps"][0]["command"]
+    assert "--num 16" in cmd and "--sampler dpm" in cmd and "--steps 20" in cmd
