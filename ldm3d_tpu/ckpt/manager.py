@@ -55,19 +55,35 @@ class CheckpointManager:
 
     # -- save ----------------------------------------------------------------
 
-    def save(self, role: str, state: Any, meta: Optional[dict] = None) -> None:
-        """Save ``state`` (any pytree of arrays) under ``role`` (best/last)."""
+    def save(self, role: str, state: Any, meta: Optional[dict] = None,
+             block: bool = True) -> None:
+        """Save ``state`` (any pytree of arrays) under ``role`` (best/last).
+
+        ``block=False`` lets orbax finish the write in the background while
+        training continues (the save barriers only device->host transfer, not
+        the serialization); any previous in-flight save is drained first, and
+        callers must :meth:`wait` (or do a blocking save) before process exit
+        or before restoring the same role."""
         path = self.path(role)
+        self._ckptr.wait_until_finished()  # drain a previous async save
         self._ckptr.save(path, state, force=True)
-        self._ckptr.wait_until_finished()
+        if block:
+            self._ckptr.wait_until_finished()
         if meta is not None:
             with open(os.path.join(self.root, f"{role}_meta.json"), "w") as f:
                 json.dump(meta, f)
 
-    def save_best_and_last(self, state: Any, is_best: bool, meta: Optional[dict] = None) -> None:
+    def wait(self) -> None:
+        """Block until any in-flight async save has committed to disk."""
+        self._ckptr.wait_until_finished()
+
+    def save_best_and_last(self, state: Any, is_best: bool, meta: Optional[dict] = None,
+                           block: bool = True) -> None:
         """``last`` = the full pytree (true resume: params + opt state + step);
         ``best`` = params only (the deployment artifact other stages load)."""
-        self.save("last", state, meta)
+        # 'last' may overlap training (block=False); a following 'best' save
+        # drains it first, so the deployment artifact is never half-written
+        self.save("last", state, meta, block=block)
         if is_best:
             best = {"params": state["params"]} if isinstance(state, dict) and "params" in state else state
             self.save("best", best, meta)

@@ -34,6 +34,7 @@ from ldm3d_tpu.nn import LPIPS, PatchDiscriminator3D
 from ldm3d_tpu.obs import MetricsWriter, StepProfiler, visualize_one_slice_in_3d_image
 from ldm3d_tpu.parallel import replicated_sharding, shard_batch
 from ldm3d_tpu.training import (
+    GracefulShutdown,
     Stage1Config,
     TrainState,
     build_lr_schedule,
@@ -169,6 +170,7 @@ def main(argv=None):
 
     writer = MetricsWriter(os.path.join(args.tfevent_path, "autoencoder"))
     profiler = StepProfiler("./profiler_logs", enabled=args.profile)
+    stop = GracefulShutdown()  # SIGTERM (preemption) -> save 'last' + exit 0
     best_val = float("inf")
     total_step = 0
 
@@ -178,6 +180,8 @@ def main(argv=None):
             adv_active = epoch > s1cfg.warmup_epochs
             accum: dict[str, list] = {}
             for step, batch in enumerate(train_loader.epoch(epoch)):
+                if stop.requested:
+                    break
                 images = place_images(batch["image"])
                 rng, step_rng = jax.random.split(rng)
                 g_state, d_state, metrics = train_step(g_state, d_state, images, step_rng, adv_active=adv_active)
@@ -194,6 +198,17 @@ def main(argv=None):
                     writer.add_scalar("lr_generator", schedule(int(g_state.step)), total_step)
                 if step % 50 == 0:
                     writer.add_scalar("grad_norm_autoencoder", metrics["g_grad_norm"], total_step)
+
+            if stop.requested:
+                # preemption: full resumable 'last' save; the interrupted
+                # epoch replays on restart (meta epoch = epoch - 1)
+                meta = {"epoch": epoch - 1, "best_val": best_val, "preempted": True}
+                g_ckpt.save("last", {"params": g_state.params, "opt_state": g_state.opt_state,
+                                     "step": g_state.step}, meta)
+                d_ckpt.save("last", {"params": d_state.params, "opt_state": d_state.opt_state,
+                                     "step": d_state.step}, meta)
+                log.warning("preempted during epoch %d: saved resumable 'last' checkpoints", epoch)
+                break
 
             epoch_means = {k: float(np.mean([np.asarray(x) for x in v])) for k, v in accum.items()}
             epoch_time = time.time() - t0
@@ -226,12 +241,13 @@ def main(argv=None):
                     is_best = val_loss < best_val
                     best_val = min(best_val, val_loss)
                     meta = {"epoch": epoch, "val_loss": val_loss, "best_val": best_val}
+                    # async: the 'last' writes overlap the next epoch's steps
                     g_ckpt.save_best_and_last(
                         {"params": g_state.params, "opt_state": g_state.opt_state, "step": g_state.step},
-                        is_best, meta)
+                        is_best, meta, block=False)
                     d_ckpt.save_best_and_last(
                         {"params": d_state.params, "opt_state": d_state.opt_state, "step": d_state.step},
-                        is_best, meta)
+                        is_best, meta, block=False)
                     if is_best:
                         log.info("Got best val recon loss; saved best checkpoints to %s", args.model_dir)
                     if not args.no_images and recon is not None and epoch % (val_interval * 5) == 0:
@@ -241,6 +257,9 @@ def main(argv=None):
                             writer.add_image(f"val_img_{axis}", visualize_one_slice_in_3d_image(img0, axis), epoch)
                             writer.add_image(f"val_recon_{axis}", visualize_one_slice_in_3d_image(rec0, axis), epoch)
 
+    g_ckpt.wait()  # drain in-flight async saves before exit
+    d_ckpt.wait()
+    stop.restore()
     profiler.stop()
     writer.close()
     track_run(args, "autoencoder", {"best_val_recon_loss": best_val})

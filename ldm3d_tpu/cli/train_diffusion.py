@@ -29,6 +29,7 @@ from ldm3d_tpu.diffusion import DDPMScheduler, inferer
 from ldm3d_tpu.obs import MetricsWriter, visualize_one_slice_in_3d_image
 from ldm3d_tpu.parallel import replicated_sharding, shard_batch
 from ldm3d_tpu.training import (
+    GracefulShutdown,
     Stage2Config,
     TrainState,
     build_lr_schedule,
@@ -194,6 +195,7 @@ def main(argv=None):
     eval_step = make_stage2_eval_step(unet, ae, scheduler, s2cfg)
 
     writer = MetricsWriter(os.path.join(args.tfevent_path, "diffusion"))
+    stop = GracefulShutdown()  # SIGTERM (preemption) -> save 'last' + exit 0
     best_val = float("inf")
     total_step = 0
 
@@ -212,6 +214,8 @@ def main(argv=None):
             epoch_iter = (cache.epoch(epoch) if args.cache_latents
                           else train_loader.epoch(epoch))
             for batch in epoch_iter:
+                if stop.requested:
+                    break
                 sb = place_batch(batch if args.cache_latents
                                  else {"image": batch["image"], "label": batch["label"]})
                 rng, step_rng = jax.random.split(rng)
@@ -219,6 +223,16 @@ def main(argv=None):
                 losses.append(metrics["diffusion_loss"])
                 total_step += 1
                 writer.add_scalar("train_diffusion_loss_iter", metrics["diffusion_loss"], total_step)
+            if stop.requested:
+                # preemption: full resumable 'last' save; the interrupted
+                # epoch replays on restart (meta epoch = epoch - 1)
+                full = {"params": u_state.params, "opt_state": u_state.opt_state, "step": u_state.step}
+                if u_state.ema_params is not None:
+                    full["ema_params"] = u_state.ema_params
+                u_ckpt.save("last", full, {"epoch": epoch - 1, "best_val": best_val,
+                                           "scale_factor": float(scale_factor), "preempted": True})
+                log.warning("preempted during epoch %d: saved resumable 'last' checkpoint", epoch)
+                break
             epoch_loss = float(np.mean([np.asarray(x) for x in losses])) if losses else float("nan")
             log.info("Epoch %d/%d (%.2fs) - diffusion loss %.5f", epoch, max_epochs,
                      time.time() - t0, epoch_loss)
@@ -241,9 +255,11 @@ def main(argv=None):
                     full = {"params": u_state.params, "opt_state": u_state.opt_state, "step": u_state.step}
                     if u_state.ema_params is not None:
                         full["ema_params"] = u_state.ema_params
+                    # async: the 'last' write overlaps the next epoch's steps
                     u_ckpt.save_best_and_last(
                         full, is_best,
                         {"epoch": epoch, "val_loss": val_loss, "scale_factor": float(scale_factor)},
+                        block=False,
                     )
                     if is_best:
                         if u_state.ema_params is not None:
@@ -277,6 +293,8 @@ def main(argv=None):
                         writer.add_image(f"val_denoised_cond_{axis}",
                                          visualize_one_slice_in_3d_image(np.asarray(sampled[0, ..., 0], dtype=np.float32), axis), epoch)
 
+    u_ckpt.wait()  # drain an in-flight async save before exit
+    stop.restore()
     writer.close()
     track_run(args, "diffusion", {"best_val_diffusion_loss": best_val,
                                   "scale_factor": float(scale_factor)})

@@ -1,4 +1,5 @@
 from ldm3d_tpu.training.lr_schedules import build_lr_schedule, scale_lr_for_world
+from ldm3d_tpu.training.preemption import GracefulShutdown
 from ldm3d_tpu.training.state import TrainState
 from ldm3d_tpu.training.stage1 import (
     Stage1Config,
@@ -19,6 +20,7 @@ __all__ = [
     "build_lr_schedule",
     "scale_lr_for_world",
     "TrainState",
+    "GracefulShutdown",
     "Stage1Config",
     "make_optimizer",
     "make_stage1_train_step",
