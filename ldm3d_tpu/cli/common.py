@@ -96,6 +96,15 @@ def track_run(args, stage: str, final_metrics: dict) -> None:
 
 def setup(args) -> tuple:
     """Merge configs, build the mesh, return (args, mesh)."""
+    import os
+
+    # honor JAX_PLATFORMS even when a sitecustomize re-pinned the platform
+    # after env parsing (some dev images do); no-op in normal environments
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except RuntimeError:
+            pass  # backend already initialized; keep whatever is live
     logging.basicConfig(
         stream=sys.stdout,
         level=logging.INFO,

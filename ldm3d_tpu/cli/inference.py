@@ -56,13 +56,20 @@ def save_volume(vol: np.ndarray, out_dir: str, stem: str) -> str:
     return path
 
 
-def build_sampler_fn(args, ae, ae_params, unet, u_params, scheduler, scale_factor):
+def build_sampler_fn(args, ae, ae_params, unet, u_params, scheduler, scale_factor,
+                     mesh=None):
     """Compiled sampler: reverse-loop scan program + decode program.
 
     Two dispatches per batch (vs the reference's 1000 Python-stepped UNet
     calls). Kept as two programs rather than one fused so each compile unit
     stays small; fusing the decode into the scan program saves only one
     dispatch and is available via ``inferer.sample`` for callers that want it.
+
+    When ``mesh`` has a data axis that divides the batch, the noise (and
+    condition) batch dim is sharded over it: each chip denoises+decodes
+    batch/N volumes of the SAME compiled program (GSPMD propagates the batch
+    sharding; no collectives needed) — N-chip sampling throughput with no
+    code changes elsewhere.
     """
 
     # params are explicit jit args — closing over the weight arrays would
@@ -79,7 +86,25 @@ def build_sampler_fn(args, ae, ae_params, unet, u_params, scheduler, scale_facto
         return ae.apply({"params": params}, z / jnp.asarray(scale_factor, z.dtype),
                         method="decode_stage_2_outputs")
 
+    place = lambda x: x  # noqa: E731
+    n_data = mesh.shape["data"] if mesh is not None else 1
+    if n_data > 1:
+        if args.batch % n_data == 0:
+            from ldm3d_tpu.parallel import batch_sharding
+
+            bsh = batch_sharding(mesh)
+            place = lambda x: jax.device_put(x, bsh)  # noqa: E731
+            log.info("data-parallel sampling: batch %d sharded over %d chips",
+                     args.batch, n_data)
+        else:
+            log.warning("--batch %d not divisible by %d data-parallel chips; "
+                        "sampling runs on one chip (pick --batch as a multiple "
+                        "to use the whole mesh)", args.batch, n_data)
+
     def run(noise, rng, condition=None):
+        noise = place(noise)
+        if condition is not None:
+            condition = place(condition)
         return decode_fn(ae_params, scan_fn(u_params, noise, rng, condition))
 
     return run
@@ -145,7 +170,8 @@ def main(argv=None):
         def run(noise, rng, condition=None):
             return sampler(u_params, ae_params, noise, rng, condition)
     else:
-        run = build_sampler_fn(args, ae, ae_params, unet, u_params, scheduler, scale_factor)
+        run = build_sampler_fn(args, ae, ae_params, unet, u_params, scheduler, scale_factor,
+                               mesh=mesh)
 
     noise_shape = (args.batch, *latent_shape, ae.latent_channels)
     os.makedirs(args.output_dir, exist_ok=True)

@@ -155,7 +155,22 @@ class ModelServer:
                 return ae.apply({"params": params}, z / jnp.asarray(scale_factor, z.dtype),
                                 method="decode_stage_2_outputs")
 
+            place = lambda x: x  # noqa: E731
+            n_dev = len(jax.devices())
+            if n_dev > 1 and self.batch % n_dev == 0:
+                # data-parallel serving: shard the sample batch over every
+                # chip (GSPMD propagates; each chip samples batch/n volumes)
+                from ldm3d_tpu.parallel import MeshSpec, batch_sharding, create_mesh
+
+                bsh = batch_sharding(create_mesh(MeshSpec(data=n_dev)))
+                place = lambda x: jax.device_put(x, bsh)  # noqa: E731
+                log.info("data-parallel sampling: batch %d sharded over %d chips",
+                         self.batch, n_dev)
+
             def run(noise, rng_key, condition):
+                noise = place(noise)
+                if condition is not None:
+                    condition = place(condition)
                 return decode_fn(ae_params, scan_fn(u_params, noise, rng_key, condition))
 
         def encode_condition(vol, rng_key):

@@ -133,3 +133,23 @@ def test_cond_dropout_zeroes_some_samples():
     assert 10 < n_kept < 54  # ~half kept
     # kept samples intact, dropped fully zero
     assert set(np.unique(per_sample)) <= {0.0, 1.0}
+
+
+def test_dp_sharded_sampling_matches(eight_devices):
+    """Batch sharded over the data axis (cli.inference / serving DP sampling)
+    produces the same volumes as single-device sampling."""
+    from ldm3d_tpu.parallel import MeshSpec, batch_sharding, create_mesh
+
+    sch = DDIMScheduler.create(num_train_timesteps=20, num_inference_steps=5)
+    noise = jax.random.normal(jax.random.PRNGKey(0), (8, 4, 4, 4, 2))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (8, 4, 4, 4, 2))
+    rng = jax.random.PRNGKey(1)
+
+    fn = jax.jit(lambda n, c: inferer.sample_latents(_toy_unet, sch, n, rng, condition=c))
+    ref = fn(noise, cond)
+
+    mesh = create_mesh(MeshSpec(data=8), devices=eight_devices)
+    bsh = batch_sharding(mesh)
+    got = fn(jax.device_put(noise, bsh), jax.device_put(cond, bsh))
+    assert "data" in tuple(got.sharding.spec), got.sharding  # stayed sharded
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
