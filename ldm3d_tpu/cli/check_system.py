@@ -88,7 +88,10 @@ def recommend_settings(dev: dict, host: dict) -> dict:
             "stage 2: --cache-latents --remat with batch 8/chip measured 5x the "
             "full-step training throughput (docs/PERFORMANCE.md)",
             "inference/serving: --batch 8 maximizes MXU utilization (~2x vol/s vs batch 2)",
-        ],
+        ] + ([
+            f"multi-chip: a --batch divisible by {n} samples data-parallel over all "
+            f"{n} chips; --zero shards optimizer memory 1/{n} at no cost",
+        ] if n > 1 else []),
     }
 
 
