@@ -50,6 +50,7 @@ class ModelServer:
         self.patch_size = [32, 32, 32]
         self._lock = threading.Lock()
         self._run = None  # compiled sampler fn
+        self._batcher = None  # dynamic micro-batcher (serving/batcher.py)
         self._latent_shape = None
         self._encode_condition = None
         self._rng_counter = 0
@@ -58,6 +59,9 @@ class ModelServer:
 
     def load_model(self) -> None:
         t0 = time.time()
+        if self._batcher is not None:  # reload: retire the old batcher
+            self._batcher.close()
+            self._batcher = None
         try:
             self._load_real()
             self.is_dummy = False
@@ -180,6 +184,20 @@ class ModelServer:
         self._encode_condition = encode_condition
         self._run = run
 
+        # micro-batcher: merges concurrent single-volume requests into one
+        # compiled batch-B call (serving/batcher.py). Worth it only when the
+        # compiled batch can hold more than one request.
+        if self.batch > 1:
+            from ldm3d_tpu.serving.batcher import DynamicBatcher
+
+            def run_batched(noise_np, rng_seed, cond_np):
+                key = jax.random.PRNGKey(int(rng_seed))
+                noise = jnp.asarray(noise_np)
+                cond = jnp.asarray(cond_np) if cond_np is not None else None
+                return np.asarray(run(noise, key, cond))
+
+            self._batcher = DynamicBatcher(run_batched, self.batch, max_wait_ms=10.0)
+
     def _load_dummy(self) -> None:
         self._latent_shape = None
         self._run = None
@@ -202,34 +220,50 @@ class ModelServer:
             raise RuntimeError("model not loaded")
         conditioning = "none"
         t0 = time.time()
-        with self._lock:
-            if self.is_dummy:
+        if self.is_dummy:
+            with self._lock:
                 rng = np.random.default_rng(seed)
                 vols = rng.standard_normal((num_samples, *self.patch_size), dtype=np.float32)
                 time.sleep(0.05)  # simulate latency like the reference dummy
-            else:
-                import jax
-                import jax.numpy as jnp
+        else:
+            import jax
+            import jax.numpy as jnp
 
+            with self._lock:
                 base = seed if seed is not None else self._rng_counter
                 self._rng_counter += 1
-                key = jax.random.PRNGKey(base)
-                fixed_cond = None
-                if self._cond_shape and condition_volume is not None:
-                    vol = np.asarray(condition_volume, np.float32)
-                    if vol.ndim == 3:
-                        vol = vol[..., None]
-                    if list(vol.shape[:3]) != list(self.patch_size):
-                        raise ValueError(
-                            f"condition volume shape {vol.shape} does not match "
-                            f"patch_size {self.patch_size}")
-                    key, ekey = jax.random.split(key)
-                    fixed_cond = self._encode_condition(
-                        jnp.clip(jnp.asarray(vol[None]), 0, 1), ekey)
-                    conditioning = "provided"
-                elif self._cond_shape:
-                    conditioning = "random"
-                b = self.batch
+            key = jax.random.PRNGKey(base)
+            fixed_cond = None
+            if self._cond_shape and condition_volume is not None:
+                vol = np.asarray(condition_volume, np.float32)
+                if vol.ndim == 3:
+                    vol = vol[..., None]
+                if list(vol.shape[:3]) != list(self.patch_size):
+                    raise ValueError(
+                        f"condition volume shape {vol.shape} does not match "
+                        f"patch_size {self.patch_size}")
+                key, ekey = jax.random.split(key)
+                fixed_cond = self._encode_condition(
+                    jnp.clip(jnp.asarray(vol[None]), 0, 1), ekey)
+                conditioning = "provided"
+            elif self._cond_shape:
+                conditioning = "random"
+            b = self.batch
+            if num_samples == 1 and self._batcher is not None:
+                # single-volume request: go through the micro-batcher, which
+                # shares one compiled batch-B call among concurrent requests.
+                # (With a deterministic sampler — ddim/dpm — the result is
+                # identical to a solo call; ddpm's ancestral noise derives
+                # from the batch leader's seed.)
+                key, nkey, ckey = jax.random.split(key, 3)
+                noise = np.asarray(jax.random.normal(nkey, self._latent_shape, jnp.float32))
+                cond = None
+                if self._cond_shape:
+                    cond = (np.asarray(fixed_cond[0]) if fixed_cond is not None
+                            else np.asarray(jax.random.normal(ckey, self._cond_shape, jnp.float32)))
+                vol_out = self._batcher.submit(noise, cond, rng_seed=base)
+                vols = np.asarray(vol_out[..., 0], dtype=np.float32)[None]
+            else:
                 fixed_cond_b = (jnp.tile(fixed_cond, (b,) + (1,) * (fixed_cond.ndim - 1))
                                 if fixed_cond is not None else None)
                 pending = []
@@ -275,4 +309,9 @@ class ModelServer:
             "steps": self.steps,
             "backend": jax.default_backend(),
             "devices": [str(d) for d in jax.devices()],
+            "micro_batching": (
+                {"batch_size": self._batcher.batch_size,
+                 "batches_run": self._batcher.batches_run,
+                 "samples_run": self._batcher.samples_run}
+                if self._batcher is not None else None),
         }
