@@ -64,7 +64,8 @@ def main(argv=None):
         args, mesh, dt, rng, use_ema=args.use_ema)
     scheduler = make_sampling_scheduler(args.sampler, args.steps, ctx.scheduler_config())
 
-    sampler = build_sampler_fn(args, ae, ae_params, unet, u_params, scheduler, scale_factor)
+    sampler = build_sampler_fn(args, ae, ae_params, unet, u_params, scheduler, scale_factor,
+                               mesh=mesh)
     conditional = unet.in_channels > ae.latent_channels
     if not conditional:
         log.warning("unconditional UNet: paired metrics compare unconditional samples "
