@@ -10,23 +10,33 @@ cost nothing.
 from __future__ import annotations
 
 import contextlib
+import logging
 import time
 
 import jax
 
 __all__ = ["StepProfiler", "Stopwatch"]
 
+log = logging.getLogger("profiling")
+
 
 class StepProfiler:
-    """Trace steps [wait, wait+active) to ``logdir`` when enabled."""
+    """Trace steps [wait, wait+active) to ``logdir`` when enabled.
 
-    def __init__(self, logdir: str, enabled: bool = False, wait: int = 2, active: int = 3):
+    ``wait`` skips the first steps (compile + warm-up); the trace covers the
+    next ``active`` steps. If the run ends before the window opens (fewer
+    than ``wait+1`` steps), ``stop()`` says so instead of silently writing
+    nothing.
+    """
+
+    def __init__(self, logdir: str, enabled: bool = False, wait: int = 1, active: int = 3):
         self.logdir = logdir
         self.enabled = enabled
         self.wait = wait
         self.active = active
         self._step = 0
         self._tracing = False
+        self._traced = False
 
     def step(self) -> None:
         if not self.enabled:
@@ -34,15 +44,23 @@ class StepProfiler:
         if self._step == self.wait and not self._tracing:
             jax.profiler.start_trace(self.logdir)
             self._tracing = True
+            self._traced = True
         if self._step == self.wait + self.active and self._tracing:
             jax.profiler.stop_trace()
             self._tracing = False
+            log.info("profiler trace written to %s", self.logdir)
         self._step += 1
 
     def stop(self) -> None:
         if self._tracing:
             jax.profiler.stop_trace()
             self._tracing = False
+            log.info("profiler trace written to %s", self.logdir)
+        elif self.enabled and not self._traced:
+            log.warning(
+                "--profile produced no trace: only %d step(s) ran, the window "
+                "opens at step %d — run more steps or lower `wait`",
+                self._step, self.wait + 1)
 
 
 class Stopwatch:

@@ -41,6 +41,10 @@ MEMORY_USAGE = REGISTRY.register(Gauge(
 DEVICE_MEMORY_USAGE = REGISTRY.register(Gauge(
     "device_memory_bytes", "Accelerator HBM bytes in use (reference parity: "
     "its server exports a GPU-memory gauge)"))
+MICROBATCHES = REGISTRY.register(Gauge(
+    "sampler_microbatches_total", "Compiled sampler calls made by the micro-batcher"))
+MICROBATCHED_SAMPLES = REGISTRY.register(Gauge(
+    "sampler_microbatched_samples_total", "Samples served through the micro-batcher"))
 
 
 class Api:
@@ -111,6 +115,10 @@ class Api:
         return 200, {"reloaded": True, "dummy": self.server.is_dummy}
 
     def metrics_text(self) -> str:
+        b = getattr(self.server, "_batcher", None)
+        if b is not None:
+            MICROBATCHES.set(b.batches_run)
+            MICROBATCHED_SAMPLES.set(b.samples_run)
         return REGISTRY.expose()
 
     def dispatch(self, method: str, path: str, body: dict) -> tuple[int, object, str]:
