@@ -44,6 +44,7 @@ class CheckpointManager:
         self.root = os.path.abspath(os.path.join(model_dir, name))
         os.makedirs(self.root, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
+        self._pending_meta: Optional[tuple[str, dict]] = None  # written at commit
 
     # -- paths ---------------------------------------------------------------
 
@@ -63,19 +64,34 @@ class CheckpointManager:
         training continues (the save barriers only device->host transfer, not
         the serialization); any previous in-flight save is drained first, and
         callers must :meth:`wait` (or do a blocking save) before process exit
-        or before restoring the same role."""
+        or before restoring the same role. The meta sidecar of an async save
+        is written only once the checkpoint commits (at the next drain), so a
+        crash mid-write never leaves meta pointing at a missing checkpoint."""
         path = self.path(role)
-        self._ckptr.wait_until_finished()  # drain a previous async save
+        self._drain()  # previous async save commits; its meta flushes
         self._ckptr.save(path, state, force=True)
         if block:
             self._ckptr.wait_until_finished()
-        if meta is not None:
-            with open(os.path.join(self.root, f"{role}_meta.json"), "w") as f:
-                json.dump(meta, f)
+            if meta is not None:
+                self._write_meta(role, meta)
+        elif meta is not None:
+            self._pending_meta = (role, meta)
+
+    def _write_meta(self, role: str, meta: dict) -> None:
+        with open(os.path.join(self.root, f"{role}_meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    def _drain(self) -> None:
+        self._ckptr.wait_until_finished()
+        if self._pending_meta is not None:
+            role, meta = self._pending_meta
+            self._pending_meta = None
+            self._write_meta(role, meta)
 
     def wait(self) -> None:
-        """Block until any in-flight async save has committed to disk."""
-        self._ckptr.wait_until_finished()
+        """Block until any in-flight async save has committed to disk (and
+        flush its deferred meta sidecar)."""
+        self._drain()
 
     def save_best_and_last(self, state: Any, is_best: bool, meta: Optional[dict] = None,
                            block: bool = True) -> None:

@@ -86,20 +86,17 @@ def build_sampler_fn(args, ae, ae_params, unet, u_params, scheduler, scale_facto
         return ae.apply({"params": params}, z / jnp.asarray(scale_factor, z.dtype),
                         method="decode_stage_2_outputs")
 
-    place = lambda x: x  # noqa: E731
-    n_data = mesh.shape["data"] if mesh is not None else 1
-    if n_data > 1:
-        if args.batch % n_data == 0:
-            from ldm3d_tpu.parallel import batch_sharding
+    from ldm3d_tpu.parallel import dp_sample_placer
 
-            bsh = batch_sharding(mesh)
-            place = lambda x: jax.device_put(x, bsh)  # noqa: E731
-            log.info("data-parallel sampling: batch %d sharded over %d chips",
-                     args.batch, n_data)
-        else:
-            log.warning("--batch %d not divisible by %d data-parallel chips; "
-                        "sampling runs on one chip (pick --batch as a multiple "
-                        "to use the whole mesh)", args.batch, n_data)
+    place, n_shards = dp_sample_placer(args.batch, mesh)
+    n_data = mesh.shape["data"] if mesh is not None else 1
+    if n_shards > 1:
+        log.info("data-parallel sampling: batch %d sharded over %d chips",
+                 args.batch, n_shards)
+    elif n_data > 1 and jax.process_count() == 1:
+        log.warning("--batch %d not divisible by %d data-parallel chips; "
+                    "sampling runs on one chip (pick --batch as a multiple "
+                    "to use the whole mesh)", args.batch, n_data)
 
     def run(noise, rng, condition=None):
         noise = place(noise)
@@ -203,6 +200,14 @@ def main(argv=None):
     if pending is not None:
         flush(*pending)
     return written
+
+
+def script_main():
+    """Console-script entry: setuptools calls ``sys.exit(fn())``, so the
+    programmatic return value of :func:`main` (paths/metrics for in-process
+    callers like the pipeline) must not leak into the exit status."""
+    main()
+    return 0
 
 
 if __name__ == "__main__":

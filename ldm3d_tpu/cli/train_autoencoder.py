@@ -262,9 +262,23 @@ def main(argv=None):
     stop.restore()
     profiler.stop()
     writer.close()
+    if stop.requested:
+        # exit 75 (EX_TEMPFAIL): wrappers (train_ldm.sh, pipelines) must NOT
+        # treat a preempted stage as success and move on; the Job restarts
+        # with resume_ckpt and replays the interrupted epoch
+        log.warning("preempted: resumable state saved; exiting 75 for restart")
+        raise SystemExit(75)
     track_run(args, "autoencoder", {"best_val_recon_loss": best_val})
     log.info("training complete; best val %.4f", best_val)
     return best_val
+
+
+def script_main():
+    """Console-script entry: setuptools calls ``sys.exit(fn())``, so the
+    programmatic return value of :func:`main` (paths/metrics for in-process
+    callers like the pipeline) must not leak into the exit status."""
+    main()
+    return 0
 
 
 if __name__ == "__main__":

@@ -160,30 +160,49 @@ class BatchInferencePipeline:
 
     def __init__(self, config_file: str, environment_file: str,
                  num_samples: int = 8, sampler: str = "ddim", steps: int = 50,
-                 extra_flags: Optional[list[str]] = None):
+                 batch: int = 0, extra_flags: Optional[list[str]] = None):
         self.config_file = config_file
         self.environment_file = environment_file
         self.num_samples = num_samples
         self.sampler = sampler
         self.steps = steps
+        self.batch = batch  # 0 = auto (device-aligned, capped at 8)
         self.extra_flags = extra_flags or []
+
+    def _batch(self) -> int:
+        """Device-aligned batch: a multiple of the chip count (so sampling
+        data-parallelizes over the mesh), capped at the measured single-chip
+        sweet spot of 8/chip (docs/PERFORMANCE.md), bounded by num_samples."""
+        if self.batch > 0:
+            return self.batch
+        try:
+            import jax
+            n_dev = len(jax.devices())
+        except Exception:  # noqa: BLE001 — spec emission without a backend
+            n_dev = 1
+        return max(1, min(self.num_samples, 8 * n_dev) // n_dev * n_dev) if n_dev > 1 \
+            else max(1, min(self.num_samples, 8))
 
     def run_local(self) -> dict:
         from ldm3d_tpu.cli.inference import main as infer_main
 
         t0 = time.time()
+        batch = self._batch()
+        num_calls = -(-self.num_samples // batch)
         argv = ["-c", self.config_file, "-e", self.environment_file,
-                "--num", str(self.num_samples), "--sampler", self.sampler,
-                "--steps", str(self.steps)] + self.extra_flags
+                "--num", str(num_calls), "--batch", str(batch),
+                "--sampler", self.sampler, "--steps", str(self.steps)] + self.extra_flags
         written = infer_main(argv)
         return {"num_samples": self.num_samples, "sampler": self.sampler,
-                "files": written, "wall_time_s": time.time() - t0}
+                "batch": batch, "files": written[:self.num_samples],
+                "wall_time_s": time.time() - t0}
 
     def emit_cloud_spec(self, image: str = "ldm3d-tpu:latest",
                         accelerator: str = "tpu-v5-lite-podslice") -> dict:
+        batch = self._batch()
         cmd = (f"python -m ldm3d_tpu.cli.inference -c {self.config_file} "
-               f"-e {self.environment_file} --num {self.num_samples} "
-               f"--sampler {self.sampler} --steps {self.steps}")
+               f"-e {self.environment_file} --num {-(-self.num_samples // batch)} "
+               f"--batch {batch} --sampler {self.sampler} --steps {self.steps}")
         return {"image": image,
                 "steps": [{"name": "batch-inference", "command": cmd,
                            "accelerator": accelerator}]}

@@ -2,6 +2,7 @@ from ldm3d_tpu.parallel.mesh import (
     MeshSpec,
     batch_sharding,
     create_mesh,
+    dp_sample_placer,
     replicated_sharding,
     shard_batch,
 )
@@ -35,6 +36,7 @@ __all__ = [
     "batch_sharding",
     "replicated_sharding",
     "shard_batch",
+    "dp_sample_placer",
     "SPATIAL_AXIS",
     "halo_exchange",
     "make_spatial_sampler",

@@ -25,7 +25,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["MeshSpec", "create_mesh", "batch_sharding", "replicated_sharding", "shard_batch"]
+__all__ = ["MeshSpec", "create_mesh", "batch_sharding", "replicated_sharding",
+           "shard_batch", "dp_sample_placer"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -60,6 +61,32 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def dp_sample_placer(batch: int, mesh: Optional[Mesh] = None):
+    """Placement fn for data-parallel SAMPLING batches (inference/serving).
+
+    Returns ``(place, n_shards)``: ``place`` puts an array's leading batch dim
+    on the ``data`` axis so each chip denoises+decodes ``batch/n`` volumes
+    (GSPMD propagates the sharding; no collectives). Falls back to identity
+    (n_shards=1) when sharding isn't applicable:
+      * multi-host processes address only local devices — a host-local
+        ``device_put`` onto a global mesh would throw (training uses
+        ``shard_batch``'s global assembly instead),
+      * ``batch`` not divisible by the data-axis size,
+      * a single device.
+    """
+    if jax.process_count() > 1:
+        return (lambda x: x), 1
+    if mesh is None:
+        if len(jax.devices()) <= 1:
+            return (lambda x: x), 1
+        mesh = create_mesh(MeshSpec(data=len(jax.devices())))
+    n = mesh.shape["data"]
+    if n <= 1 or batch % n != 0:
+        return (lambda x: x), 1
+    sharding = batch_sharding(mesh)
+    return (lambda x: jax.device_put(x, sharding)), n
 
 
 def shard_batch(mesh: Mesh, batch):

@@ -249,5 +249,13 @@ def main(argv=None):
         serve_stdlib(api, args.host, args.port)
 
 
+def script_main():
+    """Console-script entry: setuptools calls ``sys.exit(fn())``, so the
+    programmatic return value of :func:`main` (paths/metrics for in-process
+    callers like the pipeline) must not leak into the exit status."""
+    main()
+    return 0
+
+
 if __name__ == "__main__":
     main()

@@ -74,6 +74,8 @@ class DynamicBatcher:
             raise RuntimeError("batcher is closed")
         item = _Item(noise, cond, rng_seed)
         self._q.put(item)
+        if self._closed.is_set() and not self._worker.is_alive():
+            self._fail_stranded()  # raced a concurrent close(); see below
         if not item.event.wait(timeout):
             raise TimeoutError("sample did not complete in time")
         if item.error is not None:
@@ -84,6 +86,20 @@ class DynamicBatcher:
         self._closed.set()
         self._q.put(None)  # wake the worker
         self._worker.join(timeout=5)
+        self._fail_stranded()
+
+    def _fail_stranded(self) -> None:
+        """Fail anything stranded in the queue (e.g. a submit that raced the
+        close, as in a /generate concurrent with /model/reload) so no request
+        thread blocks forever on a dead worker."""
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                item.error = RuntimeError("batcher closed during request")
+                item.event.set()
 
     # -- worker side ---------------------------------------------------------
 

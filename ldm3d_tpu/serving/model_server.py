@@ -49,6 +49,9 @@ class ModelServer:
         self.load_time: Optional[float] = None
         self.patch_size = [32, 32, 32]
         self._lock = threading.Lock()
+        # serializes compiled sampler calls: concurrent batch-B programs can
+        # co-resident-OOM the chip at production sizing (docs/PERFORMANCE.md)
+        self._device_lock = threading.Lock()
         self._run = None  # compiled sampler fn
         self._batcher = None  # dynamic micro-batcher (serving/batcher.py)
         self._latent_shape = None
@@ -159,17 +162,15 @@ class ModelServer:
                 return ae.apply({"params": params}, z / jnp.asarray(scale_factor, z.dtype),
                                 method="decode_stage_2_outputs")
 
-            place = lambda x: x  # noqa: E731
-            n_dev = len(jax.devices())
-            if n_dev > 1 and self.batch % n_dev == 0:
-                # data-parallel serving: shard the sample batch over every
-                # chip (GSPMD propagates; each chip samples batch/n volumes)
-                from ldm3d_tpu.parallel import MeshSpec, batch_sharding, create_mesh
+            # data-parallel serving: shard the sample batch over every chip
+            # (GSPMD propagates; each chip samples batch/n volumes). Identity
+            # when not applicable — multihost, indivisible batch, one device.
+            from ldm3d_tpu.parallel import dp_sample_placer
 
-                bsh = batch_sharding(create_mesh(MeshSpec(data=n_dev)))
-                place = lambda x: jax.device_put(x, bsh)  # noqa: E731
+            place, n_shards = dp_sample_placer(self.batch)
+            if n_shards > 1:
                 log.info("data-parallel sampling: batch %d sharded over %d chips",
-                         self.batch, n_dev)
+                         self.batch, n_shards)
 
             def run(noise, rng_key, condition):
                 noise = place(noise)
@@ -185,16 +186,20 @@ class ModelServer:
         self._run = run
 
         # micro-batcher: merges concurrent single-volume requests into one
-        # compiled batch-B call (serving/batcher.py). Worth it only when the
-        # compiled batch can hold more than one request.
-        if self.batch > 1:
+        # compiled batch-B call (serving/batcher.py). Only for deterministic
+        # samplers (ddim/dpm): a sample's value then depends only on its own
+        # noise, so seed-reproducibility survives arbitrary batch composition.
+        # ddpm draws ancestral noise from the batch's rng, which would make a
+        # request's output depend on its batch-mates — so ddpm skips batching.
+        if self.batch > 1 and self.sampler != "ddpm":
             from ldm3d_tpu.serving.batcher import DynamicBatcher
 
             def run_batched(noise_np, rng_seed, cond_np):
                 key = jax.random.PRNGKey(int(rng_seed))
                 noise = jnp.asarray(noise_np)
                 cond = jnp.asarray(cond_np) if cond_np is not None else None
-                return np.asarray(run(noise, key, cond))
+                with self._device_lock:
+                    return np.asarray(run(noise, key, cond))
 
             self._batcher = DynamicBatcher(run_batched, self.batch, max_wait_ms=10.0)
 
@@ -261,25 +266,26 @@ class ModelServer:
                 if self._cond_shape:
                     cond = (np.asarray(fixed_cond[0]) if fixed_cond is not None
                             else np.asarray(jax.random.normal(ckey, self._cond_shape, jnp.float32)))
-                vol_out = self._batcher.submit(noise, cond, rng_seed=base)
+                vol_out = self._batcher.submit(noise, cond, rng_seed=base, timeout=600)
                 vols = np.asarray(vol_out[..., 0], dtype=np.float32)[None]
             else:
                 fixed_cond_b = (jnp.tile(fixed_cond, (b,) + (1,) * (fixed_cond.ndim - 1))
                                 if fixed_cond is not None else None)
-                pending = []
-                for _ in range((num_samples + b - 1) // b):
-                    key, nkey, ckey, skey = jax.random.split(key, 4)
-                    noise = jax.random.normal(nkey, (b, *self._latent_shape), jnp.float32)
-                    if fixed_cond_b is not None:
-                        cond = fixed_cond_b
-                    else:
-                        cond = (jax.random.normal(ckey, (b, *self._cond_shape), jnp.float32)
-                                if self._cond_shape else None)
-                    pending.append(self._run(noise, skey, cond))
-                # all chunks enqueued before any readback: host transfer of
-                # chunk i overlaps device compute of chunk i+1
-                vols = np.concatenate([np.asarray(p[..., 0], dtype=np.float32)
-                                       for p in pending])[:num_samples]
+                with self._device_lock:
+                    pending = []
+                    for _ in range((num_samples + b - 1) // b):
+                        key, nkey, ckey, skey = jax.random.split(key, 4)
+                        noise = jax.random.normal(nkey, (b, *self._latent_shape), jnp.float32)
+                        if fixed_cond_b is not None:
+                            cond = fixed_cond_b
+                        else:
+                            cond = (jax.random.normal(ckey, (b, *self._cond_shape), jnp.float32)
+                                    if self._cond_shape else None)
+                        pending.append(self._run(noise, skey, cond))
+                    # all chunks enqueued before any readback: host transfer of
+                    # chunk i overlaps device compute of chunk i+1
+                    vols = np.concatenate([np.asarray(p[..., 0], dtype=np.float32)
+                                           for p in pending])[:num_samples]
         samples = []
         for v in vols:
             vmin, vmax = float(v.min()), float(v.max())

@@ -106,8 +106,14 @@ def test_batch_inference_pipeline_spec():
     from ldm3d_tpu.mlops.pipelines import BatchInferencePipeline
 
     bpipe = BatchInferencePipeline("cfg.json", "env.json", num_samples=16,
-                                   sampler="dpm", steps=20)
+                                   sampler="dpm", steps=20, batch=4)
     spec = bpipe.emit_cloud_spec(image="img:1")
     assert spec["steps"][0]["name"] == "batch-inference"
     cmd = spec["steps"][0]["command"]
-    assert "--num 16" in cmd and "--sampler dpm" in cmd and "--steps 20" in cmd
+    # 16 samples at batch 4 -> 4 compiled calls of 4 volumes each
+    assert "--num 4" in cmd and "--batch 4" in cmd
+    assert "--sampler dpm" in cmd and "--steps 20" in cmd
+
+    # auto batch aligns to the device count (8 virtual CPU devices)
+    auto = BatchInferencePipeline("cfg.json", "env.json", num_samples=16)
+    assert auto._batch() % 8 == 0

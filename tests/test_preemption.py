@@ -9,6 +9,8 @@ import json
 import os
 import signal
 
+import pytest
+
 import jax.numpy as jnp
 
 from ldm3d_tpu.training.preemption import GracefulShutdown
@@ -64,7 +66,10 @@ def test_trainer_preempt_saves_resumable_last(tmp_path, monkeypatch):
     }))
     cfg = preset_path("config_tiny_cpu.json")
     argv = ["-c", cfg, "-e", str(env), "--synthetic-data", "--max-epochs", "2"]
-    ta.main(argv)
+    # exits 75 (EX_TEMPFAIL) so wrappers don't mistake preemption for success
+    with pytest.raises(SystemExit) as exc:
+        ta.main(argv)
+    assert exc.value.code == 75
 
     mgr = CheckpointManager(str(tmp_path / "ckpts"), StageArtifacts.AUTOENCODER)
     meta = mgr.load_meta("last")
