@@ -23,6 +23,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the suite is compile-dominated (3-D models on a
+# virtual 8-device mesh); cached XLA:CPU executables cut a cold ~50 min run
+# to minutes on re-runs. Per-machine, gitignored. If an XLA upgrade ever
+# makes stale entries misbehave, delete the directory.
+_cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      ".jax_cache_tests")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import pytest  # noqa: E402
 
 
