@@ -105,6 +105,17 @@ def setup(args) -> tuple:
             jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
         except RuntimeError:
             pass  # backend already initialized; keep whatever is live
+    # persistent compile cache: the flagship programs (train steps, samplers)
+    # compile once per machine; restarts — preemption-resume cycles
+    # especially — skip straight past minutes of XLA compilation. The
+    # JAX_COMPILATION_CACHE_DIR env var, when set, wins.
+    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        try:
+            jax.config.update("jax_compilation_cache_dir",
+                              os.path.expanduser("~/.cache/ldm3d_tpu/xla"))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:  # noqa: BLE001 — older jax without the option
+            pass
     logging.basicConfig(
         stream=sys.stdout,
         level=logging.INFO,

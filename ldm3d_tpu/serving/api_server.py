@@ -225,7 +225,7 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("-c", "--config-file", default=None)
     p.add_argument("-e", "--environment-file", default=None)
-    p.add_argument("--sampler", choices=("ddpm", "ddim"), default="ddim")
+    p.add_argument("--sampler", choices=("ddpm", "ddim", "dpm"), default="ddim")
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--batch", type=int, default=1,
                    help="volumes per compiled sampler call (8 maximizes v5e MXU "
@@ -235,6 +235,19 @@ def main(argv=None):
                         "larger than one chip's memory); needs batch*spatial devices")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO, force=True)
+
+    # persistent compile cache: pod restarts / probe-driven reloads skip the
+    # sampler's XLA compilation (JAX_COMPILATION_CACHE_DIR env wins if set)
+    import os as _os
+    if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        try:
+            import jax as _jax
+
+            _jax.config.update("jax_compilation_cache_dir",
+                               _os.path.expanduser("~/.cache/ldm3d_tpu/xla"))
+            _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:  # noqa: BLE001
+            pass
 
     server = ModelServer(args.config_file, args.environment_file, args.sampler, args.steps,
                          batch=args.batch, spatial=args.spatial)

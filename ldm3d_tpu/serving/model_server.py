@@ -84,7 +84,7 @@ class ModelServer:
 
         from ldm3d_tpu.ckpt import CheckpointManager, StageArtifacts
         from ldm3d_tpu.configs import define_instance
-        from ldm3d_tpu.diffusion import DDIMScheduler, DDPMScheduler, inferer
+        from ldm3d_tpu.diffusion import inferer
         from ldm3d_tpu.utils import merge_configs_onto_args
         from ldm3d_tpu.utils.config_merge import TrainContext
 
@@ -108,16 +108,11 @@ class ModelServer:
         u_params = u_ckpt.restore_params("best", u_vars["params"])
         scale_factor = float(u_ckpt.load_meta("best").get("scale_factor", 1.0))
 
-        sched_cfg = ctx.scheduler_config()
-        if self.sampler == "ddim":
-            scheduler = DDIMScheduler.create(
-                num_train_timesteps=sched_cfg["num_train_timesteps"],
-                beta_start=sched_cfg["beta_start"], beta_end=sched_cfg["beta_end"],
-                num_inference_steps=self.steps)
-        else:
-            scheduler = DDPMScheduler.create(
-                num_train_timesteps=sched_cfg["num_train_timesteps"],
-                beta_start=sched_cfg["beta_start"], beta_end=sched_cfg["beta_end"])
+        # same construction path as the inference/evaluate CLIs: ddpm
+        # (full-loop parity) / ddim / dpm (DPM-Solver++ 2M)
+        from ldm3d_tpu.cli.common import make_sampling_scheduler
+
+        scheduler = make_sampling_scheduler(self.sampler, self.steps, ctx.scheduler_config())
 
         conditional = unet.in_channels > ae.latent_channels
         self._latent_shape = (*latent, ae.latent_channels)

@@ -228,3 +228,14 @@ def test_micro_batcher_single_requests(real_api):
     # seed 11 gives the same volume whether batched with seed 22 or solo
     np.testing.assert_array_equal(arr0, arr_solo)
     assert srv._batcher.samples_run >= 3
+
+
+def test_dpm_sampler_serving(real_api):
+    """--sampler dpm (DPM-Solver++ 2M) works through the serving pipeline."""
+    srv = ModelServer(real_api.server.config_file, real_api.server.environment_file,
+                      sampler="dpm", steps=4, batch=1)
+    srv.load_model()
+    assert not srv.is_dummy
+    out = srv.generate(1, seed=0)
+    arr = np.frombuffer(base64.b64decode(out["samples"][0]["data"]), np.float32)
+    assert np.isfinite(arr).all()
