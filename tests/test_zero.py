@@ -141,3 +141,52 @@ def test_zero_stage2_latents_step(mesh8):
     for a, b in zip(jax.tree_util.tree_leaves(ref_state.params),
                     jax.tree_util.tree_leaves(zs.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_zero_composes_with_tensor_parallel(eight_devices):
+    """data=4 x model=2: params TP-sharded on 'model', moments additionally
+    ZeRO-sharded on 'data' — updates still match the unsharded run."""
+    from ldm3d_tpu.parallel import shard_train_state_tp
+
+    mesh = create_mesh(MeshSpec(data=4, model=2), devices=eight_devices)
+    params = {
+        "w": jax.random.normal(RNG, (48, 64), jnp.float32),
+        "b": jnp.zeros((64,), jnp.float32),
+    }
+    tx = optax.adam(1e-2)
+
+    def make_state():
+        return TrainState.create(lambda p, x: x @ p["w"] + p["b"],
+                                 jax.tree_util.tree_map(jnp.copy, params), tx)
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 48), jnp.float32)
+    y = jax.random.normal(jax.random.PRNGKey(2), (16, 64), jnp.float32)
+
+    def loss_fn(p, x, y):
+        return jnp.mean((x @ p["w"] + p["b"] - y) ** 2)
+
+    @jax.jit
+    def step(state, x, y):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, x, y)
+        return state.apply_gradients(grads), loss
+
+    ref = make_state()
+    for _ in range(2):
+        ref, _ = step(ref, x, y)
+
+    with mesh:
+        zs = shard_train_state_zero(shard_train_state_tp(make_state(), mesh), mesh)
+        for _ in range(2):
+            zs, _ = step(zs, x, y)
+
+    for a, b in zip(jax.tree_util.tree_leaves(ref.params),
+                    jax.tree_util.tree_leaves(zs.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    # the 'w' moments carry BOTH axes: P('data', 'model')
+    moment_leaves = [a for a in jax.tree_util.tree_leaves(zs.opt_state)
+                     if getattr(a, "shape", None) == (48, 64)]
+    assert moment_leaves
+    for m in moment_leaves:
+        spec = tuple(m.sharding.spec)
+        assert "data" in spec and "model" in spec, m.sharding
+        assert m.addressable_shards[0].data.size == m.size // 8
