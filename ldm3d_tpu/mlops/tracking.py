@@ -17,7 +17,7 @@ import os
 import shutil
 import time
 import uuid
-from typing import Any, Optional
+from typing import Optional
 
 __all__ = ["ExperimentTracker", "ModelRegistry", "log_training_run"]
 

@@ -9,7 +9,7 @@ feature maps with the logits map last, so callers can keep the reference's
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ weights for full parity when available).
 from __future__ import annotations
 
 import math
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ cost nothing.
 
 from __future__ import annotations
 
-import contextlib
 import logging
 import time
 

@@ -25,8 +25,6 @@ This is the ``sp`` axis of the ('data', 'model', 'spatial') mesh in
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ from typing import Any, Callable
 import jax
 import optax
 from flax import struct
-from flax.core import FrozenDict
 
 
 @struct.dataclass

@@ -208,7 +208,7 @@ def test_spatial_sampler_matches_unsharded(mesh4x2, tiny):
 
 def test_spatial_sampler_unconditional(mesh4x2, tiny):
     """condition=None must flow through the shard_map specs (empty pytree)."""
-    from ldm3d_tpu.nn import AutoencoderKL, DiffusionUNet3D
+    from ldm3d_tpu.nn import DiffusionUNet3D
 
     ae, _ = tiny
     unet = DiffusionUNet3D(
