@@ -21,7 +21,38 @@ from ldm3d_tpu.configs import preset_path
 from ldm3d_tpu.parallel import MeshSpec, create_mesh
 from ldm3d_tpu.utils import merge_configs_onto_args
 
-__all__ = ["build_parser", "setup", "model_dtype", "global_batch_size"]
+__all__ = ["build_parser", "setup", "model_dtype", "global_batch_size",
+           "script_entry", "enable_persistent_compile_cache"]
+
+
+def script_entry(main):
+    """Wrap a CLI ``main`` for a console-script entry point: setuptools calls
+    ``sys.exit(fn())``, so the programmatic return value of ``main``
+    (paths/metrics for in-process callers like the pipeline) must not leak
+    into the exit status."""
+
+    def script_main():
+        main()
+        return 0
+
+    return script_main
+
+
+def enable_persistent_compile_cache() -> None:
+    """Persistent XLA compile cache: the flagship programs (train steps,
+    samplers) compile once per machine; restarts — preemption-resume cycles
+    especially — skip minutes of compilation. The JAX_COMPILATION_CACHE_DIR
+    env var, when set, wins."""
+    import os
+
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/ldm3d_tpu/xla"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 — older jax without the option
+        pass
 
 
 def build_parser(description: str) -> argparse.ArgumentParser:
@@ -104,17 +135,7 @@ def setup(args) -> tuple:
             jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
         except RuntimeError:
             pass  # backend already initialized; keep whatever is live
-    # persistent compile cache: the flagship programs (train steps, samplers)
-    # compile once per machine; restarts — preemption-resume cycles
-    # especially — skip straight past minutes of XLA compilation. The
-    # JAX_COMPILATION_CACHE_DIR env var, when set, wins.
-    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
-        try:
-            jax.config.update("jax_compilation_cache_dir",
-                              os.path.expanduser("~/.cache/ldm3d_tpu/xla"))
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        except Exception:  # noqa: BLE001 — older jax without the option
-            pass
+    enable_persistent_compile_cache()
     logging.basicConfig(
         stream=sys.stdout,
         level=logging.INFO,

@@ -202,12 +202,9 @@ def main(argv=None):
     return written
 
 
-def script_main():
-    """Console-script entry: setuptools calls ``sys.exit(fn())``, so the
-    programmatic return value of :func:`main` (paths/metrics for in-process
-    callers like the pipeline) must not leak into the exit status."""
-    main()
-    return 0
+from ldm3d_tpu.cli.common import script_entry
+
+script_main = script_entry(main)
 
 
 if __name__ == "__main__":

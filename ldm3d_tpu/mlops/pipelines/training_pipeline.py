@@ -169,19 +169,25 @@ class BatchInferencePipeline:
         self.batch = batch  # 0 = auto (device-aligned, capped at 8)
         self.extra_flags = extra_flags or []
 
-    def _batch(self) -> int:
+    def _batch(self, probe_devices: bool = True) -> int:
         """Device-aligned batch: a multiple of the chip count (so sampling
         data-parallelizes over the mesh), capped at the measured single-chip
-        sweet spot of 8/chip (docs/PERFORMANCE.md), bounded by num_samples."""
+        sweet spot of 8/chip (docs/PERFORMANCE.md), bounded by num_samples.
+
+        ``probe_devices=False`` (cloud-spec emission) never initializes a JAX
+        backend — the local machine's topology says nothing about the target
+        accelerator, so the spec uses the single-chip sweet spot unless the
+        caller passed an explicit ``batch``."""
         if self.batch > 0:
             return self.batch
-        try:
-            import jax
-            n_dev = len(jax.devices())
-        except Exception:  # noqa: BLE001 — spec emission without a backend
-            n_dev = 1
-        return max(1, min(self.num_samples, 8 * n_dev) // n_dev * n_dev) if n_dev > 1 \
-            else max(1, min(self.num_samples, 8))
+        n_dev = 1
+        if probe_devices:
+            try:
+                import jax
+                n_dev = len(jax.devices())
+            except Exception:  # noqa: BLE001 — no backend available
+                n_dev = 1
+        return max(1, min(self.num_samples, 8 * n_dev) // n_dev * n_dev)
 
     def run_local(self) -> dict:
         from ldm3d_tpu.cli.inference import main as infer_main
@@ -193,13 +199,20 @@ class BatchInferencePipeline:
                 "--num", str(num_calls), "--batch", str(batch),
                 "--sampler", self.sampler, "--steps", str(self.steps)] + self.extra_flags
         written = infer_main(argv)
+        for surplus in written[self.num_samples:]:
+            # padding of the final chunk: don't leave unrequested volumes for
+            # downstream steps that glob output_dir
+            try:
+                os.remove(surplus)
+            except OSError:
+                pass
         return {"num_samples": self.num_samples, "sampler": self.sampler,
                 "batch": batch, "files": written[:self.num_samples],
                 "wall_time_s": time.time() - t0}
 
     def emit_cloud_spec(self, image: str = "ldm3d-tpu:latest",
                         accelerator: str = "tpu-v5-lite-podslice") -> dict:
-        batch = self._batch()
+        batch = self._batch(probe_devices=False)
         cmd = (f"python -m ldm3d_tpu.cli.inference -c {self.config_file} "
                f"-e {self.environment_file} --num {-(-self.num_samples // batch)} "
                f"--batch {batch} --sampler {self.sampler} --steps {self.steps}")

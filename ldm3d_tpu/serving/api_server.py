@@ -238,16 +238,9 @@ def main(argv=None):
 
     # persistent compile cache: pod restarts / probe-driven reloads skip the
     # sampler's XLA compilation (JAX_COMPILATION_CACHE_DIR env wins if set)
-    import os as _os
-    if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
-        try:
-            import jax as _jax
+    from ldm3d_tpu.cli.common import enable_persistent_compile_cache
 
-            _jax.config.update("jax_compilation_cache_dir",
-                               _os.path.expanduser("~/.cache/ldm3d_tpu/xla"))
-            _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        except Exception:  # noqa: BLE001
-            pass
+    enable_persistent_compile_cache()
 
     server = ModelServer(args.config_file, args.environment_file, args.sampler, args.steps,
                          batch=args.batch, spatial=args.spatial)
@@ -262,12 +255,9 @@ def main(argv=None):
         serve_stdlib(api, args.host, args.port)
 
 
-def script_main():
-    """Console-script entry: setuptools calls ``sys.exit(fn())``, so the
-    programmatic return value of :func:`main` (paths/metrics for in-process
-    callers like the pipeline) must not leak into the exit status."""
-    main()
-    return 0
+from ldm3d_tpu.cli.common import script_entry
+
+script_main = script_entry(main)
 
 
 if __name__ == "__main__":

@@ -249,19 +249,20 @@ class ModelServer:
             elif self._cond_shape:
                 conditioning = "random"
             b = self.batch
-            if num_samples == 1 and self._batcher is not None:
+            batcher = self._batcher  # snapshot: a concurrent reload may null it
+            if num_samples == 1 and batcher is not None:
                 # single-volume request: go through the micro-batcher, which
                 # shares one compiled batch-B call among concurrent requests.
-                # (With a deterministic sampler — ddim/dpm — the result is
-                # identical to a solo call; ddpm's ancestral noise derives
-                # from the batch leader's seed.)
+                # Exact: only deterministic samplers (ddim/dpm) get a batcher
+                # (load_model skips it for ddpm), so a sample's value depends
+                # only on its own noise, never on batch-mates.
                 key, nkey, ckey = jax.random.split(key, 3)
                 noise = np.asarray(jax.random.normal(nkey, self._latent_shape, jnp.float32))
                 cond = None
                 if self._cond_shape:
                     cond = (np.asarray(fixed_cond[0]) if fixed_cond is not None
                             else np.asarray(jax.random.normal(ckey, self._cond_shape, jnp.float32)))
-                vol_out = self._batcher.submit(noise, cond, rng_seed=base, timeout=600)
+                vol_out = batcher.submit(noise, cond, rng_seed=base, timeout=600)
                 vols = np.asarray(vol_out[..., 0], dtype=np.float32)[None]
             else:
                 fixed_cond_b = (jnp.tile(fixed_cond, (b,) + (1,) * (fixed_cond.ndim - 1))

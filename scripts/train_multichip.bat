@@ -26,7 +26,7 @@ if "%ENVFILE%"=="" set ENVFILE=ldm3d_tpu\configs\presets\environment.json
 
 echo [stage 1] autoencoder on %NDEV% devices (0 = all visible)
 python -m ldm3d_tpu.cli.train_autoencoder -c %CONFIG% -e %ENVFILE% -g %NDEV% --amp !EXTRA!
-if errorlevel 1 exit /b 1
+if errorlevel 1 exit /b %errorlevel%
 
 echo [stage 2] diffusion on %NDEV% devices
 python -m ldm3d_tpu.cli.train_diffusion -c %CONFIG% -e %ENVFILE% -g %NDEV% --amp !EXTRA!
