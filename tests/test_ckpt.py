@@ -93,3 +93,25 @@ def test_cli_resume_continues_epochs(tmp_path):
     train_diff(argv + ["--max-epochs", "2"])
     meta = mgr.load_meta("last")
     assert meta["epoch"] == 1  # continued, not restarted
+
+
+def test_async_save_defers_meta_until_commit(tmp_path):
+    """block=False schedules the write; the meta sidecar must not appear
+    until the checkpoint has committed (wait() / next save), so a crash
+    mid-write can't leave meta pointing at a missing checkpoint."""
+    import os
+
+    state = _make_state()
+    mgr = CheckpointManager(str(tmp_path), StageArtifacts.AUTOENCODER)
+    full = {"params": state.params, "opt_state": state.opt_state, "step": state.step}
+    mgr.save("last", full, meta={"epoch": 3}, block=False)
+    meta_path = os.path.join(mgr.root, "last_meta.json")
+    mgr.wait()
+    assert os.path.exists(meta_path)
+    assert mgr.load_meta("last")["epoch"] == 3
+    assert mgr.exists("last")
+
+    # a following save drains + flushes the previous pending meta first
+    mgr.save("last", full, meta={"epoch": 4}, block=False)
+    mgr.save("best", {"params": state.params}, meta={"epoch": 4})
+    assert mgr.load_meta("last")["epoch"] == 4
