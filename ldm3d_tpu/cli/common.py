@@ -159,9 +159,9 @@ def setup(args) -> tuple:
         raise ValueError(f"requested {n} devices, only {len(devices)} visible")
     spatial = max(1, getattr(args, "spatial", 1))
     tensor = max(1, getattr(args, "tensor", 1))
-    if spatial > 1 and tensor > 1:
-        raise ValueError("--spatial and --tensor are mutually exclusive per train step "
-                         "(GSPMD weight sharding inside the spatial shard_map is not wired up)")
+    # --spatial and --tensor compose: the spatial steps keep 'model' as an
+    # auto (GSPMD) axis inside their shard_map, so TP-sharded weights flow
+    # through (docs/SCALING.md)
     if n % (spatial * tensor):
         raise ValueError(f"--spatial {spatial} x --tensor {tensor} does not divide {n} devices")
     mesh = create_mesh(MeshSpec(data=n // (spatial * tensor), model=tensor, spatial=spatial),

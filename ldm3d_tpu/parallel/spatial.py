@@ -130,13 +130,17 @@ def make_spatial_sampler(unet, ae, scheduler, mesh: Mesh, scale_factor=1.0,
         latents = latents / jnp.asarray(scale_factor, dtype=latents.dtype)
         return ae_sp.apply({"params": ae_params}, latents, method="decode_stage_2_outputs")
 
-    sharded = jax.jit(_shard_map(
-        _local,
+    smap_kwargs = dict(
         mesh=mesh,
         in_specs=(P(), P(), vol_spec, P(), vol_spec),
         out_specs=vol_spec,
         check_vma=False,
-    ))
+    )
+    if mesh.shape.get("model", 1) > 1:
+        # TP x SP sampling: 'model' stays an auto (GSPMD) axis for TP-sharded
+        # weights; halo exchange and kv gathers ride the manual axes
+        smap_kwargs["axis_names"] = {"data", SPATIAL_AXIS}
+    sharded = jax.jit(_shard_map(_local, **smap_kwargs))
     rep = NamedSharding(mesh, P())
     vol_sh = NamedSharding(mesh, vol_spec)
 

@@ -235,15 +235,20 @@ def make_stage1_train_step_spatial(ae, disc, lpips_apply: Optional[Callable],
         out = (metrics, g_grads, d_grads)
         return jax.tree_util.tree_map(lambda a: jax.lax.psum(a, axes), out)
 
+    smap_kwargs = dict(
+        mesh=mesh,
+        in_specs=(P(), P(), vol_spec, P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    if mesh.shape.get("model", 1) > 1:
+        # TP x SP: 'model' stays an auto (GSPMD) axis — TP-sharded G/D params
+        # are partitioned by the compiler inside the manual data/spatial body
+        smap_kwargs["axis_names"] = {"data", SPATIAL_AXIS}
     grad_fns = {}
     for adv in (False, True):  # adv_active is static: two shard_map closures
         grad_fns[adv] = _shard_map(
-            functools.partial(sharded_grads, adv_active=adv),
-            mesh=mesh,
-            in_specs=(P(), P(), vol_spec, P()),
-            out_specs=(P(), P(), P()),
-            check_vma=False,
-        )
+            functools.partial(sharded_grads, adv_active=adv), **smap_kwargs)
 
     @functools.partial(jax.jit, static_argnames=("adv_active",), donate_argnums=(0, 1))
     def train_step(g_state: TrainState, d_state: TrainState, images, rng, adv_active: bool = False):

@@ -279,13 +279,20 @@ def make_stage2_train_step_spatial(unet, ae, scheduler, cfg: Stage2Config, mesh)
         grads = jax.lax.psum(grads, ("data", SPATIAL_AXIS))
         return loss, grads
 
-    grad_fn = _shard_map(
-        sharded_grads,
+    smap_kwargs = dict(
         mesh=mesh,
         in_specs=(P(), P(), vol_spec, P(), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )
+    if mesh.shape.get("model", 1) > 1:
+        # TP x SP composition: only data/spatial are MANUAL axes; 'model'
+        # stays an auto (GSPMD) axis, so params carrying a NamedSharding over
+        # 'model' (parallel/tensor.py) are partitioned by the compiler inside
+        # the shard_map body — halo exchange and psums ride the manual axes,
+        # weight all-reduces ride 'model', chosen by propagation.
+        smap_kwargs["axis_names"] = {"data", SPATIAL_AXIS}
+    grad_fn = _shard_map(sharded_grads, **smap_kwargs)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, ae_params, batch, scale_factor, rng):

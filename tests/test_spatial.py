@@ -320,3 +320,115 @@ def test_stage2_spatial_train_step_min_snr(mesh4x2, tiny):
         losses[gamma] = float(metrics["diffusion_loss"])
         assert np.isfinite(losses[gamma])
     assert losses[0.0] != losses[5.0]
+
+
+def test_stage2_spatial_composes_with_tensor_parallel(tiny, eight_devices):
+    """data2 x model2 x spatial2: TP-sharded UNet params inside the spatial
+    shard_map ('model' stays an auto GSPMD axis) — identical loss and updated
+    params vs the model=1 spatial step (same rng)."""
+    from ldm3d_tpu.parallel import shard_train_state_tp
+    from ldm3d_tpu.training import (Stage2Config, TrainState, build_lr_schedule,
+                                    make_diffusion_optimizer)
+    from ldm3d_tpu.training.stage2 import make_stage2_train_step_spatial
+
+    ae, unet = tiny
+    rng = jax.random.PRNGKey(3)
+    x = jax.random.uniform(rng, (2, 32, 16, 16, 1), jnp.float32)
+    ae_vars = ae.init({"params": rng, "sample": rng}, x[:1])
+    u_vars = unet.init(rng, jnp.zeros((1, 8, 4, 4, unet.in_channels)), jnp.zeros((1,), jnp.int32))
+    sched = DDPMScheduler.create(num_train_timesteps=8)
+
+    def make_state():
+        return TrainState.create(
+            unet.apply, jax.tree_util.tree_map(jnp.copy, u_vars["params"]),
+            make_diffusion_optimizer(build_lr_schedule("multistep", 1e-3, 1, 1)))
+
+    batch = {"image": x, "label": x}
+    mesh_ref = create_mesh(MeshSpec(data=2, model=1, spatial=2), devices=eight_devices[:4])
+    step_ref = make_stage2_train_step_spatial(unet, ae, sched, Stage2Config(), mesh_ref)
+    with mesh_ref:
+        s_ref, m_ref = step_ref(make_state(), ae_vars["params"], batch, jnp.float32(1.0), rng)
+
+    mesh_tp = create_mesh(MeshSpec(data=2, model=2, spatial=2), devices=eight_devices)
+    step_tp = make_stage2_train_step_spatial(unet, ae, sched, Stage2Config(), mesh_tp)
+    with mesh_tp:
+        s_tp = shard_train_state_tp(make_state(), mesh_tp)
+        s_tp, m_tp = step_tp(s_tp, ae_vars["params"], batch, jnp.float32(1.0), rng)
+
+    np.testing.assert_allclose(float(m_ref["diffusion_loss"]),
+                               float(m_tp["diffusion_loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s_ref.params),
+                    jax.tree_util.tree_leaves(s_tp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_spatial_sampler_composes_with_tensor_parallel(tiny, eight_devices):
+    """TP x SP sampling: TP-sharded weights through the depth-sharded DDIM
+    sampler match the model=1 spatial sampler exactly (deterministic)."""
+    from ldm3d_tpu.parallel import shard_params_tp
+
+    ae, unet = tiny
+    rng = jax.random.PRNGKey(5)
+    ae_vars = ae.init({"params": rng, "sample": rng}, jnp.zeros((1, 32, 16, 16, 1)))
+    u_vars = unet.init(rng, jnp.zeros((1, 8, 4, 4, unet.in_channels)), jnp.zeros((1,), jnp.int32))
+    ddim = DDIMScheduler.create(num_inference_steps=2, num_train_timesteps=8)
+    noise = jax.random.normal(rng, (2, 8, 4, 4, ae.latent_channels), jnp.float32)
+    cond = jax.random.normal(jax.random.PRNGKey(6), (2, 8, 4, 4, ae.latent_channels), jnp.float32)
+
+    mesh_ref = create_mesh(MeshSpec(data=2, model=1, spatial=2), devices=eight_devices[:4])
+    sampler_ref = make_spatial_sampler(unet, ae, ddim, mesh_ref)
+    out_ref = np.asarray(sampler_ref(u_vars["params"], ae_vars["params"], noise, rng, cond))
+
+    mesh_tp = create_mesh(MeshSpec(data=2, model=2, spatial=2), devices=eight_devices)
+    sampler_tp = make_spatial_sampler(unet, ae, ddim, mesh_tp)
+    with mesh_tp:
+        u_tp = shard_params_tp(u_vars["params"], mesh_tp)
+        ae_tp = shard_params_tp(ae_vars["params"], mesh_tp)
+    out_tp = np.asarray(sampler_tp(u_tp, ae_tp, noise, rng, cond))
+
+    np.testing.assert_allclose(out_ref, out_tp, atol=2e-4)
+
+
+def test_stage1_spatial_composes_with_tensor_parallel(tiny, eight_devices):
+    """VAE-GAN spatial step with TP-sharded G+D states matches model=1."""
+    from ldm3d_tpu.nn import PatchDiscriminator3D
+    from ldm3d_tpu.parallel import shard_train_state_tp
+    from ldm3d_tpu.training import make_optimizer
+    from ldm3d_tpu.training.stage1 import Stage1Config, make_stage1_train_step_spatial
+
+    ae, _ = tiny
+    disc = PatchDiscriminator3D()
+    rng = jax.random.PRNGKey(9)
+    x = jax.random.uniform(rng, (2, 32, 16, 16, 1), jnp.float32)
+    ae_vars = ae.init({"params": rng, "sample": rng}, x[:1])
+    d_vars = disc.init(rng, x[:1])
+    cfg = Stage1Config(kl_weight=1e-7, perceptual_weight=0.0, adv_weight=0.01)
+
+    def states():
+        g = TrainState.create(ae.apply, jax.tree_util.tree_map(jnp.copy, ae_vars["params"]),
+                              make_optimizer(build_lr_schedule("constant", 1e-3, 1, 1)))
+        d = TrainState.create(disc.apply, jax.tree_util.tree_map(jnp.copy, d_vars["params"]),
+                              make_optimizer(build_lr_schedule("constant", 1e-3, 1, 1)))
+        return g, d
+
+    mesh_ref = create_mesh(MeshSpec(data=2, model=1, spatial=2), devices=eight_devices[:4])
+    step_ref = make_stage1_train_step_spatial(ae, disc, None, cfg, mesh_ref)
+    g_ref, d_ref = states()
+    with mesh_ref:
+        g_ref, d_ref, m_ref = step_ref(g_ref, d_ref, x, rng, adv_active=True)
+
+    mesh_tp = create_mesh(MeshSpec(data=2, model=2, spatial=2), devices=eight_devices)
+    step_tp = make_stage1_train_step_spatial(ae, disc, None, cfg, mesh_tp)
+    with mesh_tp:
+        g_tp, d_tp = states()
+        g_tp = shard_train_state_tp(g_tp, mesh_tp)
+        d_tp = shard_train_state_tp(d_tp, mesh_tp)
+        g_tp, d_tp, m_tp = step_tp(g_tp, d_tp, x, rng, adv_active=True)
+
+    np.testing.assert_allclose(float(m_ref["g_loss"]), float(m_tp["g_loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref.params),
+                    jax.tree_util.tree_leaves(g_tp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(d_ref.params),
+                    jax.tree_util.tree_leaves(d_tp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
