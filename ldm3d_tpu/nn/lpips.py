@@ -45,9 +45,27 @@ class _Fire(nn.Module):
 
 
 def _maxpool(x: jax.Array) -> jax.Array:
-    # SAME padding (output ceil(n/2)) instead of torch's VALID+ceil_mode so
-    # small medical-volume slices never pool to zero spatial extent.
-    return nn.max_pool(x, window_shape=(3, 3), strides=(2, 2), padding="SAME")
+    """torch ``MaxPool2d(3, stride=2, ceil_mode=True)`` parity.
+
+    torch computes ``out = ceil((n - 3) / 2) + 1`` with no left padding and
+    windows allowed to run off the right/bottom edge; we reproduce that by
+    right-padding with -inf (amount derived from the static shape) and pooling
+    VALID. Output size is floored at 1 so degenerate <=2-pixel maps (from very
+    small test volumes, below torch's own minimum input) stay usable; for any
+    size torch accepts the two implementations agree exactly, so converted
+    pretrained torch weights see identical feature maps.
+    """
+    pads = []
+    for n in (x.shape[1], x.shape[2]):
+        out = max(1, -((3 - n) // 2) + 1)  # ceil((n-3)/2) + 1, floored at 1
+        pads.append(max(0, (out - 1) * 2 + 3 - n))
+    if any(pads):
+        x = jnp.pad(
+            x,
+            ((0, 0), (0, pads[0]), (0, pads[1]), (0, 0)),
+            constant_values=-jnp.inf,
+        )
+    return nn.max_pool(x, window_shape=(3, 3), strides=(2, 2), padding="VALID")
 
 
 class SqueezeNetFeatures(nn.Module):
@@ -58,7 +76,14 @@ class SqueezeNetFeatures(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> list[jax.Array]:
         feats = []
-        h = nn.relu(nn.Conv(64, (3, 3), strides=(2, 2), dtype=self.dtype, param_dtype=jnp.float32, name="conv1")(x))
+        # torchvision squeezenet1_1 features[0] is Conv2d(3, 64, 3, stride=2)
+        # with padding=0 — VALID, not flax's default SAME.
+        h = nn.relu(
+            nn.Conv(
+                64, (3, 3), strides=(2, 2), padding="VALID",
+                dtype=self.dtype, param_dtype=jnp.float32, name="conv1",
+            )(x)
+        )
         feats.append(h)  # stage 1
         h = _maxpool(h)
         h = _Fire(16, 64, self.dtype, name="fire2")(h)
@@ -103,8 +128,9 @@ class LPIPS(nn.Module):
         total = jnp.zeros((x.shape[0],), jnp.float32)
         for i, (a, b) in enumerate(zip(fx, fy)):
             a32, b32 = a.astype(jnp.float32), b.astype(jnp.float32)
-            a_n = a32 * jax.lax.rsqrt(jnp.sum(a32**2, axis=-1, keepdims=True) + 1e-10)
-            b_n = b32 * jax.lax.rsqrt(jnp.sum(b32**2, axis=-1, keepdims=True) + 1e-10)
+            # lpips normalize_tensor: feat / (||feat||_2 + 1e-10), channel-wise
+            a_n = a32 / (jnp.sqrt(jnp.sum(a32**2, axis=-1, keepdims=True)) + 1e-10)
+            b_n = b32 / (jnp.sqrt(jnp.sum(b32**2, axis=-1, keepdims=True)) + 1e-10)
             diff = (a_n - b_n) ** 2
             w = self.param(f"lin_{i}", nn.initializers.ones, (diff.shape[-1],), jnp.float32)
             # lpips "lin" layer: nonneg 1x1 conv -> spatial mean

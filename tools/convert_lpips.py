@@ -34,19 +34,22 @@ def _conv_to_flax(w, b):
             "bias": np.asarray(b)}
 
 
-def convert(squeezenet_path: str, lpips_lin_path: str | None, out_path: str) -> None:
+def map_state_dicts(squeezenet_sd, lpips_lin_sd=None) -> dict:
+    """Map torch state dicts -> the ``params`` pytree of ``ldm3d_tpu.nn.lpips.LPIPS``.
+
+    ``squeezenet_sd`` uses torchvision ``squeezenet1_1`` key naming
+    (``features.0.weight``, ``features.3.squeeze.weight``, ...); ``lpips_lin_sd``
+    uses lpips-package naming (``lin{i}.model.1.weight``, shape ``(1, C, 1, 1)``).
+    Pure tensor mapping — no files — so tests can exercise the exact conversion
+    the CLI uses.
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
-    import torch
-    from flax import serialization
 
     from ldm3d_tpu.nn.lpips import LPIPS
 
-    sd = torch.load(squeezenet_path, map_location="cpu", weights_only=True)
-    if hasattr(sd, "state_dict"):
-        sd = sd.state_dict()
-
+    sd = squeezenet_sd
     params: dict = {"squeeze": {}}
     sq = params["squeeze"]
     sq["conv1"] = _conv_to_flax(sd["features.0.weight"], sd["features.0.bias"])
@@ -58,11 +61,10 @@ def convert(squeezenet_path: str, lpips_lin_path: str | None, out_path: str) -> 
             "expand3": _conv_to_flax(sd[f"{base}.expand3x3.weight"], sd[f"{base}.expand3x3.bias"]),
         }
 
-    if lpips_lin_path:
-        lin_sd = torch.load(lpips_lin_path, map_location="cpu", weights_only=True)
+    if lpips_lin_sd is not None:
         for i in range(7):
             # lpips lins are 1x1 convs with shape (1, C, 1, 1)
-            w = np.asarray(lin_sd[f"lin{i}.model.1.weight"]).reshape(-1)
+            w = np.asarray(lpips_lin_sd[f"lin{i}.model.1.weight"], dtype=np.float32).reshape(-1)
             params[f"lin_{i}"] = w
     else:
         # fall back to uniform lin weights (still a valid perceptual metric)
@@ -71,6 +73,24 @@ def convert(squeezenet_path: str, lpips_lin_path: str | None, out_path: str) -> 
         init = lpips.init(jax.random.PRNGKey(17), probe, probe)["params"]
         for i in range(7):
             params[f"lin_{i}"] = np.asarray(init[f"lin_{i}"])
+    return params
+
+
+def convert(squeezenet_path: str, lpips_lin_path: str | None, out_path: str) -> None:
+    import jax
+    import jax.numpy as jnp
+    import torch
+    from flax import serialization
+
+    from ldm3d_tpu.nn.lpips import LPIPS
+
+    sd = torch.load(squeezenet_path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    lin_sd = None
+    if lpips_lin_path:
+        lin_sd = torch.load(lpips_lin_path, map_location="cpu", weights_only=True)
+    params = map_state_dicts(sd, lin_sd)
 
     # validate structure against a fresh init, then serialize
     lpips = LPIPS()
