@@ -14,43 +14,28 @@ import json
 from typing import Any
 
 
-_REQUIRED_TRAIN_KEYS = {
-    "autoencoder_train": ("batch_size", "patch_size", "lr", "kl_weight", "perceptual_weight", "max_epochs", "val_interval"),
-    "diffusion_train": ("batch_size", "patch_size", "lr", "max_epochs", "val_interval"),
-}
-
-
 def merge_configs_onto_args(args: Any, environment_file: str, config_file: str, validate: bool = True) -> Any:
-    """Merge env + config JSON files onto ``args`` (attributes win: env < config)."""
+    """Merge env + config JSON files onto ``args`` (attributes win: env < config).
+
+    Both files are validated against the typed schema
+    (:mod:`ldm3d_tpu.configs.schema`) BEFORE merging: unknown keys and type
+    mismatches raise, so a misspelled key can never silently disable a loss
+    term or shadow a CLI flag the way the reference's bare setattr merge
+    could."""
     with open(environment_file, "r") as f:
         env_dict = json.load(f)
     with open(config_file, "r") as f:
         config_dict = json.load(f)
+    if validate:
+        from ldm3d_tpu.configs.schema import validate_config, validate_environment
+
+        validate_environment(env_dict, source=environment_file)
+        validate_config(config_dict, source=config_file)
     for k, v in env_dict.items():
         setattr(args, k, v)
     for k, v in config_dict.items():
         setattr(args, k, v)
-    if validate:
-        _validate(args, config_dict)
     return args
-
-
-def _validate(args: Any, config_dict: dict) -> None:
-    problems = []
-    for section, keys in _REQUIRED_TRAIN_KEYS.items():
-        sec = getattr(args, section, None)
-        if sec is None:
-            continue  # a config may legitimately define only one stage
-        for key in keys:
-            if key not in sec:
-                problems.append(f"{section}.{key} missing")
-    if "autoencoder_def" in config_dict:
-        ae = config_dict["autoencoder_def"]
-        for key in ("channels", "latent_channels"):
-            if key not in ae:
-                problems.append(f"autoencoder_def.{key} missing")
-    if problems:
-        raise ValueError("invalid config: " + "; ".join(problems))
 
 
 @dataclasses.dataclass

@@ -107,3 +107,59 @@ def test_merge_validation_catches_missing(tmp_path):
     cfgf.write_text(json.dumps(bad))
     with pytest.raises(ValueError):
         merge_configs_onto_args(argparse.Namespace(), str(envf), str(cfgf))
+
+
+# -- typed schema (SURVEY §5.6: the reference's setattr merge validated nothing) --
+
+def test_schema_accepts_all_presets():
+    from ldm3d_tpu.configs.schema import validate_config
+    for name in ("config_train_32g.json", "config_train_16g.json", "config_train_stable.json",
+                 "config_train_multigpu.json", "config_tiny_cpu.json"):
+        validate_config(load_json(preset_path(name)), source=name)
+
+
+def test_schema_accepts_reference_configs():
+    """Config-file parity: the reference's own preset files must validate."""
+    import glob, os
+    ref = "/root/reference/3d_ldm/config"
+    if not os.path.isdir(ref):
+        pytest.skip("reference tree not mounted")
+    from ldm3d_tpu.configs.schema import validate_config, validate_environment
+    for f in sorted(glob.glob(os.path.join(ref, "config_*.json"))):
+        validate_config(load_json(f), source=f)
+    validate_environment(load_json(os.path.join(ref, "environment.json")))
+
+
+def test_schema_rejects_misspelled_key():
+    from ldm3d_tpu.configs.schema import ConfigSchemaError, validate_config
+    cfg = load_json(preset_path("config_tiny_cpu.json"))
+    cfg["autoencoder_train"]["perceptul_weight"] = cfg["autoencoder_train"].pop("perceptual_weight")
+    with pytest.raises(ConfigSchemaError, match="did you mean 'perceptual_weight'"):
+        validate_config(cfg)
+
+
+def test_schema_rejects_wrong_type():
+    from ldm3d_tpu.configs.schema import ConfigSchemaError, validate_config
+    cfg = load_json(preset_path("config_tiny_cpu.json"))
+    cfg["autoencoder_train"]["batch_size"] = "two"
+    with pytest.raises(ConfigSchemaError, match="batch_size"):
+        validate_config(cfg)
+
+
+def test_schema_rejects_unknown_env_key(tmp_path):
+    from ldm3d_tpu.configs.schema import ConfigSchemaError, validate_environment
+    with pytest.raises(ConfigSchemaError, match="model_dirs"):
+        validate_environment({"model_dirs": "/x"})
+
+
+def test_merge_rejects_unknown_key_end_to_end(tmp_path):
+    """The CLI merge path itself must refuse a config with a stray key."""
+    env = {"model_dir": str(tmp_path)}
+    envf = tmp_path / "environment.json"
+    envf.write_text(json.dumps(env))
+    cfg = load_json(preset_path("config_tiny_cpu.json"))
+    cfg["difusion_train"] = cfg.pop("diffusion_train")
+    cfgf = tmp_path / "cfg.json"
+    cfgf.write_text(json.dumps(cfg))
+    with pytest.raises(ValueError, match="did you mean 'diffusion_train'"):
+        merge_configs_onto_args(argparse.Namespace(), str(envf), str(cfgf))
