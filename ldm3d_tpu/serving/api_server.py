@@ -1,7 +1,9 @@
 """REST model server with the reference's endpoint contract.
 
 Endpoints (parity with ``mlops/docker/api_server.py:296-390``):
-  POST /generate      {"num_samples": N, "seed": S} -> base64 volumes
+  POST /generate      {"num_samples": N, "seed": S, "inference_steps": K,
+                       "guidance_scale": W, "output_format": "base64"|"nii"}
+                      -> base64 volumes (raw float32 or NIfTI-1 bytes)
   GET  /health        liveness/readiness payload
   GET  /metrics       Prometheus text format
   GET  /model/info    model + device metadata
@@ -83,6 +85,20 @@ class Api:
         seed = body.get("seed")
         if seed is not None:
             seed = int(seed)
+        # reference GenerationRequest fields (mlops/docker/api_server.py:51-56)
+        steps = body.get("inference_steps")
+        if steps is not None:
+            steps = int(steps)
+            if not (10 <= steps <= 1000):
+                return 422, {"error": "inference_steps must be in [10, 1000]"}
+        guidance = body.get("guidance_scale")
+        if guidance is not None:
+            guidance = float(guidance)
+            if not (1.0 <= guidance <= 20.0):
+                return 422, {"error": "guidance_scale must be in [1.0, 20.0]"}
+        output_format = str(body.get("output_format", "base64"))
+        if output_format not in ("base64", "nii"):
+            return 422, {"error": "output_format must be 'base64' or 'nii'"}
         # optional low-count conditioning volume for concat-conditional
         # models: {"condition": {"data": <base64 float32>, "shape": [D,H,W]}}
         condition_volume = None
@@ -99,7 +115,10 @@ class Api:
         t0 = time.time()
         try:
             result = self.server.generate(num_samples=num, seed=seed,
-                                          condition_volume=condition_volume)
+                                          condition_volume=condition_volume,
+                                          inference_steps=steps,
+                                          guidance_scale=guidance,
+                                          output_format=output_format)
         except ValueError as e:
             return 422, {"error": str(e)}
         except RuntimeError as e:

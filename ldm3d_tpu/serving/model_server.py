@@ -52,11 +52,17 @@ class ModelServer:
         # serializes compiled sampler calls: concurrent batch-B programs can
         # co-resident-OOM the chip at production sizing (docs/PERFORMANCE.md)
         self._device_lock = threading.Lock()
-        self._run = None  # compiled sampler fn
+        self._run = None  # compiled sampler fn for the server defaults
         self._batcher = None  # dynamic micro-batcher (serving/batcher.py)
         self._latent_shape = None
         self._encode_condition = None
         self._rng_counter = 0
+        # per-request (sampler, steps, guidance) -> compiled run fn. Bounded:
+        # each entry is an XLA program; evict the oldest non-default entry so
+        # a step-count scan from a client can't accumulate programs in HBM.
+        self._sampler_cache: "dict[tuple, Any]" = {}
+        self._sampler_cache_max = 8
+        self._build_run = None  # (sampler, steps, guidance) -> run fn
 
     # -- loading -------------------------------------------------------------
 
@@ -112,11 +118,10 @@ class ModelServer:
         # (full-loop parity) / ddim / dpm (DPM-Solver++ 2M)
         from ldm3d_tpu.cli.common import make_sampling_scheduler
 
-        scheduler = make_sampling_scheduler(self.sampler, self.steps, ctx.scheduler_config())
-
         conditional = unet.in_channels > ae.latent_channels
         self._latent_shape = (*latent, ae.latent_channels)
         cond_ch = unet.in_channels - ae.latent_channels
+        sched_cfg = ctx.scheduler_config()
 
         @jax.jit
         def encode_fn(params, x, rng_key):
@@ -137,21 +142,20 @@ class ModelServer:
                                devices=devices[:need])
             n_levels = len(getattr(unet, "channels", [1, 1, 1]))
             validate_spatial_divisibility(latent[0], self.spatial, n_levels - 1)
-            sampler = make_spatial_sampler(unet, ae, scheduler, mesh,
-                                           scale_factor=scale_factor)
 
-            def run(noise, rng_key, condition):
-                return sampler(u_params, ae_params, noise, rng_key, condition)
+            def build_run(sampler_name: str, steps: int, guidance: float):
+                scheduler = make_sampling_scheduler(sampler_name, steps, sched_cfg)
+                sampler = make_spatial_sampler(unet, ae, scheduler, mesh,
+                                               scale_factor=scale_factor,
+                                               guidance_scale=guidance)
+
+                def run(noise, rng_key, condition):
+                    return sampler(u_params, ae_params, noise, rng_key, condition)
+
+                return run
         else:
-            # two compiled programs (scan + decode), params as explicit jit
-            # args (closing over weights would inline them as HLO constants)
-            @jax.jit
-            def scan_fn(params, noise, rng_key, condition):
-                def unet_apply(z, t):
-                    return unet.apply({"params": params}, z, t)
-                return inferer.sample_latents(unet_apply, scheduler, noise, rng_key,
-                                              condition=condition if conditional else None)
-
+            # decode is sampler-independent: one compiled program shared by
+            # every (sampler, steps, guidance) variant
             @jax.jit
             def decode_fn(params, z):
                 return ae.apply({"params": params}, z / jnp.asarray(scale_factor, z.dtype),
@@ -167,18 +171,35 @@ class ModelServer:
                 log.info("data-parallel sampling: batch %d sharded over %d chips",
                          self.batch, n_shards)
 
-            def run(noise, rng_key, condition):
-                noise = place(noise)
-                if condition is not None:
-                    condition = place(condition)
-                return decode_fn(ae_params, scan_fn(u_params, noise, rng_key, condition))
+            def build_run(sampler_name: str, steps: int, guidance: float):
+                scheduler = make_sampling_scheduler(sampler_name, steps, sched_cfg)
+
+                # scan as its own compiled program, params as explicit jit
+                # args (closing over weights would inline them as constants)
+                @jax.jit
+                def scan_fn(params, noise, rng_key, condition):
+                    def unet_apply(z, t):
+                        return unet.apply({"params": params}, z, t)
+                    return inferer.sample_latents(unet_apply, scheduler, noise, rng_key,
+                                                  condition=condition if conditional else None,
+                                                  guidance_scale=guidance)
+
+                def run(noise, rng_key, condition):
+                    noise = place(noise)
+                    if condition is not None:
+                        condition = place(condition)
+                    return decode_fn(ae_params, scan_fn(u_params, noise, rng_key, condition))
+
+                return run
 
         def encode_condition(vol, rng_key):
             return encode_fn(ae_params, vol, rng_key)
 
         self._cond_shape = (*latent, cond_ch) if conditional else None
         self._encode_condition = encode_condition
-        self._run = run
+        self._build_run = build_run
+        self._sampler_cache = {}
+        self._run = self._get_run(self.sampler, self.steps, 1.0)
 
         # micro-batcher: merges concurrent single-volume requests into one
         # compiled batch-B call (serving/batcher.py). Only for deterministic
@@ -189,24 +210,53 @@ class ModelServer:
         if self.batch > 1 and self.sampler != "ddpm":
             from ldm3d_tpu.serving.batcher import DynamicBatcher
 
+            default_run = self._run  # the server-default compiled program
+
             def run_batched(noise_np, rng_seed, cond_np):
                 key = jax.random.PRNGKey(int(rng_seed))
                 noise = jnp.asarray(noise_np)
                 cond = jnp.asarray(cond_np) if cond_np is not None else None
                 with self._device_lock:
-                    return np.asarray(run(noise, key, cond))
+                    return np.asarray(default_run(noise, key, cond))
 
             self._batcher = DynamicBatcher(run_batched, self.batch, max_wait_ms=10.0)
+
+    def _get_run(self, sampler_name: str, steps: int, guidance: float):
+        """Compiled sampler for a (sampler, steps, guidance) combination.
+
+        Per-request options (reference ``GenerationRequest.inference_steps``
+        / ``guidance_scale``, ``mlops/docker/api_server.py:53-54``) would
+        recompile the scan per distinct value; the cache keeps the most
+        recent ``_sampler_cache_max`` programs (default config pinned) so
+        repeated requests hit compiled code."""
+        key = (sampler_name, int(steps), float(guidance))
+        fn = self._sampler_cache.get(key)
+        if fn is None:
+            if len(self._sampler_cache) >= self._sampler_cache_max:
+                default_key = (self.sampler, self.steps, 1.0)
+                for old in list(self._sampler_cache):
+                    if old != default_key:
+                        del self._sampler_cache[old]
+                        break
+            log.info("compiling sampler variant %s", key)
+            fn = self._build_run(sampler_name, steps, guidance)
+            self._sampler_cache[key] = fn
+        return fn
 
     def _load_dummy(self) -> None:
         self._latent_shape = None
         self._run = None
+        self._build_run = None
+        self._sampler_cache = {}
         self._encode_condition = None
 
     # -- generation -------------------------------------------------------------
 
     def generate(self, num_samples: int = 1, seed: Optional[int] = None,
-                 condition_volume: Optional[np.ndarray] = None) -> dict[str, Any]:
+                 condition_volume: Optional[np.ndarray] = None,
+                 inference_steps: Optional[int] = None,
+                 guidance_scale: Optional[float] = None,
+                 output_format: str = "base64") -> dict[str, Any]:
         """Sample ``num_samples`` volumes.
 
         For concat-conditional models (in_channels > latent_channels), pass
@@ -215,9 +265,20 @@ class ModelServer:
         It is VAE-encoded once and conditions every sample. Without one,
         conditioning latents are drawn from N(0,1) — only useful for smoke
         tests, and flagged as ``"conditioning": "random"`` in the response.
+
+        ``inference_steps`` / ``guidance_scale`` override the server defaults
+        per request (reference request schema,
+        ``mlops/docker/api_server.py:51-56``); compiled variants are cached.
+        ``output_format``: "base64" (raw float32 bytes) or "nii" (a complete
+        NIfTI-1 file, base64-encoded for the JSON envelope).
         """
         if not self.model_loaded:
             raise RuntimeError("model not loaded")
+        if output_format not in ("base64", "nii"):
+            raise ValueError(f"output_format must be base64|nii, got {output_format!r}")
+        steps = int(inference_steps) if inference_steps is not None else self.steps
+        guidance = float(guidance_scale) if guidance_scale is not None else 1.0
+        is_default = steps == self.steps and guidance == 1.0
         conditioning = "none"
         t0 = time.time()
         if self.is_dummy:
@@ -249,7 +310,10 @@ class ModelServer:
             elif self._cond_shape:
                 conditioning = "random"
             b = self.batch
-            batcher = self._batcher  # snapshot: a concurrent reload may null it
+            run = self._run if is_default else self._get_run(self.sampler, steps, guidance)
+            # the micro-batcher runs the default-config compiled program only;
+            # custom steps/guidance requests take the direct path
+            batcher = self._batcher if is_default else None
             if num_samples == 1 and batcher is not None:
                 # single-volume request: go through the micro-batcher, which
                 # shares one compiled batch-B call among concurrent requests.
@@ -277,7 +341,7 @@ class ModelServer:
                         else:
                             cond = (jax.random.normal(ckey, (b, *self._cond_shape), jnp.float32)
                                     if self._cond_shape else None)
-                        pending.append(self._run(noise, skey, cond))
+                        pending.append(run(noise, skey, cond))
                     # all chunks enqueued before any readback: host transfer of
                     # chunk i overlaps device compute of chunk i+1
                     vols = np.concatenate([np.asarray(p[..., 0], dtype=np.float32)
@@ -286,16 +350,29 @@ class ModelServer:
         for v in vols:
             vmin, vmax = float(v.min()), float(v.max())
             norm = (v - vmin) / (vmax - vmin) if vmax > vmin else np.zeros_like(v)
+            norm = norm.astype(np.float32)
+            if output_format == "nii":
+                from ldm3d_tpu.utils.nifti import nifti_bytes
+
+                payload = nifti_bytes(norm)
+            else:
+                payload = norm.tobytes()
             samples.append({
-                "data": base64.b64encode(norm.astype(np.float32).tobytes()).decode("ascii"),
+                "data": base64.b64encode(payload).decode("ascii"),
                 "shape": list(v.shape),
                 "dtype": "float32",
+                "format": output_format,
             })
+        elapsed = time.time() - t0
         return {
             "samples": samples,
-            "generation_time": time.time() - t0,
+            "generation_time": elapsed,
+            "processing_time_ms": elapsed * 1000.0,
             "model_version": "dummy" if self.is_dummy else "ldm3d_tpu",
             "num_samples": num_samples,
+            "inference_steps": steps,
+            "guidance_scale": guidance,
+            "output_format": output_format,
             "conditioning": conditioning,
         }
 

@@ -20,7 +20,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["write_nifti", "read_nifti"]
+__all__ = ["write_nifti", "read_nifti", "nifti_bytes"]
 
 _DTYPE_CODES = {
     np.dtype(np.uint8): 2,
@@ -64,15 +64,23 @@ def _build_header(shape, dtype: np.dtype, zooms) -> bytes:
     return bytes(h) + b"\x00" * 4                                # 4-byte pad to 352
 
 
+def nifti_bytes(volume: np.ndarray, zooms=(1.0, 1.0, 1.0)) -> bytes:
+    """Serialize a 3-D volume as an in-memory NIfTI-1 (.nii) file.
+
+    Used by the serving layer's ``output_format: "nii"`` (reference request
+    schema, ``mlops/docker/api_server.py:56``) without touching disk.
+    """
+    vol = np.ascontiguousarray(np.asarray(volume))
+    return _build_header(vol.shape, vol.dtype, zooms) + vol.tobytes(order="F")
+
+
 def write_nifti(path: str, volume: np.ndarray, zooms=(1.0, 1.0, 1.0)) -> str:
     """Write a 3-D volume as .nii or .nii.gz (chosen by extension).
 
     NIfTI data is Fortran-ordered (x fastest); the volume is stored so that
     ``read_nifti(write_nifti(p, v))`` returns ``v`` exactly.
     """
-    vol = np.asarray(volume)
-    vol = np.ascontiguousarray(vol)
-    payload = _build_header(vol.shape, vol.dtype, zooms) + vol.tobytes(order="F")
+    payload = nifti_bytes(volume, zooms)
     opener = gzip.open if path.endswith(".gz") else open
     with opener(path, "wb") as f:
         f.write(payload)

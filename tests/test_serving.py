@@ -239,3 +239,59 @@ def test_dpm_sampler_serving(real_api):
     out = srv.generate(1, seed=0)
     arr = np.frombuffer(base64.b64decode(out["samples"][0]["data"]), np.float32)
     assert np.isfinite(arr).all()
+
+
+def test_per_request_options_reference_schema(real_api):
+    """The reference's full GenerationRequest schema round-trips
+    (mlops/docker/api_server.py:51-56): inference_steps, guidance_scale,
+    output_format — with compiled-sampler caching for repeats."""
+    patch = real_api.server.patch_size
+    body = {"num_samples": 1, "seed": 5, "inference_steps": 10,
+            "guidance_scale": 2.0, "output_format": "base64"}
+    code, payload, _ = real_api.dispatch("POST", "/generate", body)
+    assert code == 200
+    assert payload["inference_steps"] == 10
+    assert payload["guidance_scale"] == 2.0
+    assert payload["output_format"] == "base64"
+    arr = np.frombuffer(base64.b64decode(payload["samples"][0]["data"]), np.float32)
+    assert np.isfinite(arr).all() and arr.size == np.prod(patch)
+
+    # repeat hits the compiled-sampler cache (no new compile entry)
+    n_variants = len(real_api.server._sampler_cache)
+    code, payload2, _ = real_api.dispatch("POST", "/generate", body)
+    assert code == 200
+    assert len(real_api.server._sampler_cache) == n_variants
+
+    # deterministic per seed even through the custom-variant path
+    assert payload2["samples"][0]["data"] == payload["samples"][0]["data"]
+
+
+def test_per_request_nii_output(real_api, tmp_path):
+    """output_format='nii' returns a complete NIfTI-1 file (base64) that
+    round-trips through the framework's reader."""
+    from ldm3d_tpu.utils.nifti import read_nifti
+
+    code, payload, _ = real_api.dispatch(
+        "POST", "/generate", {"num_samples": 1, "seed": 1, "output_format": "nii"})
+    assert code == 200
+    sample = payload["samples"][0]
+    assert sample["format"] == "nii"
+    raw = base64.b64decode(sample["data"])
+    p = tmp_path / "out.nii"
+    p.write_bytes(raw)
+    vol, zooms = read_nifti(str(p))
+    assert list(vol.shape) == sample["shape"]
+    assert np.isfinite(vol).all()
+    assert 0.0 <= float(vol.min()) and float(vol.max()) <= 1.0
+
+
+def test_per_request_validation(real_api):
+    code, payload, _ = real_api.dispatch(
+        "POST", "/generate", {"num_samples": 1, "inference_steps": 5})
+    assert code == 422
+    code, payload, _ = real_api.dispatch(
+        "POST", "/generate", {"num_samples": 1, "guidance_scale": 50.0})
+    assert code == 422
+    code, payload, _ = real_api.dispatch(
+        "POST", "/generate", {"num_samples": 1, "output_format": "tiff"})
+    assert code == 422
