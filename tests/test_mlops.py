@@ -117,3 +117,57 @@ def test_batch_inference_pipeline_spec():
     # auto batch aligns to the device count (8 virtual CPU devices)
     auto = BatchInferencePipeline("cfg.json", "env.json", num_samples=16)
     assert auto._batch() % 8 == 0
+
+
+def _fake_kubectl(tmp_path, fail_on=None):
+    """A fake kubectl that records its argv lines and optionally fails on a
+    given subcommand — drives the live apply/rollout path offline."""
+    log = tmp_path / "kubectl_calls.log"
+    script = tmp_path / "kubectl"
+    fail = fail_on or ""
+    script.write_text(
+        "#!/bin/sh\n"
+        f'echo "$@" >> "{log}"\n'
+        f'[ -n "{fail}" ] && [ "$1" = "{fail}" ] && {{ echo boom >&2; exit 1; }}\n'
+        "exit 0\n")
+    script.chmod(0o755)
+    return str(script), log
+
+
+def test_deployment_apply_and_rollout(tmp_path):
+    """--apply drives kubectl apply for every manifest then blocks on rollout
+    status (reference deploy_model.py:191-247 waits for provisioning)."""
+    kubectl, calls = _fake_kubectl(tmp_path)
+    dep = ModelDeployment(out_dir=str(tmp_path / "out"), kubectl=kubectl)
+    result = dep.deploy("ldm3d", image="ldm3d-tpu:v1", apply=True)
+    assert result["applied"] is True
+    lines = calls.read_text().splitlines()
+    applies = [l for l in lines if l.startswith("apply -f ")]
+    assert len(applies) == len(result["manifests"])
+    assert any(l.startswith("rollout status deployment/ldm3d-v1 -n ldm3d") for l in lines)
+
+
+def test_deployment_apply_failure_raises(tmp_path):
+    from ldm3d_tpu.mlops.deployment.deploy_model import DeployError
+
+    kubectl, _ = _fake_kubectl(tmp_path, fail_on="rollout")
+    dep = ModelDeployment(out_dir=str(tmp_path / "out"), kubectl=kubectl)
+    with pytest.raises(DeployError, match="rollout"):
+        dep.deploy("ldm3d", image="ldm3d-tpu:v1", apply=True)
+
+
+def test_deployment_apply_requires_kubectl(tmp_path):
+    from ldm3d_tpu.mlops.deployment.deploy_model import DeployError
+
+    dep = ModelDeployment(out_dir=str(tmp_path / "out"),
+                          kubectl="definitely-not-a-real-kubectl-binary")
+    with pytest.raises(DeployError, match="not on PATH"):
+        dep.deploy("ldm3d", image="ldm3d-tpu:v1", apply=True)
+
+
+def test_deployment_cli_renders(tmp_path):
+    from ldm3d_tpu.mlops.deployment.deploy_model import main as deploy_main
+
+    result = deploy_main(["--image", "ldm3d-tpu:v2", "--out-dir", str(tmp_path / "o")])
+    assert result["applied"] is False
+    assert all(os.path.exists(p) for p in result["manifests"])
