@@ -53,12 +53,55 @@ def test_pick_block():
 
 
 def test_unsupported_shapes_fall_back():
-    q, k, v = _qkv(b=1, n=100, h=2, d=48, seed=3)  # d not multiple of 64
+    # n=100 has no multiple-of-8 block divisor (head_dim no longer matters:
+    # odd widths are lane-padded)
+    q, k, v = _qkv(b=1, n=100, h=2, d=48, seed=3)
     assert _flash_blocks(q, k, 512, 512) is None
     out = volumetric_attention(q, k, v)  # auto -> XLA path, no error
     assert out.shape == q.shape
     with pytest.raises(ValueError):
         volumetric_attention(q, k, v, use_flash=True)
+
+
+def test_flash_head_dim_32():
+    """head_dim 32 (``num_head_channels: 32`` configs) runs the flash path via
+    exact lane padding instead of silently falling back (verdict item 8)."""
+    for d in (32, 48):
+        q, k, v = _qkv(b=1, n=216, h=2, d=d, seed=7)
+        out = volumetric_attention(q, k, v, use_flash=True, interpret=True)
+        ref = volumetric_attention(q, k, v, use_flash=False)
+        assert out.shape == q.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_head_dim_32_gradients():
+    q, k, v = _qkv(b=1, n=64, h=2, d=32, seed=8)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(volumetric_attention(q, k, v, use_flash=True, interpret=True) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(volumetric_attention(q, k, v, use_flash=False) ** 2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for gf, gx in zip(g_flash, g_xla):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), atol=5e-5)
+
+
+def test_fallback_warning_on_tpu(monkeypatch, caplog):
+    """The auto path must warn (once per trace) when a TPU backend falls back
+    to O(n^2) attention, so perf cliffs are visible in logs."""
+    import logging
+
+    import ldm3d_tpu.ops.attention as attn_mod
+
+    monkeypatch.setattr(attn_mod.jax, "default_backend", lambda: "tpu")
+    q, k, v = _qkv(b=1, n=100, h=2, d=64, seed=9)
+    with caplog.at_level(logging.WARNING, logger="ldm3d_tpu.ops.attention"):
+        out = volumetric_attention(q, k, v)
+    assert out.shape == q.shape
+    assert any("falling back" in r.message for r in caplog.records)
 
 
 def test_softmax_stability_large_logits():
