@@ -25,4 +25,11 @@ Package layout (see SURVEY.md section 7 for the design rationale):
   serving/    FastAPI model server (optional deps gated)
 """
 
-__version__ = "0.1.0"
+# single-sourced from pyproject.toml (the installed distribution metadata);
+# the literal fallback covers running from a source tree without installing
+try:
+    from importlib.metadata import version as _dist_version
+
+    __version__ = _dist_version("ldm3d-tpu")
+except Exception:  # noqa: BLE001 - not installed: source-tree run
+    __version__ = "0.1.0"
