@@ -8,8 +8,14 @@ best + ``autoencoder_last.pt`` etc., ``train_autoencoder.py:184-187,629-647``)
 stage metadata (epoch, best loss, scale_factor) round-trips.
 
 Artifact layout under ``model_dir``:
-  autoencoder/{best,last}/     discriminator/{best,last}/
+  autoencoder/{best,last}/   (last = combined G+D resumable state, one atomic save)
+  discriminator/{best}/      (params-only deployment artifact)
   diffusion_unet/{best,last}/  (+ meta.json per role)
+
+Saves are crash-atomic: each checkpoint is written to ``<role>.new`` and
+swapped into place only after orbax commits, so a SIGKILL at any instant
+leaves a complete restorable ``<role>`` behind (interrupted swaps are healed
+on the next manager construction).
 
 Cross-stage contract parity: stage 2 hard-requires the stage-1 best
 autoencoder (reference ``train_diffusion.py:92-96``), inference requires both.
@@ -44,7 +50,53 @@ class CheckpointManager:
         self.root = os.path.abspath(os.path.join(model_dir, name))
         os.makedirs(self.root, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
-        self._pending_meta: Optional[tuple[str, dict]] = None  # written at commit
+        # async save awaiting commit: (role, meta-or-None); swap + meta happen
+        # at the next drain
+        self._pending_commit: Optional[tuple[str, Optional[dict]]] = None
+        self._recover_interrupted_swaps()
+
+    def _recover_interrupted_swaps(self) -> None:
+        """Finish (or roll back) a ``<role>.new``/``<role>.old`` swap cut short
+        by a hard kill. ``<role>.new`` only exists once orbax has fully
+        committed it (orbax writes to its own tmp name and renames), so
+        adopting it is always safe; a leftover ``<role>.old`` without a
+        ``.new`` means the swap completed but cleanup didn't."""
+        import shutil
+
+        entries = sorted(os.listdir(self.root))
+        for entry in entries:
+            if entry.endswith(".new") and os.path.isdir(os.path.join(self.root, entry)):
+                self._swap_into_place(entry[: -len(".new")])
+        for entry in entries:
+            if entry.endswith(".old") and os.path.isdir(os.path.join(self.root, entry)):
+                role = entry[: -len(".old")]
+                old = os.path.join(self.root, entry)
+                if os.path.isdir(self.path(role)):
+                    shutil.rmtree(old)
+                else:
+                    os.rename(old, self.path(role))
+
+    def _swap_into_place(self, role: str) -> None:
+        """Atomically promote a committed ``<role>.new`` to ``<role>``.
+
+        The previous checkpoint stays intact (as ``<role>.old``) until the new
+        one is in place, so a SIGKILL at any instant leaves at least one
+        complete, restorable checkpoint — unlike save(force=True) straight to
+        the final path, which rmtree's the old data before the replacement
+        commits (advisor finding, round 1)."""
+        import shutil
+
+        final = self.path(role)
+        new, old = final + ".new", final + ".old"
+        if not os.path.isdir(new):
+            return
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        if os.path.isdir(final):
+            os.rename(final, old)
+        os.rename(new, final)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
 
     # -- paths ---------------------------------------------------------------
 
@@ -64,18 +116,20 @@ class CheckpointManager:
         training continues (the save barriers only device->host transfer, not
         the serialization); any previous in-flight save is drained first, and
         callers must :meth:`wait` (or do a blocking save) before process exit
-        or before restoring the same role. The meta sidecar of an async save
-        is written only once the checkpoint commits (at the next drain), so a
-        crash mid-write never leaves meta pointing at a missing checkpoint."""
-        path = self.path(role)
-        self._drain()  # previous async save commits; its meta flushes
-        self._ckptr.save(path, state, force=True)
+        or before restoring the same role. The write goes to ``<role>.new``
+        and is swapped over the previous checkpoint only after orbax commits
+        (swap + meta sidecar of an async save happen at the next drain), so a
+        crash at any instant leaves a complete restorable checkpoint and never
+        meta pointing at missing data."""
+        self._drain()  # previous async save commits; its swap + meta flush
+        self._ckptr.save(self.path(role) + ".new", state, force=True)
         if block:
             self._ckptr.wait_until_finished()
+            self._swap_into_place(role)
             if meta is not None:
                 self._write_meta(role, meta)
-        elif meta is not None:
-            self._pending_meta = (role, meta)
+        else:
+            self._pending_commit = (role, meta)
 
     def _write_meta(self, role: str, meta: dict) -> None:
         with open(os.path.join(self.root, f"{role}_meta.json"), "w") as f:
@@ -83,10 +137,12 @@ class CheckpointManager:
 
     def _drain(self) -> None:
         self._ckptr.wait_until_finished()
-        if self._pending_meta is not None:
-            role, meta = self._pending_meta
-            self._pending_meta = None
-            self._write_meta(role, meta)
+        if self._pending_commit is not None:
+            role, meta = self._pending_commit
+            self._pending_commit = None
+            self._swap_into_place(role)
+            if meta is not None:
+                self._write_meta(role, meta)
 
     def wait(self) -> None:
         """Block until any in-flight async save has committed to disk (and

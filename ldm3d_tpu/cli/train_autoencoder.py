@@ -47,6 +47,15 @@ from ldm3d_tpu.training import (
 log = logging.getLogger("train_autoencoder")
 
 
+def _gan_last(g_state, d_state) -> dict:
+    """Combined resumable stage-1 checkpoint: generator + discriminator in one
+    pytree so the pair commits (or not) atomically."""
+    return {
+        "g": {"params": g_state.params, "opt_state": g_state.opt_state, "step": g_state.step},
+        "d": {"params": d_state.params, "opt_state": d_state.opt_state, "step": d_state.step},
+    }
+
+
 def build_lpips(args, dtype):
     """Fixed-seed LPIPS; loads converted pretrained weights when configured
     (environment.json key ``lpips_weights`` -> msgpack from tools/convert_lpips.py)."""
@@ -117,18 +126,21 @@ def main(argv=None):
     d_ckpt = CheckpointManager(args.model_dir, StageArtifacts.DISCRIMINATOR)
     start_epoch = 0
     if args.resume_ckpt:
-        full = {"params": g_state.params, "opt_state": g_state.opt_state, "step": g_state.step}
+        # G and D live in ONE 'last' checkpoint (single atomic orbax save), so
+        # a hard kill can never leave a half-updated G/D pair behind (advisor
+        # finding, round 1: two independent saves could resume mismatched)
+        full = {
+            "g": {"params": g_state.params, "opt_state": g_state.opt_state, "step": g_state.step},
+            "d": {"params": d_state.params, "opt_state": d_state.opt_state, "step": d_state.step},
+        }
         restored, ok = g_ckpt.try_restore("last", full, sharding=replicated_sharding(mesh))
         if ok:
-            g_state = g_state.replace(**restored)
+            g_state = g_state.replace(**restored["g"])
+            d_state = d_state.replace(**restored["d"])
             meta = g_ckpt.load_meta("last")
             start_epoch = int(meta.get("epoch", -1)) + 1
             log.info("resumed autoencoder from epoch %d", start_epoch)
-        full_d = {"params": d_state.params, "opt_state": d_state.opt_state, "step": d_state.step}
-        restored_d, ok_d = d_ckpt.try_restore("last", full_d, sharding=replicated_sharding(mesh))
-        if ok_d:
-            d_state = d_state.replace(**restored_d)
-        if not ok:
+        else:
             log.info("train autoencoder from scratch")
 
     if mesh.shape.get("model", 1) > 1:
@@ -203,11 +215,8 @@ def main(argv=None):
                 # preemption: full resumable 'last' save; the interrupted
                 # epoch replays on restart (meta epoch = epoch - 1)
                 meta = {"epoch": epoch - 1, "best_val": best_val, "preempted": True}
-                g_ckpt.save("last", {"params": g_state.params, "opt_state": g_state.opt_state,
-                                     "step": g_state.step}, meta)
-                d_ckpt.save("last", {"params": d_state.params, "opt_state": d_state.opt_state,
-                                     "step": d_state.step}, meta)
-                log.warning("preempted during epoch %d: saved resumable 'last' checkpoints", epoch)
+                g_ckpt.save("last", _gan_last(g_state, d_state), meta)
+                log.warning("preempted during epoch %d: saved resumable 'last' checkpoint", epoch)
                 break
 
             epoch_means = {k: float(np.mean([np.asarray(x) for x in v])) for k, v in accum.items()}
@@ -241,14 +250,13 @@ def main(argv=None):
                     is_best = val_loss < best_val
                     best_val = min(best_val, val_loss)
                     meta = {"epoch": epoch, "val_loss": val_loss, "best_val": best_val}
-                    # async: the 'last' writes overlap the next epoch's steps
-                    g_ckpt.save_best_and_last(
-                        {"params": g_state.params, "opt_state": g_state.opt_state, "step": g_state.step},
-                        is_best, meta, block=False)
-                    d_ckpt.save_best_and_last(
-                        {"params": d_state.params, "opt_state": d_state.opt_state, "step": d_state.step},
-                        is_best, meta, block=False)
+                    # async: the combined G+D 'last' write overlaps the next
+                    # epoch's steps; 'best' stays per-model params-only (the
+                    # deployment artifacts stage 2 / inference load)
+                    g_ckpt.save("last", _gan_last(g_state, d_state), meta, block=False)
                     if is_best:
+                        g_ckpt.save("best", {"params": g_state.params}, meta)
+                        d_ckpt.save("best", {"params": d_state.params}, meta)
                         log.info("Got best val recon loss; saved best checkpoints to %s", args.model_dir)
                     if not args.no_images and recon is not None and epoch % (val_interval * 5) == 0:
                         img0 = np.asarray(images[0, ..., 0], dtype=np.float32)
