@@ -145,5 +145,11 @@ class DynamicBatcher:
             except BaseException as e:  # noqa: BLE001 — surfaced to every waiter
                 log.exception("batched sampler call failed")
                 for item in group:
-                    item.error = e
+                    # fresh exception per waiter: raising the SAME object in
+                    # B concurrent request threads mutates its shared
+                    # __traceback__/__context__, garbling tracebacks across
+                    # requests (advisor finding, round 1)
+                    err = RuntimeError(f"batched sampler call failed: {e!r}")
+                    err.__cause__ = e
+                    item.error = err
                     item.event.set()

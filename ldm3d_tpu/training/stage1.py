@@ -162,10 +162,7 @@ def make_stage1_train_step_spatial(ae, disc, lpips_apply: Optional[Callable],
 
     from ldm3d_tpu.parallel.spatial import SPATIAL_AXIS
 
-    try:
-        from jax import shard_map as _shard_map
-    except ImportError:  # pragma: no cover
-        from jax.experimental.shard_map import shard_map as _shard_map
+    from ldm3d_tpu.parallel.compat import shard_map_compat as _shard_map
 
     recon_loss_fn = _recon_fn(cfg.recon_loss)
     ae_sp = ae.clone(spatial_axis=SPATIAL_AXIS)

@@ -219,10 +219,7 @@ def make_stage2_train_step_spatial(unet, ae, scheduler, cfg: Stage2Config, mesh)
 
     from ldm3d_tpu.parallel.spatial import SPATIAL_AXIS
 
-    try:
-        from jax import shard_map as _shard_map
-    except ImportError:  # pragma: no cover
-        from jax.experimental.shard_map import shard_map as _shard_map
+    from ldm3d_tpu.parallel.compat import shard_map_compat as _shard_map
 
     unet_sp = unet.clone(spatial_axis=SPATIAL_AXIS)
     ae_sp = ae.clone(spatial_axis=SPATIAL_AXIS)
