@@ -25,6 +25,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ldm3d_tpu.ops.attention import volumetric_attention
@@ -140,10 +141,26 @@ class GroupNorm32(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         orig_dtype = x.dtype
         b = x.shape[0]
-        xg = x.astype(jnp.float32).reshape(b, -1, g, c // g)
-        s1 = jnp.sum(xg, axis=(1, 3))
-        s2 = jnp.sum(xg * xg, axis=(1, 3))
-        count = jnp.float32(xg.shape[1] * xg.shape[3])
+        # Reduce to PER-CHANNEL sums first: the voxel axis reduces while C
+        # stays minor-most, so the pass keeps all 128 lanes busy. Reducing
+        # straight to (B, groups) — the naive formulation — makes XLA reduce
+        # over the minor axis with a 32-wide output and ran ~20x slower than
+        # HBM speed-of-light (profiled on v5e: GroupNorm was 55% of a UNet
+        # step). The (B, C) -> (B, G) group combine is negligible.
+        xf = x.astype(jnp.float32).reshape(b, -1, c)
+        # the voxel-axis sums as dot_general against a ones vector: XLA:TPU
+        # emits serial kLoop fusions for plain jnp.sum reduces of this shape
+        # (profiled ~9 GB/s on v5e); a dot streams through the MXU pipeline
+        # at memory speed, and its autodiff is another dot
+        ones = jnp.ones((xf.shape[1],), jnp.float32)
+        dot = lambda t: jax.lax.dot_general(  # noqa: E731
+            t, ones, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s1c = dot(xf)        # (B, C)
+        s2c = dot(xf * xf)   # (B, C)
+        s1 = s1c.reshape(b, g, c // g).sum(-1)  # (B, G), tiny
+        s2 = s2c.reshape(b, g, c // g).sum(-1)
+        count = jnp.float32(xf.shape[1] * (c // g))
         if self.spatial_axis is not None:
             s1 = jax.lax.psum(s1, self.spatial_axis)
             s2 = jax.lax.psum(s2, self.spatial_axis)
@@ -151,8 +168,13 @@ class GroupNorm32(nn.Module):
         mean = s1 / count
         var = jnp.maximum(s2 / count - mean * mean, 0.0)
         inv = jax.lax.rsqrt(var + self.epsilon)
-        y = (xg - mean[:, None, :, None]) * inv[:, None, :, None]
-        y = y.reshape(b, -1, c) * scale + bias
+        # fold everything into one per-channel affine: y = x*A + B, a single
+        # fused multiply-add pass over the volume
+        inv_c = jnp.repeat(inv, c // g, axis=-1)    # (B, C)
+        mean_c = jnp.repeat(mean, c // g, axis=-1)  # (B, C)
+        a_c = inv_c * scale[None, :]
+        b_c = bias[None, :] - mean_c * a_c
+        y = xf * a_c[:, None, :] + b_c[:, None, :]
         return y.reshape(x.shape).astype(orig_dtype)
 
 
@@ -267,8 +289,66 @@ class Downsample3D(nn.Module):
         )(x)
 
 
+# per-axis tap-combination matrices for the polyphase upsample-conv:
+# row a of S[p] holds the original 3-tap weights that land on combined tap a
+# for output parity p (derivation in _upsample_conv_fused)
+_PHASE_S = np.array(
+    [[[1.0, 0.0, 0.0], [0.0, 1.0, 1.0]],   # p=0: offsets {-1: W0, 0: W1+W2}
+     [[1.0, 1.0, 0.0], [0.0, 0.0, 1.0]]],  # p=1: offsets {0: W0+W1, +1: W2}
+    dtype=np.float32)
+
+
+def _upsample_conv_fused(x: jax.Array, kernel: jax.Array, bias: jax.Array,
+                         dtype) -> jax.Array:
+    """Nearest-x2 upsample followed by SAME conv3^3 — without materializing
+    the 8x-volume intermediate, at 8/27 of the FLOPs. Exact (same sums,
+    reassociated).
+
+    A 3-tap SAME conv at output position o = 2i+p on a nearest-x2-upsampled
+    signal reads upsampled[o+t-1] = x[floor((2i+p+t-1)/2)], which for fixed
+    parity p collapses the 3 taps onto 2 distinct input cells:
+      p=0: x[i-1]*W0 + x[i]*(W1+W2)
+      p=1: x[i]*(W0+W1) + x[i+1]*W2
+    In 3D the 27-tap kernel therefore becomes eight 2^3-tap phase kernels of
+    combined weights. All 8 phases run as ONE VALID conv over the (1,1)-padded
+    input with 8*Cout output channels (phase-major) — a single large MXU
+    matmul instead of a 27-tap conv over the 8x-upsampled volume — and the
+    phase outputs interleave back via reshape/transpose. This is the hot path
+    of the VAE decoder (round-1 bench: decode ran at ~18% MFU because the
+    naive form is dominated by the upsampled-volume conv + its HBM traffic).
+    """
+    n_in = x.shape[-1]
+    cout = kernel.shape[-1]
+    s = jnp.asarray(_PHASE_S)
+    # (2,2,2 phase, 2,2,2 tap, Cin, Cout)
+    combined = jnp.einsum("pat,qbu,rcv,tuvio->pqrabcio", s, s, s,
+                          kernel.astype(jnp.float32))
+    # conv kernel (2,2,2, Cin, 8*Cout), output channels phase-major
+    k_fused = combined.transpose(3, 4, 5, 6, 0, 1, 2, 7).reshape(2, 2, 2, n_in, 8 * cout)
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype),
+        k_fused.astype(dtype),
+        window_strides=(1, 1, 1),
+        padding=((1, 1), (1, 1), (1, 1)),
+        dimension_numbers=_CONV_DN,
+    )  # (B, d+1, h+1, w+1, 8*Cout)
+    b_ = y.shape[0]
+    d, h, w = x.shape[1], x.shape[2], x.shape[3]
+    y = y.reshape(b_, d + 1, h + 1, w + 1, 2, 2, 2, cout)
+    # phase (p,q,r) lives at spatial offset (p,q,r) of the padded-conv output
+    phases = [y[:, p:p + d, q:q + h, r:r + w, p, q, r, :]
+              for p in (0, 1) for q in (0, 1) for r in (0, 1)]
+    st = jnp.stack(phases, axis=-2).reshape(b_, d, h, w, 2, 2, 2, cout)
+    out = st.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(b_, 2 * d, 2 * h, 2 * w, cout)
+    return out + bias.astype(dtype)
+
+
 class Upsample3D(nn.Module):
-    """Nearest-neighbor x2 then conv3 (x2 repeat is shard-local)."""
+    """Nearest-neighbor x2 then conv3.
+
+    Single-device path uses the exact polyphase fusion above; depth-sharded
+    (``spatial_axis``) falls back to repeat+halo-conv (the x2 repeat is
+    shard-local, and the fused form would need a pre-upsample halo)."""
 
     out_channels: int
     dtype: Dtype = jnp.float32
@@ -276,8 +356,28 @@ class Upsample3D(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self.spatial_axis is None:
+            # params live at conv/{kernel,bias} with the naive path's shapes,
+            # so checkpoints are interchangeable between both paths
+            kernel, bias = _Conv3Params(self.out_channels, name="conv")(x.shape[-1])
+            return _upsample_conv_fused(x, kernel, bias, self.dtype)
         x = jnp.repeat(jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2), 2, axis=3)
         return _conv3(self.out_channels, self.dtype, name="conv", spatial_axis=self.spatial_axis)(x)
+
+
+class _Conv3Params(nn.Module):
+    """Bare conv3^3 parameters (kernel/bias), checkpoint-compatible with
+    :class:`Conv3D`, for paths that consume the weights in a transformed
+    form (the polyphase upsample-conv)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, 3, in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return kernel, bias
 
 
 def sinusoidal_time_embedding(timesteps: jax.Array, dim: int, max_period: float = 10000.0) -> jax.Array:
