@@ -230,17 +230,18 @@ class ModelServer:
         recent ``_sampler_cache_max`` programs (default config pinned) so
         repeated requests hit compiled code."""
         key = (sampler_name, int(steps), float(guidance))
-        fn = self._sampler_cache.get(key)
-        if fn is None:
-            if len(self._sampler_cache) >= self._sampler_cache_max:
-                default_key = (self.sampler, self.steps, 1.0)
-                for old in list(self._sampler_cache):
-                    if old != default_key:
-                        del self._sampler_cache[old]
-                        break
-            log.info("compiling sampler variant %s", key)
-            fn = self._build_run(sampler_name, steps, guidance)
-            self._sampler_cache[key] = fn
+        with self._lock:  # concurrent requests must not race the cache/evict
+            fn = self._sampler_cache.get(key)
+            if fn is None:
+                if len(self._sampler_cache) >= self._sampler_cache_max:
+                    default_key = (self.sampler, self.steps, 1.0)
+                    for old in list(self._sampler_cache):
+                        if old != default_key:
+                            del self._sampler_cache[old]
+                            break
+                log.info("compiling sampler variant %s", key)
+                fn = self._build_run(sampler_name, steps, guidance)
+                self._sampler_cache[key] = fn
         return fn
 
     def _load_dummy(self) -> None:
