@@ -97,10 +97,12 @@ def recommend_settings(dev: dict, host: dict) -> dict:
 
 def generate_config_file(rec: dict, out_path: str) -> None:
     from ldm3d_tpu.configs import load_json, preset_path
+    from ldm3d_tpu.configs.schema import validate_config
 
     cfg = load_json(preset_path(rec["preset"]))
     cfg["autoencoder_train"]["batch_size"] = rec["batch_size"]
     cfg["autoencoder_train"]["patch_size"] = rec["patch_size"]
+    validate_config(cfg, source=out_path)  # never emit a config the CLIs reject
     with open(out_path, "w") as f:
         json.dump(cfg, f, indent=2)
 

@@ -115,3 +115,63 @@ def test_async_save_defers_meta_until_commit(tmp_path):
     mgr.save("last", full, meta={"epoch": 4}, block=False)
     mgr.save("best", {"params": state.params}, meta={"epoch": 4})
     assert mgr.load_meta("last")["epoch"] == 4
+
+
+def test_swap_recovery_interrupted_states(tmp_path):
+    """Every crash point of the atomic <role>.new/<role>.old swap heals to a
+    complete restorable checkpoint on the next manager construction."""
+    import os
+    import shutil
+
+    state = _make_state()
+    full = {"params": state.params, "opt_state": state.opt_state, "step": state.step}
+
+    # a committed checkpoint to play with
+    mgr = CheckpointManager(str(tmp_path), StageArtifacts.AUTOENCODER)
+    mgr.save("last", full, meta={"epoch": 1})
+    root = mgr.root
+    last = os.path.join(root, "last")
+
+    # crash point A: .new committed, swap never started (kill between orbax
+    # commit and swap) -> recovery must adopt the NEWER data
+    shutil.copytree(last, last + ".new")
+    m2 = CheckpointManager(str(tmp_path), StageArtifacts.AUTOENCODER)
+    assert m2.exists("last") and not os.path.isdir(last + ".new")
+    restored, ok = m2.try_restore("last", full)
+    assert ok
+
+    # crash point B: old moved aside, new already promoted, cleanup missed
+    shutil.copytree(last, last + ".old")
+    m3 = CheckpointManager(str(tmp_path), StageArtifacts.AUTOENCODER)
+    assert m3.exists("last") and not os.path.isdir(last + ".old")
+
+    # crash point C: mid-swap — final missing, .old holds the previous data
+    os.rename(last, last + ".old")
+    m4 = CheckpointManager(str(tmp_path), StageArtifacts.AUTOENCODER)
+    assert m4.exists("last") and not os.path.isdir(last + ".old")
+    restored, ok = m4.try_restore("last", full)
+    assert ok
+
+    # crash point D: final missing, .new committed AND .old present
+    os.rename(last, last + ".new")
+    shutil.copytree(last + ".new", last + ".old")
+    m5 = CheckpointManager(str(tmp_path), StageArtifacts.AUTOENCODER)
+    assert m5.exists("last")
+    assert not os.path.isdir(last + ".new") and not os.path.isdir(last + ".old")
+    _, ok = m5.try_restore("last", full)
+    assert ok
+
+
+def test_save_never_leaves_missing_checkpoint(tmp_path):
+    """Unlike save(force=True) straight to the final path, a new save must
+    keep the previous checkpoint restorable until the replacement commits:
+    after any completed save, the role directory exists and restores."""
+    state = _make_state()
+    full = {"params": state.params, "opt_state": state.opt_state, "step": state.step}
+    mgr = CheckpointManager(str(tmp_path), StageArtifacts.DIFFUSION)
+    for epoch in range(3):
+        mgr.save("last", full, meta={"epoch": epoch})
+        assert mgr.exists("last")
+        assert mgr.load_meta("last")["epoch"] == epoch
+    _, ok = mgr.try_restore("last", full)
+    assert ok
