@@ -299,7 +299,7 @@ _PHASE_S = np.array(
 
 
 def _upsample_conv_fused(x: jax.Array, kernel: jax.Array, bias: jax.Array,
-                         dtype) -> jax.Array:
+                         dtype, spatial_axis: Optional[str] = None) -> jax.Array:
     """Nearest-x2 upsample followed by SAME conv3^3 — without materializing
     the 8x-volume intermediate, at 8/27 of the FLOPs. Exact (same sums,
     reassociated).
@@ -325,15 +325,25 @@ def _upsample_conv_fused(x: jax.Array, kernel: jax.Array, bias: jax.Array,
                           kernel.astype(jnp.float32))
     # conv kernel (2,2,2, Cin, 8*Cout), output channels phase-major
     k_fused = combined.transpose(3, 4, 5, 6, 0, 1, 2, 7).reshape(2, 2, 2, n_in, 8 * cout)
+    d, h, w = x.shape[1], x.shape[2], x.shape[3]
+    x = x.astype(dtype)
+    if spatial_axis is not None:
+        # depth-sharded: the (1,1) depth pad comes from neighbor shards on
+        # the PRE-upsample grid (a 1-deep halo instead of the naive path's
+        # post-upsample 1-deep halo — half the exchanged bytes); boundary
+        # shards receive the zero pad, exactly like the unsharded padding
+        x = halo_exchange(x, spatial_axis, lo=1, hi=1, axis=1)
+        depth_pad = (0, 0)
+    else:
+        depth_pad = (1, 1)
     y = jax.lax.conv_general_dilated(
-        x.astype(dtype),
+        x,
         k_fused.astype(dtype),
         window_strides=(1, 1, 1),
-        padding=((1, 1), (1, 1), (1, 1)),
+        padding=(depth_pad, (1, 1), (1, 1)),
         dimension_numbers=_CONV_DN,
     )  # (B, d+1, h+1, w+1, 8*Cout)
     b_ = y.shape[0]
-    d, h, w = x.shape[1], x.shape[2], x.shape[3]
     y = y.reshape(b_, d + 1, h + 1, w + 1, 2, 2, 2, cout)
     # phase (p,q,r) lives at spatial offset (p,q,r) of the padded-conv output
     phases = [y[:, p:p + d, q:q + h, r:r + w, p, q, r, :]
@@ -344,11 +354,11 @@ def _upsample_conv_fused(x: jax.Array, kernel: jax.Array, bias: jax.Array,
 
 
 class Upsample3D(nn.Module):
-    """Nearest-neighbor x2 then conv3.
+    """Nearest-neighbor x2 then conv3, via the exact polyphase fusion above.
 
-    Single-device path uses the exact polyphase fusion above; depth-sharded
-    (``spatial_axis``) falls back to repeat+halo-conv (the x2 repeat is
-    shard-local, and the fused form would need a pre-upsample halo)."""
+    Depth-sharded (``spatial_axis``) runs the same fusion with a 1-deep
+    pre-upsample halo — half the exchanged bytes of the naive
+    repeat-then-halo-conv formulation."""
 
     out_channels: int
     dtype: Dtype = jnp.float32
@@ -356,13 +366,11 @@ class Upsample3D(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        if self.spatial_axis is None:
-            # params live at conv/{kernel,bias} with the naive path's shapes,
-            # so checkpoints are interchangeable between both paths
-            kernel, bias = _Conv3Params(self.out_channels, name="conv")(x.shape[-1])
-            return _upsample_conv_fused(x, kernel, bias, self.dtype)
-        x = jnp.repeat(jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2), 2, axis=3)
-        return _conv3(self.out_channels, self.dtype, name="conv", spatial_axis=self.spatial_axis)(x)
+        # params live at conv/{kernel,bias} with the naive path's shapes,
+        # so checkpoints are interchangeable between both paths
+        kernel, bias = _Conv3Params(self.out_channels, name="conv")(x.shape[-1])
+        return _upsample_conv_fused(x, kernel, bias, self.dtype,
+                                    spatial_axis=self.spatial_axis)
 
 
 class _Conv3Params(nn.Module):
