@@ -200,7 +200,9 @@ def make_fastapi_app(api: Api):
     return app
 
 
-def serve_stdlib(api: Api, host: str, port: int):
+def make_stdlib_server(api: Api, host: str, port: int):
+    """Build (without starting) the stdlib ThreadingHTTPServer — port 0 picks
+    a free port; tests drive real HTTP round-trips against it."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     class Handler(BaseHTTPRequestHandler):
@@ -233,7 +235,11 @@ def serve_stdlib(api: Api, host: str, port: int):
         def log_message(self, fmt, *a):
             log.info("%s - " + fmt, self.address_string(), *a)
 
-    httpd = ThreadingHTTPServer((host, port), Handler)
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve_stdlib(api: Api, host: str, port: int):
+    httpd = make_stdlib_server(api, host, port)
     log.info("stdlib HTTP server on %s:%d", host, port)
     httpd.serve_forever()
 

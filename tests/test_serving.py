@@ -295,3 +295,53 @@ def test_per_request_validation(real_api):
     code, payload, _ = real_api.dispatch(
         "POST", "/generate", {"num_samples": 1, "output_format": "tiff"})
     assert code == 422
+
+
+def test_stdlib_http_roundtrip(api):
+    """Real HTTP round-trips through the stdlib frontend (the path minimal
+    images run): health, generate, metrics exposition, 404, bad JSON."""
+    import http.client
+    import threading
+
+    from ldm3d_tpu.serving.api_server import make_stdlib_server
+
+    httpd = make_stdlib_server(api, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        def request(method, path, body=None):
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+            headers = {"Content-Type": "application/json"} if body else {}
+            conn.request(method, path, body=body, headers=headers)
+            resp = conn.getresponse()
+            data = resp.read()
+            ctype = resp.getheader("Content-Type") or ""
+            conn.close()
+            return resp.status, ctype, data
+
+        code, ctype, data = request("GET", "/health")
+        assert code == 200 and "json" in ctype
+        assert json.loads(data)["model_loaded"] is True
+
+        code, ctype, data = request("POST", "/generate",
+                                    json.dumps({"num_samples": 1, "seed": 3}))
+        assert code == 200
+        payload = json.loads(data)
+        assert len(payload["samples"]) == 1
+        arr = np.frombuffer(base64.b64decode(payload["samples"][0]["data"]), np.float32)
+        assert arr.size == np.prod(payload["samples"][0]["shape"])
+
+        code, ctype, data = request("GET", "/metrics")
+        assert code == 200 and ctype.startswith("text/plain")
+        assert b"api_requests_total" in data
+
+        code, _, _ = request("GET", "/nonexistent")
+        assert code == 404
+
+        code, _, data = request("POST", "/generate", "{not json")
+        assert code == 400
+        assert b"invalid JSON" in data
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
