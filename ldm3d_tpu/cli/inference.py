@@ -58,12 +58,13 @@ def save_volume(vol: np.ndarray, out_dir: str, stem: str) -> str:
 
 def build_sampler_fn(args, ae, ae_params, unet, u_params, scheduler, scale_factor,
                      mesh=None):
-    """Compiled sampler: reverse-loop scan program + decode program.
+    """Compiled sampler: reverse-loop scan (+ decode) programs.
 
-    Two dispatches per batch (vs the reference's 1000 Python-stepped UNet
-    calls). Kept as two programs rather than one fused so each compile unit
-    stays small; fusing the decode into the scan program saves only one
-    dispatch and is available via ``inferer.sample`` for callers that want it.
+    Default: two dispatches per batch — scan, then decode — vs the
+    reference's 1000 Python-stepped UNet calls. ``--fused-decode`` compiles
+    the reverse loop AND the VAE decode as literally ONE XLA program (the
+    BASELINE.md north star); the two-program default exists because some
+    restricted compile services cap program size (docs/PERFORMANCE.md).
 
     When ``mesh`` has a data axis that divides the batch, the noise (and
     condition) batch dim is sharded over it: each chip denoises+decodes
@@ -81,10 +82,19 @@ def build_sampler_fn(args, ae, ae_params, unet, u_params, scheduler, scale_facto
         return inferer.sample_latents(unet_apply, scheduler, noise, rng, condition=condition,
                                       guidance_scale=args.guidance)
 
-    @jax.jit
-    def decode_fn(params, z):
+    def _decode(params, z):
         return ae.apply({"params": params}, z / jnp.asarray(scale_factor, z.dtype),
                         method="decode_stage_2_outputs")
+
+    decode_fn = jax.jit(_decode)
+
+    @jax.jit
+    def fused_fn(u_params, ae_params, noise, rng, condition):
+        def unet_apply(z, t):
+            return unet.apply({"params": u_params}, z, t)
+        lat = inferer.sample_latents(unet_apply, scheduler, noise, rng, condition=condition,
+                                     guidance_scale=args.guidance)
+        return _decode(ae_params, lat)
 
     from ldm3d_tpu.parallel import dp_sample_placer
 
@@ -98,10 +108,14 @@ def build_sampler_fn(args, ae, ae_params, unet, u_params, scheduler, scale_facto
                     "sampling runs on one chip (pick --batch as a multiple "
                     "to use the whole mesh)", args.batch, n_data)
 
+    fused = getattr(args, "fused_decode", False)
+
     def run(noise, rng, condition=None):
         noise = place(noise)
         if condition is not None:
             condition = place(condition)
+        if fused:
+            return fused_fn(u_params, ae_params, noise, rng, condition)
         return decode_fn(ae_params, scan_fn(u_params, noise, rng, condition))
 
     return run
@@ -119,6 +133,10 @@ def main(argv=None):
                         help="classifier-free guidance scale (1.0 = off; train with --cond-dropout)")
     parser.add_argument("--use-ema", action="store_true",
                         help="sample with the EMA UNet weights (requires --ema-decay at train time)")
+    parser.add_argument("--fused-decode", action="store_true",
+                        help="compile reverse loop + VAE decode as ONE XLA program "
+                             "(one dispatch per batch; needs a compile service without "
+                             "program-size caps — production TPU runtimes are fine)")
     args = parser.parse_args(argv)
     args, mesh = setup(args)
     dt = model_dtype(args)
