@@ -16,6 +16,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 
 
 # torchvision squeezenet1_1 feature indices -> our module names
@@ -106,12 +107,45 @@ def convert(squeezenet_path: str, lpips_lin_path: str | None, out_path: str) -> 
     print(f"wrote {out_path}")
 
 
+# canonical public URLs (used by --download on machines with egress)
+_SQUEEZENET_URL = "https://download.pytorch.org/models/squeezenet1_1-b8a52dc0.pth"
+_LPIPS_LIN_URL = ("https://raw.githubusercontent.com/richzhang/PerceptualSimilarity/"
+                  "master/lpips/weights/v0.1/squeeze.pth")
+
+
+def download(dest_dir: str) -> tuple[str, str]:
+    """Fetch the pretrained torchvision SqueezeNet v1.1 and LPIPS lin weights
+    (needs network egress; in offline environments obtain the two files by
+    any other means and pass --squeezenet/--lpips-lin directly)."""
+    import os
+    import urllib.request
+
+    os.makedirs(dest_dir, exist_ok=True)
+    paths = []
+    for url in (_SQUEEZENET_URL, _LPIPS_LIN_URL):
+        dest = os.path.join(dest_dir, url.rsplit("/", 1)[-1])
+        if not os.path.exists(dest):
+            print(f"downloading {url}")
+            urllib.request.urlretrieve(url, dest)  # noqa: S310 - fixed https URLs
+        paths.append(dest)
+    return paths[0], paths[1]
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--squeezenet", required=True, help="torchvision squeezenet1_1 state_dict .pth")
+    p.add_argument("--squeezenet", default=None, help="torchvision squeezenet1_1 state_dict .pth")
     p.add_argument("--lpips-lin", default=None, help="lpips squeeze.pth lin weights (optional)")
+    p.add_argument("--download", action="store_true",
+                   help="fetch both weight files from their public URLs first")
+    p.add_argument("--cache-dir", default=os.path.expanduser("~/.cache/ldm3d_tpu/lpips"))
     p.add_argument("--out", default="lpips_squeeze.msgpack")
     args = p.parse_args()
+    if args.download:
+        sq, lin = download(args.cache_dir)
+        args.squeezenet = args.squeezenet or sq
+        args.lpips_lin = args.lpips_lin or lin
+    if not args.squeezenet:
+        p.error("pass --squeezenet (or --download)")
     convert(args.squeezenet, args.lpips_lin, args.out)
 
 
