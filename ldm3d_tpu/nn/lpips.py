@@ -10,8 +10,9 @@ The feature extractor is SqueezeNet v1.1 in Flax (NHWC). Pretrained torch
 weights cannot be downloaded in this environment; by default the extractor
 uses a fixed-seed random initialization, which still yields a useful
 perceptual-style training signal (random-feature perceptual losses are a
-documented stand-in; see tools/convert_lpips.py to load converted pretrained
-weights for full parity when available).
+documented stand-in; run ``python tools/convert_lpips.py --download`` on a
+machine with network egress to convert the real pretrained weights — the
+conversion is golden-tested for exact parity (tests/test_lpips_parity.py).
 """
 
 from __future__ import annotations
