@@ -239,9 +239,37 @@ def make_stdlib_server(api: Api, host: str, port: int):
 
 
 def serve_stdlib(api: Api, host: str, port: int):
+    """Serve until SIGTERM/SIGINT, then drain gracefully: stop accepting,
+    finish in-flight requests, retire the micro-batcher (K8s sends SIGTERM on
+    pod shutdown; without this the default handler kills requests mid-flight)."""
+    import signal
+    import threading
+
     httpd = make_stdlib_server(api, host, port)
     log.info("stdlib HTTP server on %s:%d", host, port)
-    httpd.serve_forever()
+
+    def _shutdown(signum, frame):
+        log.info("signal %d: draining and shutting down", signum)
+        # shutdown() blocks until serve_forever exits; run it off the
+        # signal-handler thread
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+    previous = {}
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            previous[sig] = signal.signal(sig, _shutdown)
+        except ValueError:  # pragma: no cover - non-main thread
+            pass
+    try:
+        httpd.serve_forever()
+    finally:
+        httpd.server_close()
+        batcher = getattr(api.server, "_batcher", None)
+        if batcher is not None:
+            batcher.close()
+        for sig, handler in previous.items():
+            signal.signal(sig, handler)
+        log.info("server stopped")
 
 
 def main(argv=None):

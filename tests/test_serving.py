@@ -345,3 +345,63 @@ def test_stdlib_http_roundtrip(api):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_stdlib_server_sigterm_drains(tmp_path):
+    """SIGTERM must drain the stdlib server: the process finishes in-flight
+    work, closes the socket, and exits 0 (K8s pod shutdown path)."""
+    import http.client
+    import os as _os
+    import signal as _signal
+    import subprocess
+    import sys
+    import time as _time
+
+    script = tmp_path / "srv.py"
+    script.write_text(
+        "import os\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from ldm3d_tpu.serving.api_server import Api, serve_stdlib\n"
+        "from ldm3d_tpu.serving.model_server import ModelServer\n"
+        "s = ModelServer(None, None)\n"
+        "s.load_model()\n"
+        "import socket\n"
+        "sock = socket.socket(); sock.bind(('127.0.0.1', 0))\n"
+        "port = sock.getsockname()[1]; sock.close()\n"
+        "print(f'PORT={port}', flush=True)\n"
+        "serve_stdlib(Api(s), '127.0.0.1', port)\n"
+        "print('CLEAN-EXIT', flush=True)\n")
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    proc = subprocess.Popen([sys.executable, str(script)], stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True,
+                            env=dict(_os.environ, PYTHONPATH=repo), cwd=repo)
+    try:
+        port = None
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            line = proc.stdout.readline()
+            if line.startswith("PORT="):
+                port = int(line.strip().split("=")[1])
+                break
+        assert port, "server never reported its port"
+        # wait until it serves
+        for _ in range(100):
+            try:
+                conn = http.client.HTTPConnection("127.0.0.1", port, timeout=5)
+                conn.request("GET", "/health")
+                assert conn.getresponse().status == 200
+                conn.close()
+                break
+            except OSError:
+                _time.sleep(0.2)
+        else:
+            raise AssertionError("server never became reachable")
+        proc.send_signal(_signal.SIGTERM)
+        out, _ = proc.communicate(timeout=60)
+        assert proc.returncode == 0, out[-2000:]
+        assert "CLEAN-EXIT" in out
+    finally:
+        if proc.poll() is None:
+            proc.kill()
