@@ -365,8 +365,12 @@ class ModelServer:
                 "format": output_format,
             })
         elapsed = time.time() - t0
+        import uuid
+
         return {
             "samples": samples,
+            "status": "success",
+            "request_id": uuid.uuid4().hex,  # reference GenerationResponse field
             "generation_time": elapsed,
             "processing_time_ms": elapsed * 1000.0,
             "model_version": "dummy" if self.is_dummy else "ldm3d_tpu",

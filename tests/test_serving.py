@@ -405,3 +405,17 @@ def test_stdlib_server_sigterm_drains(tmp_path):
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_response_schema_reference_fields(api):
+    """The reference GenerationResponse fields all round-trip
+    (mlops/docker/api_server.py:64-73): status, request_id, num_samples,
+    inference_steps, guidance_scale, output_format, processing_time_ms."""
+    code, payload, _ = api.dispatch("POST", "/generate", {"num_samples": 2, "seed": 0})
+    assert code == 200
+    for field in ("status", "request_id", "num_samples", "inference_steps",
+                  "guidance_scale", "output_format", "processing_time_ms", "samples"):
+        assert field in payload, field
+    assert payload["status"] == "success"
+    assert len(payload["request_id"]) == 32
+    assert payload["num_samples"] == 2
