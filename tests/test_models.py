@@ -166,3 +166,35 @@ def test_upsample3d_polyphase_matches_naive():
     g_naive = jax.grad(lambda p: jnp.sum(Naive().apply(p, x) ** 2))(params)
     for vf, vn in zip(jax.tree_util.tree_leaves(g_fused), jax.tree_util.tree_leaves(g_naive)):
         np.testing.assert_allclose(np.asarray(vf), np.asarray(vn), rtol=1e-5, atol=1e-3)
+
+
+def test_conv3d_small_out_factorized_matches_direct():
+    """Conv3D's few-output-channel factorized fast path (matmul + shifted
+    tap-sum, used for the VAE decoder's 64->1 output conv) must equal the
+    direct lax conv exactly in fp32 — forward and gradients — for every F
+    that engages the gate, including odd spatial sizes."""
+    from ldm3d_tpu.nn.blocks import _CONV_DN, Conv3D
+
+    rng = jax.random.PRNGKey(7)
+    x = jax.random.normal(rng, (2, 5, 7, 6, 32))
+    for feats in (1, 2, 4):
+        conv = Conv3D(features=feats, kernel=3, padding="same")
+        params = conv.init(rng, x)
+
+        def direct(p, x):
+            out = jax.lax.conv_general_dilated(
+                x, p["params"]["kernel"], window_strides=(1, 1, 1),
+                padding=((1, 1),) * 3, dimension_numbers=_CONV_DN)
+            return out + p["params"]["bias"]
+
+        out = conv.apply(params, x)
+        ref = direct(params, x)
+        assert out.shape == (2, 5, 7, 6, feats)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+        g_fast = jax.grad(lambda p: jnp.sum(conv.apply(p, x) ** 2))(params)
+        g_ref = jax.grad(lambda p: jnp.sum(direct(p, x) ** 2))(params)
+        for vf, vr in zip(jax.tree_util.tree_leaves(g_fast),
+                          jax.tree_util.tree_leaves(g_ref)):
+            np.testing.assert_allclose(np.asarray(vf), np.asarray(vr),
+                                       rtol=1e-5, atol=1e-3)
