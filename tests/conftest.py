@@ -30,7 +30,7 @@ jax.config.update("jax_platforms", "cpu")
 _cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                       ".jax_cache_tests")
 jax.config.update("jax_compilation_cache_dir", _cache)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
 
 import pytest  # noqa: E402
 

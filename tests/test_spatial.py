@@ -11,6 +11,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+from functools import partial
 from jax.sharding import PartitionSpec as P
 
 try:
@@ -124,31 +125,38 @@ def test_upsample_sharded_matches(mesh8):
 
 
 def test_autoencoder_sharded_matches(mesh2x4, tiny):
+    # Everything is jit-wrapped: that is the production usage, and one big
+    # program per call hits the persistent compile cache, where eager mode
+    # would re-pay thousands of sub-threshold per-op compiles on every run.
     ae, _ = tiny
     x = jax.random.uniform(RNG, (2, 32, 32, 32, 1), jnp.float32)
-    variables = ae.init({"params": RNG, "sample": RNG}, x[:1])
-    mu_ref, sig_ref = ae.apply({"params": variables["params"]}, x, method="encode")
+    variables = jax.jit(ae.init)({"params": RNG, "sample": RNG}, x[:1])
+    mu_ref, sig_ref = jax.jit(partial(ae.apply, method="encode"))(
+        {"params": variables["params"]}, x
+    )
     ae_sp = ae.clone(spatial_axis="spatial")
-    f = shard_map(
+    f = jax.jit(shard_map(
         lambda p, v: ae_sp.apply({"params": p}, v, method="encode"),
         mesh=mesh2x4,
         in_specs=(P(), P("data", "spatial")),
         out_specs=(P("data", "spatial"), P("data", "spatial")),
         check_vma=False,
-    )
+    ))
     mu, sig = f(variables["params"], x)
     np.testing.assert_allclose(np.asarray(mu_ref), np.asarray(mu), atol=3e-5)
     np.testing.assert_allclose(np.asarray(sig_ref), np.asarray(sig), atol=3e-5)
 
     z = jax.random.normal(RNG, (2, 8, 8, 8, ae.latent_channels), jnp.float32)
-    dec_ref = ae.apply({"params": variables["params"]}, z, method="decode_stage_2_outputs")
-    g = shard_map(
+    dec_ref = jax.jit(partial(ae.apply, method="decode_stage_2_outputs"))(
+        {"params": variables["params"]}, z
+    )
+    g = jax.jit(shard_map(
         lambda p, v: ae_sp.apply({"params": p}, v, method="decode_stage_2_outputs"),
         mesh=mesh2x4,
         in_specs=(P(), P("data", "spatial")),
         out_specs=P("data", "spatial"),
         check_vma=False,
-    )
+    ))
     np.testing.assert_allclose(
         np.asarray(dec_ref), np.asarray(g(variables["params"], z)), atol=3e-5
     )
@@ -168,26 +176,26 @@ def test_unet_sharded_matches(mesh4x2, tiny):
     _, unet = tiny
     z = jax.random.normal(RNG, (4, 8, 8, 8, unet.in_channels), jnp.float32)
     t = jnp.array([1, 5, 9, 13], jnp.int32)
-    params = _randomize_out_conv(unet.init(RNG, z[:1], t[:1])["params"])
-    ref = unet.apply({"params": params}, z, t)
+    params = _randomize_out_conv(jax.jit(unet.init)(RNG, z[:1], t[:1])["params"])
+    ref = jax.jit(unet.apply)({"params": params}, z, t)
     assert float(jnp.abs(ref).max()) > 0  # non-vacuous
     unet_sp = unet.clone(spatial_axis="spatial")
-    f = shard_map(
+    f = jax.jit(shard_map(
         lambda p, v, tt: unet_sp.apply({"params": p}, v, tt),
         mesh=mesh4x2,
         in_specs=(P(), P("data", "spatial"), P("data")),
         out_specs=P("data", "spatial"),
         check_vma=False,
-    )
+    ))
     np.testing.assert_allclose(np.asarray(ref), np.asarray(f(params, z, t)), atol=5e-5)
 
 
 def test_spatial_sampler_matches_unsharded(mesh4x2, tiny):
     ae, unet = tiny
     x = jax.random.uniform(RNG, (1, 32, 32, 32, 1), jnp.float32)
-    ae_vars = ae.init({"params": RNG, "sample": RNG}, x)
+    ae_vars = jax.jit(ae.init)({"params": RNG, "sample": RNG}, x)
     u_params = _randomize_out_conv(
-        unet.init(RNG, jnp.zeros((1, 8, 8, 8, unet.in_channels)), jnp.zeros((1,), jnp.int32))["params"]
+        jax.jit(unet.init)(RNG, jnp.zeros((1, 8, 8, 8, unet.in_channels)), jnp.zeros((1,), jnp.int32))["params"]
     )
     ddim = DDIMScheduler.create(num_inference_steps=4, num_train_timesteps=16)
     noise = jax.random.normal(RNG, (4, 8, 8, 8, ae.latent_channels), jnp.float32)
@@ -216,8 +224,8 @@ def test_spatial_sampler_unconditional(mesh4x2, tiny):
         channels=(8, 16, 16), attention_levels=(False, True, True),
         num_head_channels=(0, 8, 8), num_res_blocks=(1, 1, 1), norm_num_groups=4,
     )
-    ae_vars = ae.init({"params": RNG, "sample": RNG}, jnp.zeros((1, 16, 16, 16, 1)))
-    u_vars = unet.init(RNG, jnp.zeros((1, 8, 8, 8, ae.latent_channels)), jnp.zeros((1,), jnp.int32))
+    ae_vars = jax.jit(ae.init)({"params": RNG, "sample": RNG}, jnp.zeros((1, 16, 16, 16, 1)))
+    u_vars = jax.jit(unet.init)(RNG, jnp.zeros((1, 8, 8, 8, ae.latent_channels)), jnp.zeros((1,), jnp.int32))
     ddim = DDIMScheduler.create(num_inference_steps=2, num_train_timesteps=8)
     sampler = make_spatial_sampler(unet, ae, ddim, mesh4x2)
     noise = jax.random.normal(RNG, (4, 8, 8, 8, ae.latent_channels), jnp.float32)
@@ -230,8 +238,8 @@ def test_stage2_spatial_train_step(mesh4x2, tiny):
     ae, unet = tiny
     rng = jax.random.PRNGKey(7)
     x = jax.random.uniform(rng, (4, 32, 32, 32, 1), jnp.float32)
-    ae_vars = ae.init({"params": rng, "sample": rng}, x[:1])
-    u_vars = unet.init(rng, jnp.zeros((1, 8, 8, 8, unet.in_channels)), jnp.zeros((1,), jnp.int32))
+    ae_vars = jax.jit(ae.init)({"params": rng, "sample": rng}, x[:1])
+    u_vars = jax.jit(unet.init)(rng, jnp.zeros((1, 8, 8, 8, unet.in_channels)), jnp.zeros((1,), jnp.int32))
     sched = DDPMScheduler.create(num_train_timesteps=16)
     state = TrainState.create(
         unet.apply, u_vars["params"],
@@ -262,8 +270,8 @@ def test_stage1_spatial_train_step(mesh4x2, tiny):
     disc = PatchDiscriminator3D()
     rng = jax.random.PRNGKey(3)
     x = jax.random.uniform(rng, (4, 32, 32, 32, 1), jnp.float32)
-    ae_vars = ae.init({"params": rng, "sample": rng}, x[:1])
-    d_vars = disc.init(rng, x[:1])
+    ae_vars = jax.jit(ae.init)({"params": rng, "sample": rng}, x[:1])
+    d_vars = jax.jit(disc.init)(rng, x[:1])
     cfg = Stage1Config(kl_weight=1e-7, perceptual_weight=0.0, adv_weight=0.01)
 
     def states():
@@ -303,8 +311,8 @@ def test_stage2_spatial_train_step_min_snr(mesh4x2, tiny):
     ae, unet = tiny
     rng = jax.random.PRNGKey(7)
     x = jax.random.uniform(rng, (4, 32, 32, 32, 1), jnp.float32)
-    ae_vars = ae.init({"params": rng, "sample": rng}, x[:1])
-    u_vars = unet.init(rng, jnp.zeros((1, 8, 8, 8, unet.in_channels)), jnp.zeros((1,), jnp.int32))
+    ae_vars = jax.jit(ae.init)({"params": rng, "sample": rng}, x[:1])
+    u_vars = jax.jit(unet.init)(rng, jnp.zeros((1, 8, 8, 8, unet.in_channels)), jnp.zeros((1,), jnp.int32))
     sched = DDPMScheduler.create(num_train_timesteps=16)
     losses = {}
     for gamma in (0.0, 5.0):
@@ -334,8 +342,8 @@ def test_stage2_spatial_composes_with_tensor_parallel(tiny, eight_devices):
     ae, unet = tiny
     rng = jax.random.PRNGKey(3)
     x = jax.random.uniform(rng, (2, 32, 16, 16, 1), jnp.float32)
-    ae_vars = ae.init({"params": rng, "sample": rng}, x[:1])
-    u_vars = unet.init(rng, jnp.zeros((1, 8, 4, 4, unet.in_channels)), jnp.zeros((1,), jnp.int32))
+    ae_vars = jax.jit(ae.init)({"params": rng, "sample": rng}, x[:1])
+    u_vars = jax.jit(unet.init)(rng, jnp.zeros((1, 8, 4, 4, unet.in_channels)), jnp.zeros((1,), jnp.int32))
     sched = DDPMScheduler.create(num_train_timesteps=8)
 
     def make_state():
@@ -369,8 +377,8 @@ def test_spatial_sampler_composes_with_tensor_parallel(tiny, eight_devices):
 
     ae, unet = tiny
     rng = jax.random.PRNGKey(5)
-    ae_vars = ae.init({"params": rng, "sample": rng}, jnp.zeros((1, 32, 16, 16, 1)))
-    u_vars = unet.init(rng, jnp.zeros((1, 8, 4, 4, unet.in_channels)), jnp.zeros((1,), jnp.int32))
+    ae_vars = jax.jit(ae.init)({"params": rng, "sample": rng}, jnp.zeros((1, 32, 16, 16, 1)))
+    u_vars = jax.jit(unet.init)(rng, jnp.zeros((1, 8, 4, 4, unet.in_channels)), jnp.zeros((1,), jnp.int32))
     ddim = DDIMScheduler.create(num_inference_steps=2, num_train_timesteps=8)
     noise = jax.random.normal(rng, (2, 8, 4, 4, ae.latent_channels), jnp.float32)
     cond = jax.random.normal(jax.random.PRNGKey(6), (2, 8, 4, 4, ae.latent_channels), jnp.float32)
@@ -400,8 +408,8 @@ def test_stage1_spatial_composes_with_tensor_parallel(tiny, eight_devices):
     disc = PatchDiscriminator3D()
     rng = jax.random.PRNGKey(9)
     x = jax.random.uniform(rng, (2, 32, 16, 16, 1), jnp.float32)
-    ae_vars = ae.init({"params": rng, "sample": rng}, x[:1])
-    d_vars = disc.init(rng, x[:1])
+    ae_vars = jax.jit(ae.init)({"params": rng, "sample": rng}, x[:1])
+    d_vars = jax.jit(disc.init)(rng, x[:1])
     cfg = Stage1Config(kl_weight=1e-7, perceptual_weight=0.0, adv_weight=0.01)
 
     def states():
