@@ -26,6 +26,20 @@ import numpy as np
 log = logging.getLogger("model_server")
 
 
+class _SamplerCacheEntry:
+    """Cache slot for one compiled sampler variant.
+
+    ``fn is None`` while (or after a failed) compile; ``ready`` is set once
+    the owning thread published ``fn`` or recorded ``error``."""
+
+    __slots__ = ("fn", "error", "ready")
+
+    def __init__(self):
+        self.fn = None
+        self.error: Optional[BaseException] = None
+        self.ready = threading.Event()
+
+
 class ModelServer:
     def __init__(self, config_file: Optional[str] = None, environment_file: Optional[str] = None,
                  sampler: str = "ddim", steps: int = 50, batch: int = 1, spatial: int = 1):
@@ -226,22 +240,54 @@ class ModelServer:
 
         Per-request options (reference ``GenerationRequest.inference_steps``
         / ``guidance_scale``, ``mlops/docker/api_server.py:53-54``) would
-        recompile the scan per distinct value; the cache keeps the most
-        recent ``_sampler_cache_max`` programs (default config pinned) so
-        repeated requests hit compiled code."""
+        recompile the scan per distinct value; the cache keeps the
+        ``_sampler_cache_max`` least-recently-used programs (server-default
+        config pinned) so repeated requests hit compiled code.
+
+        Compilation happens OUTSIDE the cache lock: a variant compile takes
+        seconds to minutes, and holding the lock for it would stall every
+        concurrent request — including ones whose program is already cached.
+        A placeholder entry with an event makes duplicate requests for the
+        same new variant wait on the one in-flight compile instead of
+        compiling twice."""
         key = (sampler_name, int(steps), float(guidance))
-        with self._lock:  # concurrent requests must not race the cache/evict
-            fn = self._sampler_cache.get(key)
-            if fn is None:
+        default_key = (self.sampler, self.steps, 1.0)
+        with self._lock:
+            entry = self._sampler_cache.get(key)
+            if entry is not None and entry.fn is not None:
+                # move-to-end: the insertion-ordered dict doubles as LRU order
+                self._sampler_cache.pop(key)
+                self._sampler_cache[key] = entry
+                return entry.fn
+            owner = entry is None
+            if owner:
+                entry = _SamplerCacheEntry()
                 if len(self._sampler_cache) >= self._sampler_cache_max:
-                    default_key = (self.sampler, self.steps, 1.0)
-                    for old in list(self._sampler_cache):
-                        if old != default_key:
+                    # evict the LRU *completed* non-default entry; in-flight
+                    # placeholders stay (their compiler thread will publish)
+                    for old, e in list(self._sampler_cache.items()):
+                        if old != default_key and e.fn is not None:
                             del self._sampler_cache[old]
                             break
-                log.info("compiling sampler variant %s", key)
-                fn = self._build_run(sampler_name, steps, guidance)
-                self._sampler_cache[key] = fn
+                self._sampler_cache[key] = entry
+        if not owner:
+            entry.ready.wait()
+            if entry.fn is None:
+                raise RuntimeError(
+                    f"sampler variant {key} failed to compile") from entry.error
+            return entry.fn
+        log.info("compiling sampler variant %s", key)
+        try:
+            fn = self._build_run(sampler_name, steps, guidance)
+        except BaseException as e:
+            with self._lock:
+                self._sampler_cache.pop(key, None)
+            entry.error = e
+            entry.ready.set()
+            raise
+        with self._lock:
+            entry.fn = fn
+        entry.ready.set()
         return fn
 
     def _load_dummy(self) -> None:

@@ -419,3 +419,130 @@ def test_response_schema_reference_fields(api):
     assert payload["status"] == "success"
     assert len(payload["request_id"]) == 32
     assert payload["num_samples"] == 2
+
+
+# -- sampler-variant cache concurrency (unit-level, fake build_run) -----------
+
+def _bare_server(build_run, sampler="ddim", steps=4):
+    """ModelServer with a fake compile fn injected; skips load_model."""
+    s = ModelServer(None, None, sampler=sampler, steps=steps)
+    s._build_run = build_run
+    return s
+
+
+def test_variant_compile_does_not_block_cache_hits():
+    """A slow variant compile must not stall requests whose program is
+    already cached (the compile runs outside the cache lock)."""
+    import threading
+    import time
+
+    gate = threading.Event()
+
+    def build(name, steps, guidance):
+        if steps == 99:
+            assert gate.wait(timeout=10)
+        return ("prog", name, steps, guidance)
+
+    s = _bare_server(build)
+    fast = s._get_run("ddim", 4, 1.0)
+
+    slow_result = {}
+    t = threading.Thread(target=lambda: slow_result.setdefault(
+        "fn", s._get_run("ddim", 99, 1.0)))
+    t.start()
+    time.sleep(0.05)  # slow compile is now in flight
+    t0 = time.perf_counter()
+    assert s._get_run("ddim", 4, 1.0) is fast
+    assert time.perf_counter() - t0 < 1.0, "cache hit blocked behind a compile"
+    gate.set()
+    t.join(10)
+    assert slow_result["fn"] == ("prog", "ddim", 99, 1.0)
+
+
+def test_variant_duplicate_requests_compile_once():
+    import threading
+
+    calls = []
+    started = threading.Event()
+    gate = threading.Event()
+
+    def build(name, steps, guidance):
+        calls.append(steps)
+        started.set()
+        assert gate.wait(timeout=10)
+        return ("prog", steps)
+
+    s = _bare_server(build)
+    results = []
+    threads = [threading.Thread(target=lambda: results.append(s._get_run("ddim", 7, 1.0)))
+               for _ in range(4)]
+    for t in threads:
+        t.start()
+    assert started.wait(timeout=10)
+    gate.set()
+    for t in threads:
+        t.join(10)
+    assert calls == [7], "duplicate concurrent requests must share one compile"
+    assert results == [("prog", 7)] * 4
+
+
+def test_variant_compile_failure_propagates_and_retries():
+    import threading
+
+    attempts = []
+    fail_gate = threading.Event()
+
+    def build(name, steps, guidance):
+        attempts.append(steps)
+        if len(attempts) == 1:
+            assert fail_gate.wait(timeout=10)
+            raise ValueError("compile exploded")
+        return ("prog", steps)
+
+    s = _bare_server(build)
+    errors = []
+    waiter_done = threading.Event()
+
+    def owner():
+        try:
+            s._get_run("ddim", 11, 1.0)
+        except ValueError as e:
+            errors.append(("owner", e))
+
+    def waiter():
+        try:
+            s._get_run("ddim", 11, 1.0)
+        except RuntimeError as e:
+            errors.append(("waiter", e))
+        waiter_done.set()
+
+    t1 = threading.Thread(target=owner)
+    t1.start()
+    import time
+    time.sleep(0.05)
+    t2 = threading.Thread(target=waiter)
+    t2.start()
+    time.sleep(0.05)
+    fail_gate.set()
+    t1.join(10)
+    assert waiter_done.wait(timeout=10)
+    kinds = sorted(k for k, _ in errors)
+    # the waiter may instead have become the retry owner (entry was removed
+    # before it checked) — then it succeeds; both outcomes are correct
+    assert "owner" in kinds
+    # a failed compile never poisons the cache: the next call retries
+    assert s._get_run("ddim", 11, 1.0) == ("prog", 11)
+    assert len(attempts) >= 2
+
+
+def test_variant_cache_evicts_lru_keeps_default():
+    s = _bare_server(lambda name, steps, guidance: ("prog", steps))
+    s._sampler_cache_max = 3
+    default = s._get_run("ddim", 4, 1.0)   # the server-default variant
+    s._get_run("ddim", 10, 1.0)
+    s._get_run("ddim", 20, 1.0)            # cache now full (3 entries)
+    s._get_run("ddim", 10, 1.0)            # refresh 10 -> 20 is now LRU
+    s._get_run("ddim", 30, 1.0)            # evicts 20, never the default
+    keys = {k[1] for k in s._sampler_cache}
+    assert keys == {4, 10, 30}
+    assert s._get_run("ddim", 4, 1.0) is default
