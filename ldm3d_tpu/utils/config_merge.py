@@ -35,6 +35,14 @@ def merge_configs_onto_args(args: Any, environment_file: str, config_file: str, 
         setattr(args, k, v)
     for k, v in config_dict.items():
         setattr(args, k, v)
+    # Optional environment keys the drivers read as plain attributes: default
+    # them so a minimal env.json (just model_dir) runs instead of raising
+    # AttributeError. The reference's bundled environment.json always carries
+    # these, but its schema never required them.
+    for k, default in (("resume_ckpt", False), ("tfevent_path", "./runs"),
+                       ("output_dir", "./output")):
+        if not hasattr(args, k):
+            setattr(args, k, default)
     return args
 
 

@@ -1,0 +1,94 @@
+"""End-to-end tests for the inference CLI (``cli/inference.py``).
+
+Mirrors the reference driver contract (``3d_ldm/inference.py:31-102``):
+checkpoints in, NIfTI volumes out — and pins the ``--decode-chunk`` path
+to the whole-batch decode bit-for-bit.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def uncond_setup(tmp_path_factory):
+    """Tiny UNCONDITIONAL two-stage checkpoints (in_channels == latent), so
+    the CLI needs no NPZ conditioning data."""
+    import jax
+    import jax.numpy as jnp
+
+    from ldm3d_tpu.ckpt import CheckpointManager, StageArtifacts
+    from ldm3d_tpu.configs import ConfigResolver, load_json, preset_path
+
+    root = tmp_path_factory.mktemp("cli_inference")
+    cfg = load_json(preset_path("config_tiny_cpu.json"))
+    cfg["diffusion_def"]["in_channels"] = "@latent_channels"  # unconditional
+    cfg_path = root / "config.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    r = ConfigResolver(cfg)
+    rng = jax.random.PRNGKey(0)
+    ae = r.instantiate("autoencoder_def")
+    ae_params = ae.init({"params": rng, "sample": rng}, jnp.zeros((1, 32, 32, 32, 1)))["params"]
+    model_dir = root / "ckpts"
+    CheckpointManager(str(model_dir), StageArtifacts.AUTOENCODER).save(
+        "best", {"params": ae_params}, meta={})
+    unet = r.instantiate("diffusion_def")
+    u_params = unet.init(rng, jnp.zeros((1, 8, 8, 8, unet.in_channels)),
+                         jnp.zeros((1,), jnp.int32))["params"]
+    CheckpointManager(str(model_dir), StageArtifacts.DIFFUSION).save(
+        "best", {"params": u_params}, meta={"scale_factor": 1.0})
+    return str(cfg_path), str(model_dir), root
+
+
+def _make_env(root, model_dir, out_dir):
+    env_path = root / (out_dir.name + "_env.json")
+    env_path.write_text(json.dumps({
+        "model_dir": model_dir, "output_dir": str(out_dir), "seed": 7,
+        "npz_dir_train": "", "npz_dir_val": "", "npz_dir": "",
+    }))
+    return str(env_path)
+
+
+def _read_vol(path):
+    try:
+        import nibabel as nib
+
+        return np.asarray(nib.load(path).get_fdata(), dtype=np.float32)
+    except ImportError:
+        from ldm3d_tpu.utils.nifti import read_nifti
+
+        vol, _affine = read_nifti(path)
+        return vol.astype(np.float32)
+
+
+def test_cli_inference_writes_volumes(uncond_setup):
+    from ldm3d_tpu.cli.inference import main
+
+    cfg, model_dir, root = uncond_setup
+    env = _make_env(root, model_dir, root / "out_whole")
+    written = main(["-c", cfg, "-e", env, "-n", "1", "--sampler", "ddim",
+                    "--steps", "2", "--batch", "2"])
+    assert len(written) == 2
+    for p in written:
+        vol = _read_vol(p)
+        assert vol.shape == (32, 32, 32)
+        assert np.isfinite(vol).all()
+
+
+def test_cli_decode_chunk_matches_whole_batch(uncond_setup):
+    """--decode-chunk 1 writes exactly the same volumes as whole-batch
+    decode (same compiled scan, same env seed)."""
+    from ldm3d_tpu.cli.inference import main
+
+    cfg, model_dir, root = uncond_setup
+    env_a = _make_env(root, model_dir, root / "out_a")
+    env_b = _make_env(root, model_dir, root / "out_b")
+    whole = main(["-c", cfg, "-e", env_a, "-n", "1", "--sampler", "ddim",
+                  "--steps", "2", "--batch", "2"])
+    chunked = main(["-c", cfg, "-e", env_b, "-n", "1", "--sampler", "ddim",
+                    "--steps", "2", "--batch", "2", "--decode-chunk", "1"])
+    assert len(whole) == len(chunked) == 2
+    for pw, pc in zip(whole, chunked):
+        np.testing.assert_array_equal(_read_vol(pw), _read_vol(pc))

@@ -99,6 +99,19 @@ def test_merge_parity(tmp_path):
     assert args.model_dir == str(tmp_path)
 
 
+def test_merge_defaults_optional_env_keys(tmp_path):
+    # A minimal env.json (just model_dir) must run: the drivers read
+    # resume_ckpt / tfevent_path / output_dir as plain attributes.
+    env = {"model_dir": str(tmp_path)}
+    envf = tmp_path / "environment.json"
+    envf.write_text(json.dumps(env))
+    args = argparse.Namespace()
+    merge_configs_onto_args(args, str(envf), preset_path("config_tiny_cpu.json"))
+    assert args.resume_ckpt is False
+    assert args.tfevent_path == "./runs"
+    assert args.output_dir == "./output"
+
+
 def test_merge_validation_catches_missing(tmp_path):
     envf = tmp_path / "environment.json"
     envf.write_text("{}")

@@ -184,6 +184,25 @@ def test_batched_sampler_chunks(real_api):
         assert np.isfinite(arr).all()
 
 
+def test_decode_chunk_matches_whole_batch(real_api):
+    """--decode-chunk 1: the chunked VAE decode returns exactly the same
+    volumes as the whole-batch decode (same compiled scan, same seed)."""
+    srv_whole = ModelServer(real_api.server.config_file, real_api.server.environment_file,
+                            sampler="ddim", steps=2, batch=2, decode_chunk=0)
+    srv_whole.load_model()
+    srv_chunk = ModelServer(real_api.server.config_file, real_api.server.environment_file,
+                            sampler="ddim", steps=2, batch=2, decode_chunk=1)
+    srv_chunk.load_model()
+    assert not srv_whole.is_dummy and not srv_chunk.is_dummy
+
+    out_w = srv_whole.generate(2, seed=7)
+    out_c = srv_chunk.generate(2, seed=7)
+    for sw, sc in zip(out_w["samples"], out_c["samples"]):
+        aw = np.frombuffer(base64.b64decode(sw["data"]), np.float32)
+        ac = np.frombuffer(base64.b64decode(sc["data"]), np.float32)
+        np.testing.assert_array_equal(aw, ac)
+
+
 def test_spatial_serving(real_api):
     """--spatial 2: each volume's depth sharded over two devices."""
     srv = ModelServer(real_api.server.config_file, real_api.server.environment_file,
