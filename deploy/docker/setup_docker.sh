@@ -11,7 +11,7 @@
 # container the TPU until the device plugin lands outside Kubernetes; on GKE
 # use deploy/kubernetes/ instead, which requests google.com/tpu resources).
 #
-# Usage: ./setup_docker.sh [dev|prod] [api|train|train-diffusion|inference|jupyter]
+# Usage: ./setup_docker.sh [dev|prod] [api|train|train-autoencoder|train-diffusion|inference|jupyter]
 set -euo pipefail
 
 ENVIRONMENT="${1:-dev}"
@@ -19,7 +19,7 @@ MODE="${2:-api}"
 
 case "$ENVIRONMENT" in dev|prod) ;; *) echo "environment must be dev|prod" >&2; exit 1 ;; esac
 case "$MODE" in api|train|train-autoencoder|train-diffusion|inference|jupyter) ;;
-  *) echo "mode must be api|train|train-diffusion|inference|jupyter" >&2; exit 1 ;; esac
+  *) echo "mode must be api|train|train-autoencoder|train-diffusion|inference|jupyter" >&2; exit 1 ;; esac
 
 command -v docker >/dev/null || { echo "docker not installed" >&2; exit 1; }
 docker info >/dev/null 2>&1 || { echo "docker daemon not running" >&2; exit 1; }

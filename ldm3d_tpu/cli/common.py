@@ -219,17 +219,32 @@ def load_two_stage(args, mesh, dt, rng, use_ema: bool = False):
     return ae, ae_params, unet, u_params, latent_shape, scale_factor
 
 
-def make_sampling_scheduler(name: str, steps: int, sched_cfg: dict):
-    """ddpm (full-loop parity) / ddim (fast) / dpm (DPM-Solver++ 2M)."""
+def make_sampling_scheduler(name: str, steps: int | None, sched_cfg: dict):
+    """ddpm (full-loop parity) / ddim (fast) / dpm (DPM-Solver++ 2M).
+
+    ``steps=None`` uses each sampler's default: ddim/dpm 50, ddpm the FULL
+    training schedule (reference parity). An explicit ``steps`` is honored by
+    every sampler — for ddpm by subsampling the schedule exactly like MONAI's
+    ``DDPMScheduler.set_timesteps`` (strided ancestral steps)."""
     from ldm3d_tpu.diffusion import DDIMScheduler, DDPMScheduler, DPMSolverPPScheduler
 
     common = dict(num_train_timesteps=sched_cfg["num_train_timesteps"],
                   schedule="scaled_linear_beta", beta_start=sched_cfg["beta_start"],
                   beta_end=sched_cfg["beta_end"], prediction_type=sched_cfg["prediction_type"])
+    if steps is None:
+        steps = default_sampler_steps(name, sched_cfg)
     if name == "dpm":
         return DPMSolverPPScheduler.create(num_inference_steps=steps, **common)
     if name == "ddim":
         return DDIMScheduler.create(num_inference_steps=steps, **common)
     if name == "ddpm":
-        return DDPMScheduler.create(**common)
+        n_train = sched_cfg["num_train_timesteps"]
+        return DDPMScheduler.create(
+            num_inference_steps=None if steps in (None, n_train) else steps, **common)
     raise ValueError(f"unknown sampler '{name}'")
+
+
+def default_sampler_steps(name: str, sched_cfg: dict) -> int:
+    """Concrete step count ``make_sampling_scheduler(name, None, cfg)`` runs."""
+    n_train = sched_cfg["num_train_timesteps"]
+    return n_train if name == "ddpm" else min(50, n_train)

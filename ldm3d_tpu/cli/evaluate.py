@@ -38,7 +38,8 @@ def main(argv=None):
     parser.add_argument("-n", "--num", type=int, default=8,
                         help="max validation pairs to evaluate")
     parser.add_argument("--sampler", choices=("ddpm", "ddim", "dpm"), default="ddim")
-    parser.add_argument("--steps", type=int, default=50, help="ddim/dpm inference steps")
+    parser.add_argument("--steps", type=int, default=None,
+                        help="inference steps (50 for ddim/dpm; full schedule for ddpm)")
     parser.add_argument("--batch", type=int, default=1, help="volumes per compiled sample call")
     parser.add_argument("--guidance", type=float, default=1.0,
                         help="classifier-free guidance scale (1.0 = off)")

@@ -110,6 +110,10 @@ def build_sampler_fn(args, ae, ae_params, unet, u_params, scheduler, scale_facto
 
     fused = getattr(args, "fused_decode", False)
     chunk = int(getattr(args, "decode_chunk", 0) or 0)
+    if chunk and fused:
+        log.info("--decode-chunk ignored: --fused-decode compiles the reverse "
+                 "loop + whole-batch decode as one program")
+        chunk = 0
     if chunk and n_shards > 1:
         log.info("--decode-chunk ignored: batch is data-parallel sharded over "
                  "%d chips (decode stays whole-batch per chip)", n_shards)
@@ -140,7 +144,10 @@ def main(argv=None):
     parser.add_argument("--sampler", choices=("ddpm", "ddim", "dpm"), default="ddpm",
                         help="ddpm = full-loop reference parity; ddim = fast path; "
                              "dpm = DPM-Solver++ 2M (fewer steps at equal quality)")
-    parser.add_argument("--steps", type=int, default=50, help="ddim/dpm inference steps")
+    parser.add_argument("--steps", type=int, default=None,
+                        help="inference steps (default: 50 for ddim/dpm; full schedule "
+                             "for ddpm — an explicit value subsamples ddpm's schedule "
+                             "MONAI set_timesteps-style)")
     parser.add_argument("--batch", type=int, default=1, help="volumes per compiled sample call")
     parser.add_argument("--guidance", type=float, default=1.0,
                         help="classifier-free guidance scale (1.0 = off; train with --cond-dropout)")

@@ -61,11 +61,18 @@ def _pred_x0_and_eps(pred: jax.Array, x_t: jax.Array, a_t: jax.Array, prediction
 
 @struct.dataclass
 class DDPMScheduler:
-    """Ancestral DDPM sampler/noiser. Static config lives in pytree aux data."""
+    """Ancestral DDPM sampler/noiser. Static config lives in pytree aux data.
+
+    ``num_inference_steps=None`` (default) runs the full training schedule —
+    the reference's behavior. A smaller value subsamples the schedule exactly
+    like MONAI's ``DDPMScheduler.set_timesteps``: stride ``num_train // n``,
+    with the per-step alpha/beta derived from the alphas-cumprod ratio of the
+    visited timesteps (``current_beta_t = 1 - a_t / a_prev``)."""
 
     betas: jnp.ndarray
     alphas_cumprod: jnp.ndarray
     num_train_timesteps: int = struct.field(pytree_node=False, default=1000)
+    num_inference_steps: int | None = struct.field(pytree_node=False, default=None)
     prediction_type: str = struct.field(pytree_node=False, default="epsilon")
     clip_sample: bool = struct.field(pytree_node=False, default=True)
     clip_range: float = struct.field(pytree_node=False, default=1.0)
@@ -77,25 +84,38 @@ class DDPMScheduler:
         schedule: str = "scaled_linear_beta",
         beta_start: float = 0.0015,
         beta_end: float = 0.0195,
+        num_inference_steps: int | None = None,
         prediction_type: str = "epsilon",
         clip_sample: bool = True,
         clip_range: float = 1.0,
     ) -> "DDPMScheduler":
+        if num_inference_steps is not None and not (1 <= num_inference_steps <= num_train_timesteps):
+            raise ValueError(
+                f"num_inference_steps must be in [1, {num_train_timesteps}], "
+                f"got {num_inference_steps}")
         betas = make_betas(num_train_timesteps, schedule, beta_start, beta_end)
         alphas_cumprod = jnp.cumprod(1.0 - betas)
         return cls(
             betas=betas,
             alphas_cumprod=alphas_cumprod,
             num_train_timesteps=num_train_timesteps,
+            num_inference_steps=num_inference_steps,
             prediction_type=prediction_type,
             clip_sample=clip_sample,
             clip_range=clip_range,
         )
 
     @property
+    def _stride(self) -> int:
+        n = self.num_inference_steps or self.num_train_timesteps
+        return self.num_train_timesteps // n
+
+    @property
     def timesteps(self) -> jnp.ndarray:
-        """Descending training timesteps for the full reverse loop."""
-        return jnp.arange(self.num_train_timesteps - 1, -1, -1, dtype=jnp.int32)
+        """Descending timesteps for the reverse loop (full schedule by
+        default; strided when ``num_inference_steps`` subsamples)."""
+        n = self.num_inference_steps or self.num_train_timesteps
+        return jnp.arange(n - 1, -1, -1, dtype=jnp.int32) * self._stride
 
     def _bcast(self, table: jax.Array, t: jax.Array, like: jax.Array) -> jax.Array:
         v = jnp.take(table, t)
@@ -115,9 +135,14 @@ class DDPMScheduler:
         """One reverse step x_t -> x_{t-1} (scalar traced timestep ``t``)."""
         x32 = x_t.astype(jnp.float32)
         pred = model_output.astype(jnp.float32)
+        stride = self._stride
         a_t = jnp.take(self.alphas_cumprod, t)
-        a_prev = jnp.where(t > 0, jnp.take(self.alphas_cumprod, jnp.maximum(t - 1, 0)), 1.0)
-        beta_t = jnp.take(self.betas, t)
+        t_prev = t - stride
+        a_prev = jnp.where(t_prev >= 0, jnp.take(self.alphas_cumprod, jnp.maximum(t_prev, 0)), 1.0)
+        if stride == 1:
+            beta_t = jnp.take(self.betas, t)  # table lookup: bit-exact full-schedule path
+        else:
+            beta_t = 1.0 - a_t / a_prev  # effective beta over the strided jump
         alpha_t = 1.0 - beta_t
 
         x0, _ = _pred_x0_and_eps(pred, x32, a_t, self.prediction_type)
@@ -160,6 +185,10 @@ class DDIMScheduler:
         clip_range: float = 1.0,
         eta: float = 0.0,
     ) -> "DDIMScheduler":
+        if not (1 <= num_inference_steps <= num_train_timesteps):
+            raise ValueError(
+                f"num_inference_steps must be in [1, {num_train_timesteps}], "
+                f"got {num_inference_steps}")
         betas = make_betas(num_train_timesteps, schedule, beta_start, beta_end)
         return cls(
             betas=betas,
@@ -252,6 +281,10 @@ class DPMSolverPPScheduler:
         clip_sample: bool = True,
         clip_range: float = 1.0,
     ) -> "DPMSolverPPScheduler":
+        if not (1 <= num_inference_steps <= num_train_timesteps):
+            raise ValueError(
+                f"num_inference_steps must be in [1, {num_train_timesteps}], "
+                f"got {num_inference_steps}")
         betas = make_betas(num_train_timesteps, schedule, beta_start, beta_end)
         a_bar = jnp.cumprod(1.0 - betas)
         stride = num_train_timesteps // num_inference_steps

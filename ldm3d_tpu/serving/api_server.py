@@ -53,8 +53,34 @@ class Api:
     """Framework-agnostic handlers; both HTTP frontends delegate here."""
 
     def __init__(self, server: ModelServer):
+        import threading
+
         self.server = server
         self.started = time.time()
+        # in-flight request tracking for graceful drain: ThreadingHTTPServer
+        # handler threads are daemons, so server_close() joins nothing —
+        # serve_stdlib waits on this instead before letting the process exit.
+        # The stdlib Handler brackets the WHOLE request (body read, dispatch,
+        # response write — response bytes can be tens of MB of base64).
+        self._inflight = 0
+        self._inflight_lock = threading.Lock()
+        self._idle = threading.Event()
+        self._idle.set()
+
+    def request_started(self) -> None:
+        with self._inflight_lock:
+            self._inflight += 1
+            self._idle.clear()
+
+    def request_finished(self) -> None:
+        with self._inflight_lock:
+            self._inflight -= 1
+            if self._inflight == 0:
+                self._idle.set()
+
+    def drain(self, timeout: float) -> bool:
+        """Wait until no request is executing; False if ``timeout`` hit."""
+        return self._idle.wait(timeout)
 
     def health(self) -> tuple[int, dict]:
         try:
@@ -207,16 +233,20 @@ def make_stdlib_server(api: Api, host: str, port: int):
 
     class Handler(BaseHTTPRequestHandler):
         def _respond(self, method):
-            length = int(self.headers.get("Content-Length") or 0)
-            body = {}
-            if length:
-                try:
-                    body = json.loads(self.rfile.read(length))
-                except json.JSONDecodeError:
-                    self._send(400, {"error": "invalid JSON body"}, "application/json")
-                    return
-            code, payload, ctype = api.dispatch(method, self.path, body)
-            self._send(code, payload, ctype)
+            api.request_started()
+            try:
+                length = int(self.headers.get("Content-Length") or 0)
+                body = {}
+                if length:
+                    try:
+                        body = json.loads(self.rfile.read(length))
+                    except json.JSONDecodeError:
+                        self._send(400, {"error": "invalid JSON body"}, "application/json")
+                        return
+                code, payload, ctype = api.dispatch(method, self.path, body)
+                self._send(code, payload, ctype)
+            finally:
+                api.request_finished()
 
         def _send(self, code, payload, ctype):
             data = payload.encode() if isinstance(payload, str) else json.dumps(payload).encode()
@@ -238,10 +268,14 @@ def make_stdlib_server(api: Api, host: str, port: int):
     return ThreadingHTTPServer((host, port), Handler)
 
 
-def serve_stdlib(api: Api, host: str, port: int):
+def serve_stdlib(api: Api, host: str, port: int, drain_timeout: float = 120.0):
     """Serve until SIGTERM/SIGINT, then drain gracefully: stop accepting,
     finish in-flight requests, retire the micro-batcher (K8s sends SIGTERM on
-    pod shutdown; without this the default handler kills requests mid-flight)."""
+    pod shutdown; without this the default handler kills requests mid-flight).
+
+    ThreadingHTTPServer handler threads are daemons, so ``server_close()``
+    joins nothing — the drain waits on the Api's in-flight counter (bounded
+    by ``drain_timeout``; keep it under the pod's terminationGracePeriod)."""
     import signal
     import threading
 
@@ -263,7 +297,10 @@ def serve_stdlib(api: Api, host: str, port: int):
     try:
         httpd.serve_forever()
     finally:
-        httpd.server_close()
+        httpd.server_close()  # stop accepting; in-flight daemon threads continue
+        if not api.drain(drain_timeout):
+            log.warning("drain timed out after %.0fs with requests in flight",
+                        drain_timeout)
         batcher = getattr(api.server, "_batcher", None)
         if batcher is not None:
             batcher.close()
@@ -279,7 +316,9 @@ def main(argv=None):
     p.add_argument("-c", "--config-file", default=None)
     p.add_argument("-e", "--environment-file", default=None)
     p.add_argument("--sampler", choices=("ddpm", "ddim", "dpm"), default="ddim")
-    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--steps", type=int, default=None,
+                   help="inference steps (default: 50 for ddim/dpm, full schedule for "
+                        "ddpm; an explicit value subsamples ddpm MONAI set_timesteps-style)")
     p.add_argument("--batch", type=int, default=1,
                    help="volumes per compiled sampler call (8 maximizes v5e MXU "
                         "utilization; multi-sample requests run in chunks)")

@@ -42,8 +42,8 @@ class _SamplerCacheEntry:
 
 class ModelServer:
     def __init__(self, config_file: Optional[str] = None, environment_file: Optional[str] = None,
-                 sampler: str = "ddim", steps: int = 50, batch: int = 1, spatial: int = 1,
-                 decode_chunk: int = 0):
+                 sampler: str = "ddim", steps: Optional[int] = None, batch: int = 1,
+                 spatial: int = 1, decode_chunk: int = 0):
         """``batch``: volumes per compiled sampler call. Larger batches raise
         MXU utilization sharply (measured on v5e at 96^3: ~2.2x volumes/sec
         from batch 1-2 to batch 8); requests for more than ``batch`` samples
@@ -56,7 +56,10 @@ class ModelServer:
         self.config_file = config_file
         self.environment_file = environment_file
         self.sampler = sampler
+        # None = sampler default (50 for ddim/dpm, full schedule for ddpm);
+        # resolved to a concrete count at load_model time
         self.steps = steps
+        self._cond_shape = None
         self.batch = max(1, int(batch))
         self.spatial = max(1, int(spatial))
         # decode the sampled batch in chunks of this many volumes (0 = whole
@@ -135,12 +138,14 @@ class ModelServer:
 
         # same construction path as the inference/evaluate CLIs: ddpm
         # (full-loop parity) / ddim / dpm (DPM-Solver++ 2M)
-        from ldm3d_tpu.cli.common import make_sampling_scheduler
+        from ldm3d_tpu.cli.common import default_sampler_steps, make_sampling_scheduler
 
         conditional = unet.in_channels > ae.latent_channels
         self._latent_shape = (*latent, ae.latent_channels)
         cond_ch = unet.in_channels - ae.latent_channels
         sched_cfg = ctx.scheduler_config()
+        if self.steps is None:
+            self.steps = default_sampler_steps(self.sampler, sched_cfg)
 
         @jax.jit
         def encode_fn(params, x, rng_key):
@@ -169,7 +174,9 @@ class ModelServer:
                                                guidance_scale=guidance)
 
                 def run(noise, rng_key, condition):
-                    return sampler(u_params, ae_params, noise, rng_key, condition)
+                    # list contract: run() returns un-materialized device
+                    # arrays; the caller reads them back outside _device_lock
+                    return [sampler(u_params, ae_params, noise, rng_key, condition)]
 
                 return run
         else:
@@ -206,17 +213,18 @@ class ModelServer:
                 chunk = self.decode_chunk if n_shards == 1 else 0
 
                 def run(noise, rng_key, condition):
+                    # list contract: every program is ENQUEUED here (scan +
+                    # decode chunks) but nothing is materialized — the caller
+                    # reads the device arrays back outside _device_lock, so
+                    # host transfer overlaps the next request's compute
                     noise = place(noise)
                     if condition is not None:
                         condition = place(condition)
                     lat = scan_fn(u_params, noise, rng_key, condition)
                     if chunk and self.batch > chunk:
-                        # enqueue every chunk program before materializing any:
-                        # the device decodes chunk i+1 while chunk i reads back
-                        pending = [decode_fn(ae_params, lat[s:s + chunk])
-                                   for s in range(0, self.batch, chunk)]
-                        return np.concatenate([np.asarray(p) for p in pending])
-                    return decode_fn(ae_params, lat)
+                        return [decode_fn(ae_params, lat[s:s + chunk])
+                                for s in range(0, self.batch, chunk)]
+                    return [decode_fn(ae_params, lat)]
 
                 return run
 
@@ -244,8 +252,9 @@ class ModelServer:
                 key = jax.random.PRNGKey(int(rng_seed))
                 noise = jnp.asarray(noise_np)
                 cond = jnp.asarray(cond_np) if cond_np is not None else None
-                with self._device_lock:
-                    return np.asarray(default_run(noise, key, cond))
+                with self._device_lock:  # enqueue only; read back lock-free
+                    pending = default_run(noise, key, cond)
+                return np.concatenate([np.asarray(p) for p in pending])
 
             self._batcher = DynamicBatcher(run_batched, self.batch, max_wait_ms=10.0)
 
@@ -276,14 +285,8 @@ class ModelServer:
             owner = entry is None
             if owner:
                 entry = _SamplerCacheEntry()
-                if len(self._sampler_cache) >= self._sampler_cache_max:
-                    # evict the LRU *completed* non-default entry; in-flight
-                    # placeholders stay (their compiler thread will publish)
-                    for old, e in list(self._sampler_cache.items()):
-                        if old != default_key and e.fn is not None:
-                            del self._sampler_cache[old]
-                            break
                 self._sampler_cache[key] = entry
+                self._evict_locked(default_key)
         if not owner:
             entry.ready.wait()
             if entry.fn is None:
@@ -301,10 +304,30 @@ class ModelServer:
             raise
         with self._lock:
             entry.fn = fn
+            # re-enforce the bound: if every other entry was an in-flight
+            # placeholder at insert time, eviction was deferred until a
+            # completed entry exists — i.e. now
+            self._evict_locked(default_key)
         entry.ready.set()
         return fn
 
+    def _evict_locked(self, default_key: tuple) -> None:
+        """Evict LRU *completed* non-default entries until the cache fits.
+        In-flight placeholders are never evicted (their compiler thread will
+        publish into them), so the bound can be exceeded transiently while
+        more than ``_sampler_cache_max`` compiles are in flight; every
+        publish re-runs this, restoring the bound at steady state."""
+        while len(self._sampler_cache) > self._sampler_cache_max:
+            victim = next((k for k, e in self._sampler_cache.items()
+                           if k != default_key and e.fn is not None), None)
+            if victim is None:
+                return
+            del self._sampler_cache[victim]
+
     def _load_dummy(self) -> None:
+        if self.steps is None:
+            self.steps = 50
+        self._cond_shape = None
         self._latent_shape = None
         self._run = None
         self._build_run = None
@@ -339,6 +362,14 @@ class ModelServer:
             raise ValueError(f"output_format must be base64|nii, got {output_format!r}")
         steps = int(inference_steps) if inference_steps is not None else self.steps
         guidance = float(guidance_scale) if guidance_scale is not None else 1.0
+        if guidance != 1.0 and not self.is_dummy and self._cond_shape is None:
+            # CFG is a no-op without conditioning (inferer.sample_latents
+            # disables it when condition is None): normalize instead of
+            # compiling/caching a byte-identical variant per guidance value,
+            # and echo the APPLIED value so the client isn't misled
+            log.info("guidance_scale %.2f ignored: unconditional model "
+                     "(classifier-free guidance needs a conditional UNet)", guidance)
+            guidance = 1.0
         is_default = steps == self.steps and guidance == 1.0
         conditioning = "none"
         t0 = time.time()
@@ -393,6 +424,8 @@ class ModelServer:
                 fixed_cond_b = (jnp.tile(fixed_cond, (b,) + (1,) * (fixed_cond.ndim - 1))
                                 if fixed_cond is not None else None)
                 with self._device_lock:
+                    # enqueue every batch's programs (run() returns
+                    # un-materialized device arrays) while holding the lock...
                     pending = []
                     for _ in range((num_samples + b - 1) // b):
                         key, nkey, ckey, skey = jax.random.split(key, 4)
@@ -402,11 +435,13 @@ class ModelServer:
                         else:
                             cond = (jax.random.normal(ckey, (b, *self._cond_shape), jnp.float32)
                                     if self._cond_shape else None)
-                        pending.append(run(noise, skey, cond))
-                    # all chunks enqueued before any readback: host transfer of
-                    # chunk i overlaps device compute of chunk i+1
-                    vols = np.concatenate([np.asarray(p[..., 0], dtype=np.float32)
-                                           for p in pending])[:num_samples]
+                        pending.extend(run(noise, skey, cond))
+                # ...but read back OUTSIDE it: host transfer of chunk i
+                # overlaps device compute of chunk i+1 and of any concurrent
+                # request that grabs the lock meanwhile (result buffers are
+                # small next to in-flight activations, so coexistence is safe)
+                vols = np.concatenate([np.asarray(p[..., 0], dtype=np.float32)
+                                       for p in pending])[:num_samples]
         samples = []
         for v in vols:
             vmin, vmax = float(v.min()), float(v.max())

@@ -92,3 +92,24 @@ def test_cli_decode_chunk_matches_whole_batch(uncond_setup):
     assert len(whole) == len(chunked) == 2
     for pw, pc in zip(whole, chunked):
         np.testing.assert_array_equal(_read_vol(pw), _read_vol(pc))
+
+
+def test_serving_guidance_ignored_for_unconditional(uncond_setup):
+    """guidance_scale on an UNCONDITIONAL model is a guaranteed no-op (CFG
+    needs conditioning): the server normalizes it to 1.0 — echoing the
+    APPLIED value — instead of compiling/caching a byte-identical variant."""
+    from ldm3d_tpu.serving.model_server import ModelServer
+
+    cfg, model_dir, root = uncond_setup
+    env = _make_env(root, model_dir, root / "out_srv")
+    srv = ModelServer(cfg, env, sampler="ddim", steps=2, batch=1)
+    srv.load_model()
+    assert not srv.is_dummy
+    n_variants = len(srv._sampler_cache)
+
+    out = srv.generate(1, seed=0, guidance_scale=7.5)
+    assert out["guidance_scale"] == 1.0
+    assert len(srv._sampler_cache) == n_variants
+
+    out_plain = srv.generate(1, seed=0)
+    assert out["samples"][0]["data"] == out_plain["samples"][0]["data"]

@@ -135,3 +135,73 @@ def test_dpm_solver_tables_finite():
     assert abs(float(s.c_x[-1])) < 1e-6
     assert abs(float(s.c_d[-1]) - 1.0) < 1e-6
     assert abs(float(s.c2[-1])) < 1e-12 and abs(float(s.c2[0])) < 1e-12
+
+
+def test_ddpm_strided_matches_closed_form():
+    """Subsampled DDPM (MONAI set_timesteps semantics): strided timesteps and
+    the step's posterior computed from the effective alpha ratio
+    ``current_beta_t = 1 - a_t / a_prev`` of the visited states."""
+    sch = DDPMScheduler.create(num_train_timesteps=100, num_inference_steps=10,
+                               clip_sample=False)
+    ts = np.asarray(sch.timesteps)
+    np.testing.assert_array_equal(ts, np.arange(9, -1, -1) * 10)
+
+    rng = jax.random.PRNGKey(0)
+    x_t = jax.random.normal(rng, (1, 4, 4, 4, 2))
+    eps = jax.random.normal(jax.random.PRNGKey(1), x_t.shape)
+    t = jnp.array(50)
+    out = np.asarray(sch.step(eps, t, x_t, jax.random.PRNGKey(2)))
+
+    # numpy mirror of the strided ancestral step
+    a = np.asarray(sch.alphas_cumprod, np.float64)
+    a_t, a_prev = a[50], a[40]
+    beta_eff = 1.0 - a_t / a_prev
+    x = np.asarray(x_t, np.float64)
+    e = np.asarray(eps, np.float64)
+    x0 = (x - np.sqrt(1 - a_t) * e) / np.sqrt(a_t)
+    mean = (np.sqrt(a_prev) * beta_eff / (1 - a_t)) * x0 \
+        + (np.sqrt(1 - beta_eff) * (1 - a_prev) / (1 - a_t)) * x
+    var = (1 - a_prev) / (1 - a_t) * beta_eff
+    z = np.asarray(jax.random.normal(jax.random.PRNGKey(2), x_t.shape), np.float64)
+    np.testing.assert_allclose(out, mean + np.sqrt(var) * z, rtol=2e-5, atol=2e-5)
+
+
+def test_ddpm_stride_one_is_bitwise_full_schedule():
+    """num_inference_steps == num_train_timesteps is the identical program
+    (table beta lookup), so full-loop parity is untouched by the stride code."""
+    full = DDPMScheduler.create(num_train_timesteps=50)
+    strided = DDPMScheduler.create(num_train_timesteps=50, num_inference_steps=50)
+    np.testing.assert_array_equal(np.asarray(full.timesteps), np.asarray(strided.timesteps))
+    x_t = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 4, 4, 2))
+    eps = jax.random.normal(jax.random.PRNGKey(4), x_t.shape)
+    for t in (0, 7, 49):
+        a = np.asarray(full.step(eps, jnp.array(t), x_t, jax.random.PRNGKey(5)))
+        b = np.asarray(strided.step(eps, jnp.array(t), x_t, jax.random.PRNGKey(5)))
+        np.testing.assert_array_equal(a, b)
+
+
+def test_ddpm_strided_terminal_step_returns_x0_mean():
+    """The final visited timestep's step lands on a_prev = 1 (t_prev < 0):
+    with an exact eps prediction the posterior mean is x0 and variance 0."""
+    sch = DDPMScheduler.create(num_train_timesteps=100, num_inference_steps=10,
+                               clip_sample=False)
+    x0 = jax.random.uniform(jax.random.PRNGKey(6), (1, 4, 4, 4, 2), minval=-0.9, maxval=0.9)
+    eps = jax.random.normal(jax.random.PRNGKey(7), x0.shape)
+    t = jnp.array(int(np.asarray(sch.timesteps)[-1]))  # final visited timestep
+    assert int(t) == 0
+    x_t = sch.add_noise(x0, eps, t)
+    out = sch.step(eps, t, x_t, jax.random.PRNGKey(8))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0), rtol=2e-4, atol=2e-4)
+
+
+def test_num_inference_steps_validation():
+    import pytest
+
+    for cls_kwargs in (
+        dict(num_train_timesteps=16, num_inference_steps=17),
+        dict(num_train_timesteps=16, num_inference_steps=0),
+    ):
+        with pytest.raises(ValueError):
+            DDPMScheduler.create(**cls_kwargs)
+        with pytest.raises(ValueError):
+            DDIMScheduler.create(**cls_kwargs)

@@ -367,13 +367,15 @@ def test_stdlib_http_roundtrip(api):
 
 
 def test_stdlib_server_sigterm_drains(tmp_path):
-    """SIGTERM must drain the stdlib server: the process finishes in-flight
-    work, closes the socket, and exits 0 (K8s pod shutdown path)."""
+    """SIGTERM must drain the stdlib server: the process finishes IN-FLIGHT
+    requests (handler threads are daemons, so this needs the explicit drain
+    wait), closes the socket, and exits 0 (K8s pod shutdown path)."""
     import http.client
     import os as _os
     import signal as _signal
     import subprocess
     import sys
+    import threading
     import time as _time
 
     script = tmp_path / "srv.py"
@@ -386,6 +388,12 @@ def test_stdlib_server_sigterm_drains(tmp_path):
         "from ldm3d_tpu.serving.model_server import ModelServer\n"
         "s = ModelServer(None, None)\n"
         "s.load_model()\n"
+        "import time as _t\n"
+        "_orig = s.generate\n"
+        "def _slow(*a, **k):\n"
+        "    _t.sleep(2.0)  # hold a request in flight across the SIGTERM\n"
+        "    return _orig(*a, **k)\n"
+        "s.generate = _slow\n"
         "import socket\n"
         "sock = socket.socket(); sock.bind(('127.0.0.1', 0))\n"
         "port = sock.getsockname()[1]; sock.close()\n"
@@ -417,10 +425,28 @@ def test_stdlib_server_sigterm_drains(tmp_path):
                 _time.sleep(0.2)
         else:
             raise AssertionError("server never became reachable")
+        # launch a slow (2 s) request, then SIGTERM while it is in flight:
+        # the drain must let it finish and the client must get its 200
+        inflight = {}
+
+        def slow_client():
+            c = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+            c.request("POST", "/generate", '{"num_samples": 1, "seed": 0}',
+                      {"Content-Type": "application/json"})
+            r = c.getresponse()
+            inflight["status"] = r.status
+            inflight["body"] = r.read()
+            c.close()
+
+        t = threading.Thread(target=slow_client)
+        t.start()
+        _time.sleep(0.7)  # let the request reach the slow generate()
         proc.send_signal(_signal.SIGTERM)
         out, _ = proc.communicate(timeout=60)
+        t.join(30)
         assert proc.returncode == 0, out[-2000:]
         assert "CLEAN-EXIT" in out
+        assert inflight.get("status") == 200, "in-flight request was killed by shutdown"
     finally:
         if proc.poll() is None:
             proc.kill()
@@ -565,3 +591,66 @@ def test_variant_cache_evicts_lru_keeps_default():
     keys = {k[1] for k in s._sampler_cache}
     assert keys == {4, 10, 30}
     assert s._get_run("ddim", 4, 1.0) is default
+
+
+def test_variant_cache_bound_restored_after_inflight_publishes():
+    """When the cache fills with in-flight placeholders, insertion can't
+    evict (placeholders are never victims) — the bound is re-enforced as
+    each compile publishes."""
+    import threading
+    import time as _time
+
+    gates: dict = {}
+
+    def build(name, steps, guidance):
+        ev = gates[steps]
+        assert ev.wait(10)
+        return ("prog", steps)
+
+    s = _bare_server(build)
+    s._sampler_cache_max = 2
+    gates[4] = threading.Event()
+    gates[4].set()
+    s._get_run("ddim", 4, 1.0)  # the pinned server-default entry
+
+    threads = []
+    for n in (10, 20, 30):
+        gates[n] = threading.Event()
+        t = threading.Thread(target=lambda n=n: s._get_run("ddim", n, 1.0))
+        t.start()
+        threads.append(t)
+    for _ in range(100):  # all three placeholders inserted (transient overflow)
+        if len(s._sampler_cache) == 4:
+            break
+        _time.sleep(0.05)
+    assert len(s._sampler_cache) == 4
+    for n in (10, 20, 30):
+        gates[n].set()
+    for t in threads:
+        t.join(10)
+    assert len(s._sampler_cache) <= s._sampler_cache_max
+    assert ("ddim", 4, 1.0) in s._sampler_cache  # default never evicted
+
+
+def test_per_request_steps_on_ddpm_server(real_api):
+    """A ddpm server defaults to the FULL schedule (reference parity) and
+    honors per-request inference_steps by subsampling the schedule
+    (MONAI DDPMScheduler.set_timesteps semantics) — never silently running
+    a different step count than the response reports."""
+    srv = ModelServer(real_api.server.config_file, real_api.server.environment_file,
+                      sampler="ddpm", steps=None, batch=1)
+    srv.load_model()
+    assert not srv.is_dummy
+    # tiny config trains 16 timesteps -> ddpm default = full 16-step loop
+    assert srv.steps == 16
+
+    out = srv.generate(1, seed=0, inference_steps=8)
+    assert out["inference_steps"] == 8
+    arr = np.frombuffer(base64.b64decode(out["samples"][0]["data"]), np.float32)
+    assert np.isfinite(arr).all()
+    # the 8-step variant is genuinely strided: cached separately from default
+    assert ("ddpm", 8, 1.0) in srv._sampler_cache
+
+    # steps beyond the training schedule are rejected, not silently clamped
+    with pytest.raises(ValueError, match="num_inference_steps"):
+        srv.generate(1, seed=0, inference_steps=17)
