@@ -148,7 +148,10 @@ def main(argv=None):
                         help="inference steps (default: 50 for ddim/dpm; full schedule "
                              "for ddpm — an explicit value subsamples ddpm's schedule "
                              "MONAI set_timesteps-style)")
-    parser.add_argument("--batch", type=int, default=1, help="volumes per compiled sample call")
+    parser.add_argument("--batch", type=int, default=1,
+                        help="volumes per compiled sample call (prefer multiples of 8: "
+                             "the batch dim pads to the next sublane multiple, so e.g. "
+                             "batch 12 pays batch-16 cost — docs/PERFORMANCE.md)")
     parser.add_argument("--guidance", type=float, default=1.0,
                         help="classifier-free guidance scale (1.0 = off; train with --cond-dropout)")
     parser.add_argument("--use-ema", action="store_true",

@@ -321,7 +321,9 @@ def main(argv=None):
                         "ddpm; an explicit value subsamples ddpm MONAI set_timesteps-style)")
     p.add_argument("--batch", type=int, default=1,
                    help="volumes per compiled sampler call (8 maximizes v5e MXU "
-                        "utilization; multi-sample requests run in chunks)")
+                        "utilization; use a MULTIPLE OF 8 — the batch dim pads to "
+                        "the next sublane multiple, so batch 10/12 pay batch-16 "
+                        "cost; multi-sample requests run in chunks)")
     p.add_argument("--spatial", type=int, default=1,
                    help="shard each volume's depth over N chips (serve volumes "
                         "larger than one chip's memory); needs batch*spatial devices")
