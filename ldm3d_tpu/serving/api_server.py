@@ -170,6 +170,7 @@ class Api:
         """Returns (status, payload, content_type)."""
         ACTIVE_REQUESTS.inc()
         t0 = time.time()
+        code = 500
         try:
             if method == "GET" and path == "/health":
                 code, payload = self.health()
@@ -185,11 +186,16 @@ class Api:
             else:
                 code, payload = 404, {"error": f"unknown endpoint {method} {path}"}
             return code, payload, "application/json"
+        except Exception:  # never leave the client without a response
+            log.exception("unhandled error in %s %s", method, path)
+            return 500, {"error": "internal server error"}, "application/json"
         finally:
             ACTIVE_REQUESTS.dec()
             dur = time.time() - t0
             REQUEST_DURATION.observe(dur)
-            REQUEST_COUNT.labels(method, path, "200").inc()
+            # per-status counters (reference api_server.py:273-294 parity):
+            # label with the code actually returned, not a constant
+            REQUEST_COUNT.labels(method, path, str(code)).inc()
 
 
 def make_fastapi_app(api: Api):
@@ -198,29 +204,34 @@ def make_fastapi_app(api: Api):
 
     app = FastAPI(title="ldm3d_tpu model server")
 
+    # every route goes through Api.dispatch so the request metrics
+    # (count-by-status / duration / active gauge) cover this frontend too —
+    # the reference counted via middleware (api_server.py:273-294)
+
     @app.get("/health")
     async def health():
-        code, payload = api.health()
+        code, payload, _ = api.dispatch("GET", "/health", {})
         return JSONResponse(payload, status_code=code)
 
     @app.get("/metrics")
     async def metrics():
-        return PlainTextResponse(api.metrics_text())
+        code, payload, _ = api.dispatch("GET", "/metrics", {})
+        return PlainTextResponse(payload, status_code=code)
 
     @app.get("/model/info")
     async def model_info():
-        code, payload = api.model_info()
+        code, payload, _ = api.dispatch("GET", "/model/info", {})
         return JSONResponse(payload, status_code=code)
 
     @app.post("/model/reload")
     async def reload():
-        code, payload = api.reload()
+        code, payload, _ = api.dispatch("POST", "/model/reload", {})
         return JSONResponse(payload, status_code=code)
 
     @app.post("/generate")
     async def generate(request: Request):
         body = await request.json()
-        code, payload = api.generate(body)
+        code, payload, _ = api.dispatch("POST", "/generate", body)
         return JSONResponse(payload, status_code=code)
 
     return app

@@ -59,6 +59,11 @@ class Counter(_Metric):
             with self.parent._lock:
                 self.parent._values[self.key] = self.parent._values.get(self.key, 0.0) + amount
 
+    def collect(self) -> list[tuple[tuple, float]]:
+        """Snapshot of (label_values, count) pairs — for tests/introspection."""
+        with self._lock:
+            return list(self._values.items())
+
     def expose(self) -> str:
         lines = [f"# HELP {self.name} {self.help}", f"# TYPE {self.name} counter"]
         with self._lock:

@@ -26,6 +26,16 @@ import numpy as np
 log = logging.getLogger("model_server")
 
 
+def _squeeze_single_channel(arr: np.ndarray) -> np.ndarray:
+    """Drop a trailing size-1 channel axis; keep multi-channel volumes whole.
+
+    The flagship configs decode to 1 channel, where clients expect bare
+    (D, H, W) volumes; 2-channel variants (reference ``config_train_16g``)
+    must not silently lose channel 1 — the response's ``shape`` metadata
+    tells the client what it got."""
+    return arr[..., 0] if arr.shape[-1] == 1 else arr
+
+
 class _SamplerCacheEntry:
     """Cache slot for one compiled sampler variant.
 
@@ -419,7 +429,7 @@ class ModelServer:
                     cond = (np.asarray(fixed_cond[0]) if fixed_cond is not None
                             else np.asarray(jax.random.normal(ckey, self._cond_shape, jnp.float32)))
                 vol_out = batcher.submit(noise, cond, rng_seed=base, timeout=600)
-                vols = np.asarray(vol_out[..., 0], dtype=np.float32)[None]
+                vols = _squeeze_single_channel(np.asarray(vol_out, dtype=np.float32))[None]
             else:
                 fixed_cond_b = (jnp.tile(fixed_cond, (b,) + (1,) * (fixed_cond.ndim - 1))
                                 if fixed_cond is not None else None)
@@ -440,8 +450,9 @@ class ModelServer:
                 # overlaps device compute of chunk i+1 and of any concurrent
                 # request that grabs the lock meanwhile (result buffers are
                 # small next to in-flight activations, so coexistence is safe)
-                vols = np.concatenate([np.asarray(p[..., 0], dtype=np.float32)
-                                       for p in pending])[:num_samples]
+                vols = np.concatenate([
+                    _squeeze_single_channel(np.asarray(p, dtype=np.float32))
+                    for p in pending])[:num_samples]
         samples = []
         for v in vols:
             vmin, vmax = float(v.min()), float(v.max())

@@ -3,7 +3,7 @@
 The reference writes generated volumes as NIfTI via nibabel
 (``3d_ldm/inference.py:100-102``). nibabel is an optional extra here; this
 module implements the small subset of NIfTI-1 the pipeline needs — single
-3-D float32/int16 volumes with an affine — so ``.nii``/``.nii.gz`` output
+3-D (or 4-D, for multi-channel output) float32/int16 volumes with an affine — so ``.nii``/``.nii.gz`` output
 parity holds in minimal images. When nibabel IS installed, callers prefer it
 (full-featured); this is the fallback, byte-compatible for our use
 (round-trips through nibabel are covered in tests when it's available).
@@ -35,15 +35,15 @@ _VOX_OFFSET = 352.0
 
 
 def _build_header(shape, dtype: np.dtype, zooms) -> bytes:
-    if len(shape) != 3:
-        raise ValueError(f"only 3-D volumes supported, got shape {shape}")
+    if len(shape) not in (3, 4):
+        raise ValueError(f"only 3-D/4-D volumes supported, got shape {shape}")
     code = _DTYPE_CODES.get(np.dtype(dtype))
     if code is None:
         raise ValueError(f"unsupported dtype {dtype}; one of {list(_DTYPE_CODES)}")
     h = bytearray(_HEADER_SIZE)
     struct.pack_into("<i", h, 0, _HEADER_SIZE)                  # sizeof_hdr
     struct.pack_into("<b", h, 39, 114)                           # dim_info (unused, 'r')
-    dim = (3, *shape, 1, 1, 1, 1)
+    dim = (len(shape), *shape) + (1,) * (7 - len(shape))
     struct.pack_into("<8h", h, 40, *dim)                         # dim
     struct.pack_into("<h", h, 70, code)                          # datatype
     struct.pack_into("<h", h, 72, np.dtype(dtype).itemsize * 8)  # bitpix
@@ -65,7 +65,7 @@ def _build_header(shape, dtype: np.dtype, zooms) -> bytes:
 
 
 def nifti_bytes(volume: np.ndarray, zooms=(1.0, 1.0, 1.0)) -> bytes:
-    """Serialize a 3-D volume as an in-memory NIfTI-1 (.nii) file.
+    """Serialize a 3-D (or 4-D multi-channel) volume as an in-memory NIfTI-1 (.nii) file.
 
     Used by the serving layer's ``output_format: "nii"`` (reference request
     schema, ``mlops/docker/api_server.py:56``) without touching disk.
@@ -75,7 +75,7 @@ def nifti_bytes(volume: np.ndarray, zooms=(1.0, 1.0, 1.0)) -> bytes:
 
 
 def write_nifti(path: str, volume: np.ndarray, zooms=(1.0, 1.0, 1.0)) -> str:
-    """Write a 3-D volume as .nii or .nii.gz (chosen by extension).
+    """Write a 3-D (or 4-D) volume as .nii or .nii.gz (chosen by extension).
 
     NIfTI data is Fortran-ordered (x fastest); the volume is stored so that
     ``read_nifti(write_nifti(p, v))`` returns ``v`` exactly.
@@ -100,7 +100,7 @@ def read_nifti(path: str) -> tuple[np.ndarray, np.ndarray]:
         raise ValueError(f"{path}: not a single-file little-endian NIfTI-1")
     ndim = struct.unpack_from("<h", raw, 40)[0]
     dims = struct.unpack_from("<8h", raw, 40)[1:1 + max(ndim, 3)]
-    shape = tuple(int(d) for d in dims[:3])
+    shape = tuple(int(d) for d in dims[:4 if ndim >= 4 else 3])
     code = struct.unpack_from("<h", raw, 70)[0]
     dtype = _CODE_DTYPES.get(code)
     if dtype is None:

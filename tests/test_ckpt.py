@@ -79,7 +79,7 @@ def test_cli_resume_continues_epochs(tmp_path):
         "npz_dir_train": "", "npz_dir_val": "", "npz_dir": "",
         "val_fraction": 0.25, "seed": 0, "synthetic_data": True, "synthetic_num": 48,
     }))
-    cfg = preset_path("config_tiny_cpu.json")
+    cfg = preset_path("config_micro_cpu.json")
     argv = ["-c", cfg, "-e", str(env), "--synthetic-data"]
 
     # stage 1 (needed by stage 2), then stage 2 epoch 0 only

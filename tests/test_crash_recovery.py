@@ -29,7 +29,7 @@ def test_sigkill_then_resume(tmp_path):
         "npz_dir_train": "", "npz_dir_val": "", "npz_dir": "",
         "val_fraction": 0.25, "seed": 0, "synthetic_data": True, "synthetic_num": 16,
     }))
-    cfg = preset_path("config_tiny_cpu.json")
+    cfg = preset_path("config_micro_cpu.json")
     argv = [sys.executable, "-m", "ldm3d_tpu.cli.train_autoencoder",
             "-c", cfg, "-e", str(env_file), "--synthetic-data",
             "--max-epochs", "50", "--no-images"]

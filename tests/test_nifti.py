@@ -66,3 +66,17 @@ def test_save_volume_writes_nifti(tmp_path):
     assert path.endswith(".nii.gz")
     back, _ = read_nifti(path)
     np.testing.assert_array_equal(back, vol)
+
+
+def test_4d_multichannel_roundtrip(tmp_path):
+    """Multi-channel volumes (reference config_train_16g is 2-channel) write
+    as dim[0]=4 NIfTI and round-trip exactly; serving 'nii' output uses this."""
+    vol = np.random.default_rng(3).random((5, 6, 7, 2)).astype(np.float32)
+    path = write_nifti(str(tmp_path / "mc.nii.gz"), vol)
+    back, zooms = read_nifti(path)
+    assert back.shape == (5, 6, 7, 2)
+    np.testing.assert_array_equal(back, vol)
+
+    nib = pytest.importorskip("nibabel")
+    loaded = np.asanyarray(nib.load(path).dataobj)
+    np.testing.assert_allclose(loaded, vol, rtol=1e-6)

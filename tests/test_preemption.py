@@ -64,7 +64,7 @@ def test_trainer_preempt_saves_resumable_last(tmp_path, monkeypatch):
         "npz_dir_train": "", "npz_dir_val": "", "npz_dir": "",
         "val_fraction": 0.25, "seed": 0, "synthetic_data": True, "synthetic_num": 32,
     }))
-    cfg = preset_path("config_tiny_cpu.json")
+    cfg = preset_path("config_micro_cpu.json")
     argv = ["-c", cfg, "-e", str(env), "--synthetic-data", "--max-epochs", "2"]
     # exits 75 (EX_TEMPFAIL) so wrappers don't mistake preemption for success
     with pytest.raises(SystemExit) as exc:

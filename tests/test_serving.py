@@ -57,6 +57,36 @@ def test_metrics_exposition(api):
     assert 'method="GET"' in text
 
 
+def test_request_count_labels_actual_status(api):
+    """Per-status counters must label the code actually returned (reference
+    middleware parity, api_server.py:273-294) — a 422 is not a 200."""
+    from ldm3d_tpu.serving.api_server import REQUEST_COUNT
+
+    api.dispatch("POST", "/generate", {"num_samples": 99})  # 422
+    api.dispatch("GET", "/nope", {})                         # 404
+    api.dispatch("GET", "/health", {})                       # 200
+    counts = {labels: v for labels, v in REQUEST_COUNT.collect()}
+    assert counts.get(("POST", "/generate", "422"), 0) >= 1
+    assert counts.get(("GET", "/nope", "404"), 0) >= 1
+    assert counts.get(("GET", "/health", "200"), 0) >= 1
+    assert ("GET", "/nope", "200") not in counts
+
+
+def test_dispatch_internal_error_returns_500(api, monkeypatch):
+    """A handler exception must produce a 500 response (and count as one),
+    never leave the HTTP client with a closed socket."""
+    from ldm3d_tpu.serving.api_server import REQUEST_COUNT
+
+    def boom(body):
+        raise KeyError("boom")
+
+    monkeypatch.setattr(api, "generate", boom)
+    code, payload, ctype = api.dispatch("POST", "/generate", {})
+    assert code == 500 and "error" in payload
+    counts = {labels: v for labels, v in REQUEST_COUNT.collect()}
+    assert counts.get(("POST", "/generate", "500"), 0) >= 1
+
+
 def test_model_info(api):
     code, info = api.model_info()
     assert code == 200
