@@ -92,31 +92,43 @@ def _flash_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref, dq_ref,
 
 
 def _flash_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref, dk_ref, dv_ref,
-                      *, block_q: int, q_len: int, scale: float):
+                      dk_acc, dv_acc, *, num_q_blocks: int, scale: float):
     """dK, dV for one (batch*head, kv-block): dV = sum_q P^T dO,
-    dK = scale * sum_q dS^T Q."""
+    dK = scale * sum_q dS^T Q.
+
+    The q/dO/lse/D operands stream per-(grid dim 2) q-block instead of
+    living in VMEM full-length: full (1, n, d) refs plus the x128
+    lane-padding of full (1, n, 1) lse/D rows overflowed Mosaic's 16 MB
+    scoped-vmem budget for the d=256 VAE-attention backward at batch 8
+    (measured 18.3 MB). The q-block loop is the innermost grid dimension;
+    fp32 scratch accumulators carry across its sequential iterations and
+    flush on the last one — identical sums, streamed operands."""
+    qi = pl.program_id(2)
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
-    block_k, head_dim = k.shape
+    q_blk = q_ref[0].astype(jnp.float32)
+    do_blk = do_ref[0].astype(jnp.float32)
+    lse_blk = lse_ref[0]    # (block_q, 1)
+    dvec_blk = dvec_ref[0]  # (block_q, 1)
+    s = scale * jnp.dot(q_blk, k.T, preferred_element_type=jnp.float32)  # (bq, bk)
+    p = jnp.exp(s - lse_blk)
+    dv_c = jnp.dot(p.T, do_blk, preferred_element_type=jnp.float32)
+    dp = jnp.dot(do_blk, v.T, preferred_element_type=jnp.float32)
+    ds = p * (dp - dvec_blk)
+    dk_c = jnp.dot(ds.T, q_blk, preferred_element_type=jnp.float32)
 
-    def body(i, carry):
-        dk_acc, dv_acc = carry
-        q_blk = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        do_blk = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        lse_blk = lse_ref[0, pl.ds(i * block_q, block_q), :]    # (block_q, 1)
-        dvec_blk = dvec_ref[0, pl.ds(i * block_q, block_q), :]  # (block_q, 1)
-        s = scale * jnp.dot(q_blk, k.T, preferred_element_type=jnp.float32)  # (bq, bk)
-        p = jnp.exp(s - lse_blk)
-        dv_acc = dv_acc + jnp.dot(p.T, do_blk, preferred_element_type=jnp.float32)
-        dp = jnp.dot(do_blk, v.T, preferred_element_type=jnp.float32)
-        ds = p * (dp - dvec_blk)
-        dk_acc = dk_acc + jnp.dot(ds.T, q_blk, preferred_element_type=jnp.float32)
-        return dk_acc, dv_acc
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    zeros = jnp.zeros((block_k, head_dim), jnp.float32)
-    dk_acc, dv_acc = jax.lax.fori_loop(0, q_len // block_q, body, (zeros, zeros))
-    dk_ref[0] = (scale * dk_acc).astype(dk_ref.dtype)
-    dv_ref[0] = dv_acc.astype(dv_ref.dtype)
+    dk_acc[...] += dk_c
+    dv_acc[...] += dv_c
+
+    @pl.when(qi == num_q_blocks - 1)
+    def _flush():
+        dk_ref[0] = (scale * dk_acc[...]).astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
 def _pick_block(n: int, preferred: int) -> int:
@@ -126,6 +138,25 @@ def _pick_block(n: int, preferred: int) -> int:
         if n % cand == 0:
             best = cand
     return best
+
+
+def _bwd_blocks(n: int, kv_len: int, d: int, block_q: int, block_k: int) -> tuple[int, int]:
+    """Backward-kernel block sizes, capped by head_dim to fit scoped VMEM.
+
+    The dQ/dKV kernels hold fp32 (block_q x block_k) P/dS tiles plus
+    (block x d) operand/accumulator tiles on the kernel stack; at head_dim
+    256 (the VAE's single-head attention blocks) the forward's 512-token
+    blocks overflow Mosaic's 16 MB scoped-vmem limit in the BACKWARD only
+    (measured: 18.3 MB at (8, 4096 tokens, d=256) — stage-1 batch 8).
+    Capping block area inversely to d keeps the stack bounded while leaving
+    the flagship d=64 paths untouched (cap 512 = the default).
+    """
+    cap = max(8, 32768 // max(d, 1))
+    if block_q > cap:
+        block_q = _pick_block(n, cap) or block_q
+    if block_k > cap:
+        block_k = _pick_block(kv_len, cap) or block_k
+    return block_q, block_k
 
 
 def _fold(x: jax.Array) -> jax.Array:
@@ -180,6 +211,7 @@ def _flash_bwd_impl(q, k, v, o, lse, g, block_q: int, block_k: int, interpret: b
     """FlashAttention-2 backward: dQ/dK/dV kernels, no (n x n) materialization."""
     b, n, h, d = q.shape
     kv_len = k.shape[1]
+    block_q, block_k = _bwd_blocks(n, kv_len, d, block_q, block_k)
     scale = 1.0 / math.sqrt(d)
     qf, kf, vf, of, gf = _fold(q), _fold(k), _fold(v), _fold(o), _fold(g)
     # D_i = rowsum(dO * O): one fused elementwise+reduce, fp32
@@ -202,25 +234,35 @@ def _flash_bwd_impl(q, k, v, o, lse, g, block_q: int, block_k: int, interpret: b
         interpret=interpret,
     )(qf, kf, vf, gf, lse, dvec)
 
+    # dK/dV: q-blocks stream on the innermost grid dim (sequential on TPU);
+    # the output block's index_map ignores it, so the fp32 scratch
+    # accumulators persist across it and flush once per kv-block.
+    from jax.experimental.pallas import tpu as pltpu
+
+    num_q_blocks = n // block_q
     dk, dv = pl.pallas_call(
-        functools.partial(_flash_dkv_kernel, block_q=block_q, q_len=n, scale=scale),
+        functools.partial(_flash_dkv_kernel, num_q_blocks=num_q_blocks, scale=scale),
         out_shape=(
             jax.ShapeDtypeStruct((b * h, kv_len, d), k.dtype),
             jax.ShapeDtypeStruct((b * h, kv_len, d), v.dtype),
         ),
-        grid=(b * h, kv_len // block_k),
+        grid=(b * h, kv_len // block_k, num_q_blocks),
         in_specs=[
-            pl.BlockSpec((1, n, d), lambda g_, j: (g_, 0, 0)),         # q
-            pl.BlockSpec((1, block_k, d), lambda g_, j: (g_, j, 0)),   # k
-            pl.BlockSpec((1, block_k, d), lambda g_, j: (g_, j, 0)),   # v
-            pl.BlockSpec((1, n, d), lambda g_, j: (g_, 0, 0)),         # dO
-            pl.BlockSpec((1, n, 1), lambda g_, j: (g_, 0, 0)),         # lse
-            pl.BlockSpec((1, n, 1), lambda g_, j: (g_, 0, 0)),         # D
+            pl.BlockSpec((1, block_q, d), lambda g_, j, i: (g_, i, 0)),   # q
+            pl.BlockSpec((1, block_k, d), lambda g_, j, i: (g_, j, 0)),   # k
+            pl.BlockSpec((1, block_k, d), lambda g_, j, i: (g_, j, 0)),   # v
+            pl.BlockSpec((1, block_q, d), lambda g_, j, i: (g_, i, 0)),   # dO
+            pl.BlockSpec((1, block_q, 1), lambda g_, j, i: (g_, i, 0)),   # lse
+            pl.BlockSpec((1, block_q, 1), lambda g_, j, i: (g_, i, 0)),   # D
         ],
         out_specs=(
-            pl.BlockSpec((1, block_k, d), lambda g_, j: (g_, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda g_, j: (g_, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda g_, j, i: (g_, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda g_, j, i: (g_, j, 0)),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
         interpret=interpret,
     )(qf, kf, vf, gf, lse, dvec)
 

@@ -142,3 +142,51 @@ def test_flash_attention_gradients_match_xla():
     gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gf, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4)
+
+
+def test_flash_backward_gradients_large_head_dim():
+    """The d=256 single-head case (the VAE's attention blocks) exercises the
+    streamed dK/dV kernel with MULTIPLE q-blocks per kv-block and the
+    head_dim-aware block cap (_bwd_blocks): at batch 8 x 4096 tokens the old
+    full-row formulation overflowed Mosaic's 16 MB scoped vmem on TPU.
+    Gradients must match the XLA path across the q-block accumulation."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ldm3d_tpu.ops.attention import volumetric_attention
+
+    rng = np.random.default_rng(5)
+    shape = (1, 128, 1, 256)  # (batch, tokens, heads, head_dim=256)
+    q, k, v = (jnp.asarray(0.3 * rng.standard_normal(shape, dtype=np.float32))
+               for _ in range(3))
+
+    def loss_flash(q, k, v):
+        # block 32 -> 4 q-blocks per kv-block: the scratch accumulators carry
+        # across inner-grid iterations and flush once per kv-block
+        out = volumetric_attention(q, k, v, use_flash=True, interpret=True,
+                                   block_q=32, block_k=32)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(volumetric_attention(q, k, v, use_flash=False).astype(jnp.float32) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4)
+
+
+def test_bwd_blocks_head_dim_cap():
+    """Backward block sizes shrink inversely with head_dim (vmem budget) and
+    stay divisor-valid; flagship d=64 keeps the defaults untouched."""
+    from ldm3d_tpu.ops.attention import _bwd_blocks
+
+    # d=64: cap 512 == default -> unchanged
+    assert _bwd_blocks(13824, 13824, 64, 432, 432) == (432, 432)
+    # d=256: cap 128 -> picked divisors of n that are multiples of 8
+    bq, bk = _bwd_blocks(4096, 4096, 256, 512, 512)
+    assert bq <= 128 and bk <= 128
+    assert 4096 % bq == 0 and 4096 % bk == 0 and bq % 8 == 0 and bk % 8 == 0
+    # no valid divisor under the cap -> falls back to the caller's block
+    assert _bwd_blocks(9, 9, 4096, 8, 8) == (8, 8)
