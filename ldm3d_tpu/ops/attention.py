@@ -18,6 +18,7 @@ import math
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["volumetric_attention"]
 
@@ -34,8 +35,18 @@ def _xla_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     return out
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int, kv_len: int, scale: float):
-    """Single-(batch, head, q-block) flash attention with online softmax.
+# k/v bytes resident per kernel instance above which the forward streams
+# kv-blocks on an inner grid dim instead of holding k/v full-length in VMEM.
+# Full-length is measurably faster at the flagship shapes (UNet 12^3 x d64:
+# 3.7 vs 4.3 ms — only ~4 kv-blocks, so per-block scratch overhead shows),
+# but overflows the 16 MB scoped-vmem budget at the VAE's 13824 x d256
+# attention; 8 MB keeps every measured-good shape on the monolithic path.
+_MONO_KV_BYTES = 8 * 1024 * 1024
+
+
+def _flash_kernel_mono(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                       *, block_k: int, kv_len: int, scale: float):
+    """Flash forward with full-length k/v in VMEM (small-kv fast path).
 
     Grid: (batch*heads, num_q_blocks). Refs are VMEM blocks:
       q_ref: (block_q, head_dim), k_ref/v_ref: (kv_len, head_dim),
@@ -67,28 +78,71 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int, kv_len: 
     lse_ref[0] = m + jnp.log(l)  # (block_q, 1)
 
 
-def _flash_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref, dq_ref,
-                     *, block_k: int, kv_len: int, scale: float):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
+                  *, num_kv_blocks: int, scale: float):
+    """Flash attention forward with online softmax, fully streamed.
+
+    Grid: (batch*heads, num_q_blocks, num_kv_blocks) — kv-blocks iterate on
+    the INNERMOST (sequential) grid dimension, so k/v stream through VMEM one
+    (block_k, head_dim) tile at a time instead of residing full-length: full
+    k/v rows overflowed Mosaic's 16 MB scoped-vmem budget at the VAE's
+    (13824 tokens, d=256) attention. The online-softmax carry (acc, m, l)
+    lives in fp32 VMEM scratch across the inner iterations; the output block
+    and the row-logsumexp (the FlashAttention-2 backward residual) flush on
+    the last kv-block.
+    """
+    ki = pl.program_id(2)
+    q = q_ref[0].astype(jnp.float32) * scale
+    k_blk = k_ref[0].astype(jnp.float32)
+    v_blk = v_ref[0].astype(jnp.float32)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)  # (bq, bk)
+    m_prev = m_ref[...]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[...] = acc_ref[...] * alpha + jnp.dot(p, v_blk, preferred_element_type=jnp.float32)
+    m_ref[...] = m_new
+
+    @pl.when(ki == num_kv_blocks - 1)
+    def _flush():
+        o_ref[0] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
+        lse_ref[0] = m_ref[...] + jnp.log(l_ref[...])  # (block_q, 1)
+
+
+def _flash_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref, dq_ref, acc_ref,
+                     *, num_kv_blocks: int, scale: float):
     """dQ for one (batch*head, q-block): dQ = scale * sum_k dS_k K_k with
-    dS = P * (dO V^T - D), P = exp(scale*QK^T - lse)."""
+    dS = P * (dO V^T - D), P = exp(scale*QK^T - lse). k/v stream per
+    kv-block on the innermost grid dim (see _flash_kernel)."""
+    ki = pl.program_id(2)
     q = q_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
     lse = lse_ref[0]   # (block_q, 1)
     dvec = dvec_ref[0]  # (block_q, 1)
-    block_q, head_dim = q.shape
+    k_blk = k_ref[0].astype(jnp.float32)
+    v_blk = v_ref[0].astype(jnp.float32)
 
-    def body(i, acc):
-        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = scale * jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
-        p = jnp.exp(s - lse)
-        dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
-        ds = p * (dp - dvec)
-        return acc + jnp.dot(ds, k_blk, preferred_element_type=jnp.float32)
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    acc = jax.lax.fori_loop(0, kv_len // block_k,
-                            body, jnp.zeros((block_q, head_dim), jnp.float32))
-    dq_ref[0] = (scale * acc).astype(dq_ref.dtype)
+    s = scale * jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+    p = jnp.exp(s - lse)
+    dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
+    ds = p * (dp - dvec)
+    acc_ref[...] += jnp.dot(ds, k_blk, preferred_element_type=jnp.float32)
+
+    @pl.when(ki == num_kv_blocks - 1)
+    def _flush():
+        dq_ref[0] = (scale * acc_ref[...]).astype(dq_ref.dtype)
 
 
 def _flash_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref, dk_ref, dv_ref,
@@ -181,26 +235,52 @@ def _flash_fwd_impl(
     scale = 1.0 / math.sqrt(d)
     qf, kf, vf = _fold(q), _fold(k), _fold(v)
 
-    grid = (b * h, n // block_q)
-    kernel = functools.partial(_flash_kernel, block_k=block_k, kv_len=kv_len, scale=scale)
+    # out_shape trailing singleton on lse keeps the block's last-two dims
+    # tileable (Mosaic requires them divisible by (8, 128) or dim-equal)
+    out_shape = (
+        jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
+        jax.ShapeDtypeStruct((b * h, n, 1), jnp.float32),
+    )
+    if kv_len * d * 2 * q.dtype.itemsize <= _MONO_KV_BYTES:
+        kernel = functools.partial(_flash_kernel_mono, block_k=block_k,
+                                   kv_len=kv_len, scale=scale)
+        out, lse = pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            grid=(b * h, n // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda g, i: (g, i, 0)),
+                pl.BlockSpec((1, kv_len, d), lambda g, i: (g, 0, 0)),
+                pl.BlockSpec((1, kv_len, d), lambda g, i: (g, 0, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, block_q, d), lambda g, i: (g, i, 0)),
+                pl.BlockSpec((1, block_q, 1), lambda g, i: (g, i, 0)),
+            ),
+            interpret=interpret,
+        )(qf, kf, vf)
+        return _unfold(out, b, h), lse
+
+    num_kv_blocks = kv_len // block_k
+    kernel = functools.partial(_flash_kernel, num_kv_blocks=num_kv_blocks, scale=scale)
     out, lse = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
-            # trailing singleton keeps the block's last-two dims tileable
-            # (Mosaic requires them divisible by (8, 128) or dim-equal)
-            jax.ShapeDtypeStruct((b * h, n, 1), jnp.float32),
-        ),
-        grid=grid,
+        out_shape=out_shape,
+        grid=(b * h, n // block_q, num_kv_blocks),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda g, i: (g, i, 0)),
-            pl.BlockSpec((1, kv_len, d), lambda g, i: (g, 0, 0)),
-            pl.BlockSpec((1, kv_len, d), lambda g, i: (g, 0, 0)),
+            pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda g, i, j: (g, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda g, i, j: (g, j, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, block_q, d), lambda g, i: (g, i, 0)),
-            pl.BlockSpec((1, block_q, 1), lambda g, i: (g, i, 0)),
+            pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda g, i, j: (g, i, 0)),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
         interpret=interpret,
     )(qf, kf, vf)
     return _unfold(out, b, h), lse
@@ -218,27 +298,27 @@ def _flash_bwd_impl(q, k, v, o, lse, g, block_q: int, block_k: int, interpret: b
     dvec = jnp.sum(gf.astype(jnp.float32) * of.astype(jnp.float32),
                    axis=-1, keepdims=True)  # (bh, n, 1)
 
+    num_kv_blocks = kv_len // block_k
     dq = pl.pallas_call(
-        functools.partial(_flash_dq_kernel, block_k=block_k, kv_len=kv_len, scale=scale),
+        functools.partial(_flash_dq_kernel, num_kv_blocks=num_kv_blocks, scale=scale),
         out_shape=jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
-        grid=(b * h, n // block_q),
+        grid=(b * h, n // block_q, num_kv_blocks),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda g_, i: (g_, i, 0)),   # q
-            pl.BlockSpec((1, kv_len, d), lambda g_, i: (g_, 0, 0)),    # k
-            pl.BlockSpec((1, kv_len, d), lambda g_, i: (g_, 0, 0)),    # v
-            pl.BlockSpec((1, block_q, d), lambda g_, i: (g_, i, 0)),   # dO
-            pl.BlockSpec((1, block_q, 1), lambda g_, i: (g_, i, 0)),   # lse
-            pl.BlockSpec((1, block_q, 1), lambda g_, i: (g_, i, 0)),   # D
+            pl.BlockSpec((1, block_q, d), lambda g_, i, j: (g_, i, 0)),   # q
+            pl.BlockSpec((1, block_k, d), lambda g_, i, j: (g_, j, 0)),   # k
+            pl.BlockSpec((1, block_k, d), lambda g_, i, j: (g_, j, 0)),   # v
+            pl.BlockSpec((1, block_q, d), lambda g_, i, j: (g_, i, 0)),   # dO
+            pl.BlockSpec((1, block_q, 1), lambda g_, i, j: (g_, i, 0)),   # lse
+            pl.BlockSpec((1, block_q, 1), lambda g_, i, j: (g_, i, 0)),   # D
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda g_, i: (g_, i, 0)),
+        out_specs=pl.BlockSpec((1, block_q, d), lambda g_, i, j: (g_, i, 0)),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         interpret=interpret,
     )(qf, kf, vf, gf, lse, dvec)
 
     # dK/dV: q-blocks stream on the innermost grid dim (sequential on TPU);
     # the output block's index_map ignores it, so the fp32 scratch
     # accumulators persist across it and flush once per kv-block.
-    from jax.experimental.pallas import tpu as pltpu
-
     num_q_blocks = n // block_q
     dk, dv = pl.pallas_call(
         functools.partial(_flash_dkv_kernel, num_q_blocks=num_q_blocks, scale=scale),

@@ -190,3 +190,36 @@ def test_bwd_blocks_head_dim_cap():
     assert 4096 % bq == 0 and 4096 % bk == 0 and bq % 8 == 0 and bk % 8 == 0
     # no valid divisor under the cap -> falls back to the caller's block
     assert _bwd_blocks(9, 9, 4096, 8, 8) == (8, 8)
+
+
+def test_flash_forward_streamed_path_matches(monkeypatch):
+    """Large-k/v shapes take the streamed forward (kv-blocks on an inner grid
+    dim with online-softmax scratch carry); force that path at a small shape
+    and pin it against the XLA reference — fwd AND grads."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ldm3d_tpu.ops import attention as A
+
+    monkeypatch.setattr(A, "_MONO_KV_BYTES", 0)  # everything streams
+    rng = np.random.default_rng(7)
+    shape = (2, 96, 2, 64)
+    q, k, v = (jnp.asarray(0.5 * rng.standard_normal(shape, dtype=np.float32))
+               for _ in range(3))
+    out = A.volumetric_attention(q, k, v, use_flash=True, interpret=True,
+                                 block_q=32, block_k=32)
+    ref = A.volumetric_attention(q, k, v, use_flash=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+    def loss(f):
+        def inner(q, k, v):
+            o = A.volumetric_attention(q, k, v, use_flash=f, interpret=True,
+                                       block_q=32, block_k=32)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+        return inner
+
+    gf = jax.grad(loss(True), argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss(False), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4)
