@@ -296,6 +296,40 @@ def run_bench(models, BATCH: int):
     except Exception as e:  # noqa: BLE001 — secondary metric only
         _progress(f"dpm20 secondary skipped ({type(e).__name__})")
 
+    # secondary: stage-2 training throughput (cached-latents + remat, the
+    # recommended single-chip training config — docs/PERFORMANCE.md); failures
+    # here never affect the headline
+    train_vols_per_sec = None
+    try:
+        from ldm3d_tpu.training import (Stage2Config, TrainState,
+                                        make_diffusion_optimizer,
+                                        make_stage2_train_step_latents)
+
+        unet_remat = unet.clone(remat=True)
+        sched_train = DDPMScheduler.create(num_train_timesteps=DDPM_STEPS)
+        state = TrainState.create(apply_fn=unet_remat.apply, params=u_params,
+                                  tx=make_diffusion_optimizer(1e-4))
+        step = make_stage2_train_step_latents(unet_remat, sched_train,
+                                              Stage2Config(conditional=True))
+        tb = {
+            "label_mu": jax.random.normal(rng, (BATCH, latent, latent, latent,
+                                                ae.latent_channels), jnp.float32),
+            "label_sigma": jnp.full((BATCH, latent, latent, latent,
+                                     ae.latent_channels), 0.1, jnp.float32),
+            "image_mu": condition.astype(jnp.float32),
+            "image_sigma": jnp.full(condition.shape, 0.1, jnp.float32),
+        }
+        state, tm = step(state, tb, jnp.float32(0.9), jax.random.PRNGKey(77))
+        float(tm["diffusion_loss"])  # compile + warm
+        t0 = time.perf_counter()
+        for i in range(3):
+            state, tm = step(state, tb, jnp.float32(0.9), jax.random.PRNGKey(78 + i))
+        float(tm["diffusion_loss"])
+        train_vols_per_sec = BATCH / ((time.perf_counter() - t0) / 3)
+        _progress(f"stage-2 cached-latents training: {train_vols_per_sec:.2f} vol/s")
+    except Exception as e:  # noqa: BLE001 — secondary metric only
+        _progress(f"training secondary skipped ({type(e).__name__}: {str(e)[:80]})")
+
     # --- MFU: XLA-cost-model FLOPs over measured wall time --------------------
     # One UNet application (the scan body's cost) and one decode chunk; both
     # programs are already in the persistent compile cache from the timings
@@ -341,6 +375,8 @@ def run_bench(models, BATCH: int):
         "ddpm1000_python_loop_seconds_per_volume": round(baseline_time / BATCH, 3),
         "dpm20_volumes_per_sec_chip": (round(dpm20_vols_per_sec, 4)
                                        if dpm20_vols_per_sec else None),
+        "stage2_train_volumes_per_sec_chip": (round(train_vols_per_sec, 4)
+                                              if train_vols_per_sec else None),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
