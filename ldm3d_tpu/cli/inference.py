@@ -140,7 +140,8 @@ def build_sampler_fn(args, ae, ae_params, unet, u_params, scheduler, scale_facto
 
 def main(argv=None):
     parser = build_parser("TPU latent diffusion inference")
-    parser.add_argument("-n", "--num", type=int, default=1, help="number of generated images")
+    parser.add_argument("-n", "--num", type=int, default=1,
+                        help="number of generation calls (total volumes = num x batch)")
     parser.add_argument("--sampler", choices=("ddpm", "ddim", "dpm"), default="ddpm",
                         help="ddpm = full-loop reference parity; ddim = fast path; "
                              "dpm = DPM-Solver++ 2M (fewer steps at equal quality)")
@@ -233,7 +234,11 @@ def main(argv=None):
                  i, vols.shape, time.perf_counter() - t_enq, args.sampler, n_steps)
         for b in range(vols.shape[0]):
             stem = datetime.now().strftime(f"synimg_%Y%m%d_%H%M%S_{i}_{b}")
-            path = save_volume(vols[b, ..., 0], args.output_dir, stem)
+            # single-channel models write bare (D,H,W) volumes; multi-channel
+            # variants (reference config_train_16g is 2-channel) keep the
+            # channel axis as a 4-D NIfTI instead of silently dropping it
+            vol = vols[b, ..., 0] if vols.shape[-1] == 1 else vols[b]
+            path = save_volume(vol, args.output_dir, stem)
             written.append(path)
             log.info("wrote %s", path)
 
