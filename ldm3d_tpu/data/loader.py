@@ -87,29 +87,48 @@ class BatchLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         _SENTINEL = object()
         err: list[BaseException] = []
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            """put() that gives up when the consumer abandoned the epoch —
+            otherwise a mid-epoch break (e.g. SIGTERM preemption) would leave
+            this thread blocked on a full queue forever."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for b in range(nb):
+                    if stop.is_set():
+                        return
                     chunk = indices[b * self.batch_size : (b + 1) * self.batch_size]
                     if len(chunk) == 0:
                         break
                     if self.pad_partial and len(chunk) < self.batch_size:
                         pad = np.full(self.batch_size - len(chunk), chunk[-1])
                         chunk = np.concatenate([chunk, pad])
-                    q.put(_stack([self.dataset[int(i)] for i in chunk]))
+                    if not _put(_stack([self.dataset[int(i)] for i in chunk])):
+                        return
             except BaseException as e:  # propagate into consumer
                 err.append(e)
             finally:
-                q.put(_SENTINEL)
+                _put(_SENTINEL)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _SENTINEL:
-                break
-            yield item
-        t.join()
-        if err:
-            raise err[0]
+        try:
+            while True:
+                item = q.get()
+                if item is _SENTINEL:
+                    break
+                yield item
+            t.join()
+            if err:
+                raise err[0]
+        finally:
+            stop.set()

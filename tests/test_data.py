@@ -120,3 +120,29 @@ def test_prepare_dataloader_synthetic():
     vb = next(iter(vl.epoch(0)))
     # val patch = ceil(1.5*16/4)*4 = 24
     assert vb["image"].shape == (2, 24, 24, 24, 1)
+
+
+def test_loader_abandoned_epoch_releases_worker():
+    """Breaking out of an epoch mid-way (the preemption path) must not leave
+    the prefetch worker blocked on a full queue forever."""
+    import threading
+    import time
+
+    from ldm3d_tpu.data.loader import BatchLoader
+
+    class Slow:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return {"x": np.full((2, 2), i, np.float32)}
+
+    loader = BatchLoader(Slow(), batch_size=2, shuffle=False, prefetch=1)
+    before = threading.active_count()
+    gen = loader.epoch(0)
+    next(gen)          # worker is now blocked filling the prefetch queue
+    gen.close()        # abandon the epoch (what a preemption break does)
+    deadline = time.time() + 5
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "prefetch worker leaked"
