@@ -174,7 +174,12 @@ void convert_to_f32(const uint8_t* src, float* dst, size_t count) {
 }
 
 // Load one NPZ pair file into out (float32, 2*d*h*w). Returns 0 on success.
-int load_pair_impl(const char* path, float* out, int64_t* dims /*[4]*/) {
+// When expect != nullptr ([2, d, h, w]), the file's shape is validated
+// BEFORE anything is written to out: the batch API sizes each slot from the
+// expected dims, so copying first and checking after would let one
+// wrong-shaped file overflow the caller's buffer.
+int load_pair_impl(const char* path, float* out, int64_t* dims /*[4]*/,
+                   const int64_t* expect = nullptr) {
     Buffer buf;
     if (!read_file(path, buf)) return 1;
     std::vector<ZipEntry> entries;
@@ -207,6 +212,9 @@ int load_pair_impl(const char* path, float* out, int64_t* dims /*[4]*/) {
     if (!parse_npy(npy, npy_len, info)) return 5;
     if (info.fortran) return 6;
     if (info.shape.size() < 4 || info.shape[0] < 2) return 7;
+    if (expect && (info.shape[1] != expect[1] || info.shape[2] != expect[2] ||
+                   info.shape[3] != expect[3]))
+        return 10;  // shape mismatch — reject before touching out
 
     size_t count = 1;
     for (auto d : info.shape) count *= static_cast<size_t>(d);
@@ -306,10 +314,13 @@ int npz_load_batch(const char** paths, int n, const int64_t* dims, float* out, i
         for (;;) {
             int i = next.fetch_add(1);
             if (i >= n || err.load() >= 0) break;
-            int rc = load_pair_impl(paths[i], out + static_cast<size_t>(i) * per, d);
-            if (rc != 0 || d[1] != dims[1] || d[2] != dims[2] || d[3] != dims[3]) {
-                int expect = -1;
-                err.compare_exchange_strong(expect, 100 + i);
+            // dims passed as `expect`: the shape check happens BEFORE the
+            // payload copy, so a wrong-shaped file can never overflow its
+            // (expected-dims-sized) slot in out
+            int rc = load_pair_impl(paths[i], out + static_cast<size_t>(i) * per, d, dims);
+            if (rc != 0) {
+                int expect_err = -1;
+                err.compare_exchange_strong(expect_err, 100 + i);
                 break;
             }
         }
