@@ -294,7 +294,11 @@ int npz_pair_dims(const char* path, int64_t* dims /*[4]*/) {
 }
 
 int npz_load_pair(const char* path, float* out, int64_t* dims) {
-    return load_pair_impl(path, out, dims);
+    // callers pass the probed dims in; treat nonzero spatial dims as the
+    // expected shape so a file swapped between probe and load (TOCTOU)
+    // can't overflow the buffer sized from the probe
+    bool has_expect = dims[1] > 0 && dims[2] > 0 && dims[3] > 0;
+    return load_pair_impl(path, out, dims, has_expect ? dims : nullptr);
 }
 
 // Load a batch of same-shaped NPZ pairs in parallel.
