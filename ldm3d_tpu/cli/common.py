@@ -180,6 +180,12 @@ def model_dtype(args):
 def global_batch_size(per_device_batch: int, mesh) -> int:
     """Reference batch_size is per-replica (one process per GPU); the global
     batch over the mesh is per_device * data_axis."""
+    if jax.default_backend() == "tpu" and per_device_batch % 8:
+        logging.getLogger("ldm3d_tpu").warning(
+            "per-chip batch %d pads to the TPU's 8-row sublane quantum — "
+            "batch 8 measured 2.5x the batch-2 stage-1 throughput on v5e "
+            "(use --remat if memory-bound; docs/PERFORMANCE.md)",
+            per_device_batch)
     return per_device_batch * mesh.shape["data"]
 
 
