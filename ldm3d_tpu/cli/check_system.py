@@ -107,6 +107,12 @@ def generate_config_file(rec: dict, out_path: str) -> None:
     cfg = load_json(preset_path(rec["preset"]))
     cfg["autoencoder_train"]["batch_size"] = rec["batch_size"]
     cfg["autoencoder_train"]["patch_size"] = rec["patch_size"]
+    # size stage 2 to the same tier: the preset's diffusion_train (e.g. the
+    # 32g file's batch 20 @ 80^3) can exceed the HBM this tool just sized
+    # for, and the LDM should train at the patch the VAE was trained on
+    # (both recommended patches are divisible by the stage-2 factor 16)
+    cfg["diffusion_train"]["batch_size"] = rec["batch_size"]
+    cfg["diffusion_train"]["patch_size"] = rec["patch_size"]
     validate_config(cfg, source=out_path)  # never emit a config the CLIs reject
     with open(out_path, "w") as f:
         json.dump(cfg, f, indent=2)

@@ -235,7 +235,8 @@ def make_sampling_scheduler(name: str, steps: int | None, sched_cfg: dict):
     from ldm3d_tpu.diffusion import DDIMScheduler, DDPMScheduler, DPMSolverPPScheduler
 
     common = dict(num_train_timesteps=sched_cfg["num_train_timesteps"],
-                  schedule="scaled_linear_beta", beta_start=sched_cfg["beta_start"],
+                  schedule=sched_cfg.get("schedule", "scaled_linear_beta"),
+                  beta_start=sched_cfg["beta_start"],
                   beta_end=sched_cfg["beta_end"], prediction_type=sched_cfg["prediction_type"])
     if steps is None:
         steps = default_sampler_steps(name, sched_cfg)

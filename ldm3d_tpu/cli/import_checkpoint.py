@@ -124,6 +124,18 @@ def main(argv=None):
             from ldm3d_tpu.data import prepare_dataloader
             from ldm3d_tpu.training import compute_scale_factor
 
+            if not args.autoencoder:
+                # deriving from this process's ae_params would silently use a
+                # RANDOM-init VAE; load the previously-imported 'best' instead
+                ae_mgr = CheckpointManager(args.model_dir, StageArtifacts.AUTOENCODER)
+                if not ae_mgr.exists("best"):
+                    parser.error(
+                        "--derive-scale-factor needs trained VAE weights: pass "
+                        "--autoencoder in the same run, or import it first so "
+                        f"{args.model_dir}/autoencoder/best exists")
+                ae_params = ae_mgr.restore_params("best", ae_params)
+                log.info("loaded existing autoencoder 'best' for scale-factor derivation")
+
             train_loader, _ = prepare_dataloader(
                 args, 1, args.diffusion_train["patch_size"], randcrop=False,
                 size_divisible=2 ** (len(args.autoencoder_def["channels"])

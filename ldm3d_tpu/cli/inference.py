@@ -191,8 +191,15 @@ def main(argv=None):
         batch = next(iter(val_loader.epoch(0)))
         images = jnp.clip(jnp.asarray(batch["image"]), 0, 1).astype(dt)
         rng, crng = jax.random.split(rng)
-        condition = ae.apply({"params": ae_params}, images,
-                             method="encode_stage_2_inputs", rngs={"sample": crng})
+        if mesh.shape.get("spatial", 1) > 1:
+            # depth-sharded encode: the unsharded model would OOM at exactly
+            # the volume sizes --spatial exists for
+            from ldm3d_tpu.parallel import make_spatial_encoder
+
+            condition = make_spatial_encoder(ae, mesh)(ae_params, images, crng)
+        else:
+            condition = ae.apply({"params": ae_params}, images,
+                                 method="encode_stage_2_inputs", rngs={"sample": crng})
         log.info("conditional sampling (concat) with condition shape %s", condition.shape)
 
     if mesh.shape.get("spatial", 1) > 1:

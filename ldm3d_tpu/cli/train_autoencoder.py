@@ -170,15 +170,21 @@ def main(argv=None):
         validate_spatial_divisibility(train_cfg["patch_size"][0], mesh.shape["spatial"],
                                       len(args.autoencoder_def["channels"]) - 1)
         train_step = make_stage1_train_step_spatial(ae, disc, lpips_apply, s1cfg, mesh)
+        # validation must be depth-sharded too: the unsharded eval step would
+        # materialize full-volume activations per chip — OOM at exactly the
+        # sizes --spatial exists for
+        from ldm3d_tpu.training.stage1 import make_stage1_eval_step_spatial
+
+        eval_step = make_stage1_eval_step_spatial(ae, lpips_apply, s1cfg, mesh)
 
         def place_images(b):
             return b  # jitted shard_map places P('data','spatial') itself
     else:
         train_step = make_stage1_train_step(ae, disc, lpips_apply, s1cfg)
+        eval_step = make_stage1_eval_step(ae, lpips_apply, s1cfg)
 
         def place_images(b):
             return shard_batch(mesh, b)
-    eval_step = make_stage1_eval_step(ae, lpips_apply, s1cfg)
 
     writer = MetricsWriter(os.path.join(args.tfevent_path, "autoencoder"))
     profiler = StepProfiler("./profiler_logs", enabled=args.profile)
@@ -239,7 +245,7 @@ def main(argv=None):
                 val_losses = []
                 recon = images = None
                 for batch in val_loader.epoch(epoch):
-                    images = shard_batch(mesh, batch["image"])
+                    images = place_images(batch["image"])
                     rng, vrng = jax.random.split(rng)
                     vm, recon = eval_step(g_state.params, images, vrng)
                     val_losses.append(vm["val_recon_loss"])

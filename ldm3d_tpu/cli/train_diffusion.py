@@ -111,7 +111,7 @@ def main(argv=None):
     sched_cfg = ctx.scheduler_config()
     scheduler = DDPMScheduler.create(
         num_train_timesteps=sched_cfg["num_train_timesteps"],
-        schedule="scaled_linear_beta",
+        schedule=sched_cfg.get("schedule", "scaled_linear_beta"),
         beta_start=sched_cfg["beta_start"],
         beta_end=sched_cfg["beta_end"],
         prediction_type=sched_cfg["prediction_type"],
@@ -167,6 +167,11 @@ def main(argv=None):
             raise ValueError("--cache-latents is incompatible with --spatial "
                              "(the cache stores whole-volume latents)")
         train_step = make_stage2_train_step_spatial(unet, ae, scheduler, s2cfg, mesh)
+        # validation must be depth-sharded too (the unsharded eval step
+        # would OOM at exactly the volume sizes --spatial exists for)
+        from ldm3d_tpu.training.stage2 import make_stage2_eval_step_spatial
+
+        eval_step = make_stage2_eval_step_spatial(unet, ae, scheduler, s2cfg, mesh)
 
         def place_batch(b):
             return b  # jitted shard_map places P('data','spatial') itself
@@ -185,14 +190,16 @@ def main(argv=None):
         def train_step(state, _ae_params, sb, sf, r):  # uniform loop signature
             return lat_step(state, sb, sf, r)
 
+        eval_step = make_stage2_eval_step(unet, ae, scheduler, s2cfg)
+
         def place_batch(b):
             return shard_batch(mesh, b)
     else:
         train_step = make_stage2_train_step(unet, ae, scheduler, s2cfg)
+        eval_step = make_stage2_eval_step(unet, ae, scheduler, s2cfg)
 
         def place_batch(b):
             return shard_batch(mesh, b)
-    eval_step = make_stage2_eval_step(unet, ae, scheduler, s2cfg)
 
     writer = MetricsWriter(os.path.join(args.tfevent_path, "diffusion"))
     stop = GracefulShutdown()  # SIGTERM (preemption) -> save 'last' + exit 0
@@ -268,23 +275,45 @@ def main(argv=None):
 
                 # periodic conditional sampling (reference :308-333)
                 if not args.no_images and epoch % (2 * val_interval) == 0 and last_batch is not None:
-                    img1 = jnp.clip(jnp.asarray(last_batch["image"][:1]), 0, 1).astype(dt)
                     rng, crng, nrng, srng = jax.random.split(rng, 4)
-                    cond = None
-                    if s2cfg.conditional:
-                        cond = ae.apply({"params": ae_params}, img1,
-                                        method="encode_stage_2_inputs", rngs={"sample": crng})
-                    latent_shape = (1, *[s // ae.downsample_factor for s in img1.shape[1:4]], ae.latent_channels)
-                    noise = jax.random.normal(nrng, latent_shape, jnp.float32).astype(dt)
+                    n_spatial = mesh.shape.get("spatial", 1)
+                    if n_spatial > 1:
+                        # depth-sharded sampling/encoding — the unsharded path
+                        # would OOM at exactly the sizes --spatial serves. The
+                        # batch must cover the data axis, so sample n_data
+                        # volumes of the same condition and keep the first.
+                        from ldm3d_tpu.parallel import (make_spatial_encoder,
+                                                        make_spatial_sampler)
 
-                    def unet_apply(z, t):
-                        return unet.apply({"params": u_state.params}, z, t)
+                        n_data = mesh.shape["data"]
+                        imgs = jnp.clip(jnp.asarray(last_batch["image"][:1]), 0, 1).astype(dt)
+                        imgs = jnp.tile(imgs, (n_data, 1, 1, 1, 1))
+                        cond = (make_spatial_encoder(ae, mesh)(ae_params, imgs, crng)
+                                if s2cfg.conditional else None)
+                        latent_shape = (n_data,
+                                        *[s // ae.downsample_factor for s in imgs.shape[1:4]],
+                                        ae.latent_channels)
+                        noise = jax.random.normal(nrng, latent_shape, jnp.float32).astype(dt)
+                        sampler = make_spatial_sampler(unet, ae, scheduler, mesh,
+                                                       scale_factor=scale_factor)
+                        sampled = sampler(u_state.params, ae_params, noise, srng, cond)[:1]
+                    else:
+                        img1 = jnp.clip(jnp.asarray(last_batch["image"][:1]), 0, 1).astype(dt)
+                        cond = None
+                        if s2cfg.conditional:
+                            cond = ae.apply({"params": ae_params}, img1,
+                                            method="encode_stage_2_inputs", rngs={"sample": crng})
+                        latent_shape = (1, *[s // ae.downsample_factor for s in img1.shape[1:4]], ae.latent_channels)
+                        noise = jax.random.normal(nrng, latent_shape, jnp.float32).astype(dt)
 
-                    def decode(z):
-                        return ae.apply({"params": ae_params}, z, method="decode_stage_2_outputs")
+                        def unet_apply(z, t):
+                            return unet.apply({"params": u_state.params}, z, t)
 
-                    sampled = inferer.sample(unet_apply, decode, scheduler, noise, srng,
-                                             condition=cond, scale_factor=scale_factor)
+                        def decode(z):
+                            return ae.apply({"params": ae_params}, z, method="decode_stage_2_outputs")
+
+                        sampled = inferer.sample(unet_apply, decode, scheduler, noise, srng,
+                                                 condition=cond, scale_factor=scale_factor)
                     for axis in range(3):
                         writer.add_image(f"val_lowcount_input_{axis}",
                                          visualize_one_slice_in_3d_image(np.asarray(last_batch["image"][0, ..., 0]), axis), epoch)

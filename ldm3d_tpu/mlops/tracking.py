@@ -177,9 +177,14 @@ def log_training_run(tracker: ExperimentTracker, config: dict, final_metrics: di
         tracker.log_params(config)
         tracker.log_metrics(final_metrics)
         if checkpoint_dir and os.path.isdir(checkpoint_dir):
-            meta = os.path.join(checkpoint_dir, "best_meta.json")
-            if os.path.exists(meta):
-                tracker.log_artifact(meta)
+            # CheckpointManager writes the sidecar at
+            # <model_dir>/<artifact>/best_meta.json (manager.py), one per
+            # stage artifact — log whichever exist (plus a flat one, for
+            # callers passing an artifact dir directly)
+            for sub in ("", "autoencoder", "discriminator", "diffusion_unet"):
+                meta = os.path.join(checkpoint_dir, sub, "best_meta.json")
+                if os.path.exists(meta):
+                    tracker.log_artifact(meta)
         tracker.end_run("FINISHED")
     except Exception:
         tracker.end_run("FAILED")

@@ -24,6 +24,7 @@ from ldm3d_tpu.parallel.zero import (
 from ldm3d_tpu.parallel.spatial import (
     SPATIAL_AXIS,
     halo_exchange,
+    make_spatial_encoder,
     make_spatial_sampler,
     shard_volume,
     spatial_sharding,
@@ -39,6 +40,7 @@ __all__ = [
     "dp_sample_placer",
     "SPATIAL_AXIS",
     "halo_exchange",
+    "make_spatial_encoder",
     "make_spatial_sampler",
     "shard_volume",
     "spatial_sharding",

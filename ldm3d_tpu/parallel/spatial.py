@@ -98,6 +98,41 @@ def validate_spatial_divisibility(depth: int, n_spatial: int, num_downsamples: i
         local //= 2
 
 
+def make_spatial_encoder(ae, mesh: Mesh):
+    """Depth-sharded ``encode_stage_2_inputs``: global volumes in
+    (``(B, D, H, W, C)``), posterior-sampled latents out, both
+    ``P('data', 'spatial')``.
+
+    Callers that feed :func:`make_spatial_sampler` a conditioning latent must
+    encode through THIS (not the unsharded model): the whole point of the
+    spatial axis is volumes whose full-resolution activations don't fit one
+    chip, and the encoder hits the same sizes as the decoder."""
+    from jax.sharding import NamedSharding
+
+    ae_sp = ae.clone(spatial_axis=SPATIAL_AXIS)
+    vol_spec = P("data", SPATIAL_AXIS)
+
+    def _local(ae_params, x, rng):
+        r = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+        r = jax.random.fold_in(r, jax.lax.axis_index(SPATIAL_AXIS))
+        return ae_sp.apply({"params": ae_params}, x,
+                           method="encode_stage_2_inputs", rngs={"sample": r})
+
+    smap_kwargs = dict(mesh=mesh, in_specs=(P(), vol_spec, P()),
+                       out_specs=vol_spec, check_vma=False)
+    if mesh.shape.get("model", 1) > 1:
+        smap_kwargs["axis_names"] = {"data", SPATIAL_AXIS}
+    sharded = jax.jit(_shard_map(_local, **smap_kwargs))
+    rep = NamedSharding(mesh, P())
+    vol_sh = NamedSharding(mesh, vol_spec)
+
+    def encoder(ae_params, x, rng):
+        return sharded(jax.device_put(ae_params, rep), jax.device_put(x, vol_sh),
+                       jax.device_put(rng, rep))
+
+    return encoder
+
+
 def make_spatial_sampler(unet, ae, scheduler, mesh: Mesh, scale_factor=1.0,
                          guidance_scale: float = 1.0):
     """Build a jitted spatially-sharded sampler: reverse loop + VAE decode.

@@ -105,23 +105,28 @@ class Api:
         }
 
     def generate(self, body: dict) -> tuple[int, dict]:
-        num = int(body.get("num_samples", 1))
+        try:
+            num = int(body.get("num_samples", 1))
+            seed = body.get("seed")
+            if seed is not None:
+                seed = int(seed)
+            # reference GenerationRequest fields (mlops/docker/api_server.py:51-56)
+            steps = body.get("inference_steps")
+            if steps is not None:
+                steps = int(steps)
+            guidance = body.get("guidance_scale")
+            if guidance is not None:
+                guidance = float(guidance)
+        except (TypeError, ValueError, AttributeError) as e:
+            # a non-numeric field (or a non-object body) is the client's
+            # error — 422 like every other validation, not a 500
+            return 422, {"error": f"invalid request field: {e}"}
         if not (1 <= num <= 16):
             return 422, {"error": "num_samples must be in [1, 16]"}
-        seed = body.get("seed")
-        if seed is not None:
-            seed = int(seed)
-        # reference GenerationRequest fields (mlops/docker/api_server.py:51-56)
-        steps = body.get("inference_steps")
-        if steps is not None:
-            steps = int(steps)
-            if not (10 <= steps <= 1000):
-                return 422, {"error": "inference_steps must be in [10, 1000]"}
-        guidance = body.get("guidance_scale")
-        if guidance is not None:
-            guidance = float(guidance)
-            if not (1.0 <= guidance <= 20.0):
-                return 422, {"error": "guidance_scale must be in [1.0, 20.0]"}
+        if steps is not None and not (10 <= steps <= 1000):
+            return 422, {"error": "inference_steps must be in [10, 1000]"}
+        if guidance is not None and not (1.0 <= guidance <= 20.0):
+            return 422, {"error": "guidance_scale must be in [1.0, 20.0]"}
         output_format = str(body.get("output_format", "base64"))
         if output_format not in ("base64", "nii"):
             return 422, {"error": "output_format must be 'base64' or 'nii'"}
@@ -166,8 +171,11 @@ class Api:
             MICROBATCHED_SAMPLES.set(b.samples_run)
         return REGISTRY.expose()
 
+    _ENDPOINTS = ("/health", "/metrics", "/model/info", "/model/reload", "/generate")
+
     def dispatch(self, method: str, path: str, body: dict) -> tuple[int, object, str]:
         """Returns (status, payload, content_type)."""
+        path = path.split("?", 1)[0]  # probes may append query params
         ACTIVE_REQUESTS.inc()
         t0 = time.time()
         code = 500
@@ -194,8 +202,11 @@ class Api:
             dur = time.time() - t0
             REQUEST_DURATION.observe(dur)
             # per-status counters (reference api_server.py:273-294 parity):
-            # label with the code actually returned, not a constant
-            REQUEST_COUNT.labels(method, path, str(code)).inc()
+            # label with the code actually returned, not a constant. Unknown
+            # paths collapse to one label so a URL scanner can't grow the
+            # metric set (and /metrics output) without bound.
+            label_path = path if path in self._ENDPOINTS else "<other>"
+            REQUEST_COUNT.labels(method, label_path, str(code)).inc()
 
 
 def make_fastapi_app(api: Api):

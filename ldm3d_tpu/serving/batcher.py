@@ -74,8 +74,13 @@ class DynamicBatcher:
             raise RuntimeError("batcher is closed")
         item = _Item(noise, cond, rng_seed)
         self._q.put(item)
-        if self._closed.is_set() and not self._worker.is_alive():
-            self._fail_stranded()  # raced a concurrent close(); see below
+        if self._closed.is_set():
+            # raced a concurrent close(): once _closed is set the worker never
+            # STARTS a new batch (it may still be finishing one — close()'s
+            # 5 s join can expire mid-sampling — so don't gate on is_alive(),
+            # or this item waits out the caller's full timeout instead of
+            # failing fast)
+            self._fail_stranded()
         if not item.event.wait(timeout):
             raise TimeoutError("sample did not complete in time")
         if item.error is not None:

@@ -176,6 +176,22 @@ class ModelServer:
                                devices=devices[:need])
             n_levels = len(getattr(unet, "channels", [1, 1, 1]))
             validate_spatial_divisibility(latent[0], self.spatial, n_levels - 1)
+            if self.decode_chunk:
+                log.info("--decode-chunk ignored with --spatial: the depth-"
+                         "sharded sampler decodes whole slabs per chip")
+            # condition volumes must encode depth-sharded too: the default
+            # (unsharded) encode_fn would OOM at the sizes --spatial serves
+            from ldm3d_tpu.parallel import make_spatial_encoder
+
+            encode_fn_sp = make_spatial_encoder(ae, mesh)
+
+            def encode_fn(params, x, rng_key):  # noqa: F811 — spatial override
+                b = x.shape[0]
+                if b % self.batch:  # cover the data axis (e.g. batch-1 condition)
+                    reps = (self.batch + b - 1) // b
+                    x = jnp.tile(x, (reps,) + (1,) * (x.ndim - 1))[:self.batch]
+                    return encode_fn_sp(params, x, rng_key)[:b]
+                return encode_fn_sp(params, x, rng_key)
 
             def build_run(sampler_name: str, steps: int, guidance: float):
                 scheduler = make_sampling_scheduler(sampler_name, steps, sched_cfg)

@@ -43,6 +43,7 @@ __all__ = [
     "make_stage1_train_step",
     "make_stage1_train_step_spatial",
     "make_stage1_eval_step",
+    "make_stage1_eval_step_spatial",
 ]
 
 
@@ -258,6 +259,77 @@ def make_stage1_train_step_spatial(ae, disc, lpips_apply: Optional[Callable],
         return g_state, d_state, metrics
 
     return train_step
+
+
+def make_stage1_eval_step_spatial(ae, lpips_apply: Optional[Callable],
+                                  cfg: Stage1Config, mesh):
+    """Depth-sharded validation step (dp x sp), matching
+    :func:`make_stage1_eval_step`'s metrics contract.
+
+    Without this, a ``--spatial`` run would validate through the UNSHARDED
+    model and materialize full-volume activations per chip — OOMing at
+    exactly the volume sizes the spatial axis exists to serve (the training
+    step was sharded, validation was not). Same loss accounting as the
+    spatial train step: shard-local sums over global counts, psum'd over
+    ('data', 'spatial'); LPIPS runs on the gathered (tiny) volumes. Returns
+    ``(metrics, recon)`` with recon as full-depth volumes, batch-sharded on
+    data — what the TB slice visualizer expects."""
+    from jax.sharding import PartitionSpec as P
+
+    from ldm3d_tpu.parallel.compat import shard_map_compat as _shard_map
+    from ldm3d_tpu.parallel.spatial import SPATIAL_AXIS
+
+    ae_sp = ae.clone(spatial_axis=SPATIAL_AXIS)
+    n_data = mesh.shape["data"]
+    n_spatial = mesh.shape[SPATIAL_AXIS]
+    n_dev = n_data * n_spatial
+    vol_spec = P("data", SPATIAL_AXIS)
+    axes = ("data", SPATIAL_AXIS)
+
+    def local_eval(g_params, images, rng):
+        di = jax.lax.axis_index("data")
+        si = jax.lax.axis_index(SPATIAL_AXIS)
+        rng_vol = jax.random.fold_in(rng, di)
+        rng_slab, rng_p = jax.random.split(rng_vol)
+        rng_sample = jax.random.fold_in(rng_slab, si)
+
+        images = jnp.clip(images, 0.0, 1.0)
+        recon, z_mu, z_sigma = ae_sp.apply({"params": g_params}, images,
+                                           rngs={"sample": rng_sample})
+        recon = jnp.clip(recon, 0.0, 1.0)
+        if cfg.recon_loss == "l2":
+            rl_sum = jnp.sum((recon.astype(jnp.float32) - images.astype(jnp.float32)) ** 2)
+        else:
+            rl_sum = jnp.sum(jnp.abs(recon.astype(jnp.float32) - images.astype(jnp.float32)))
+        rl = rl_sum / (recon.size * n_dev)
+        mu = z_mu.astype(jnp.float32)
+        sig = jnp.clip(z_sigma.astype(jnp.float32), 1e-8, None)
+        kl = 0.5 * jnp.sum(mu * mu + sig * sig - 2.0 * jnp.log(sig) - 1.0)
+        kl = kl / (images.shape[0] * n_data)
+
+        recon_full = jax.lax.all_gather(recon, SPATIAL_AXIS, axis=1, tiled=True)
+        if lpips_apply is not None and cfg.perceptual_weight:
+            images_full = jax.lax.all_gather(images, SPATIAL_AXIS, axis=1, tiled=True)
+            pl = perceptual_loss_25d(lpips_apply, recon_full, images_full, rng_p,
+                                     cfg.fake_3d_ratio) / n_dev
+        else:
+            pl = jnp.zeros((), jnp.float32)
+        metrics = {"val_l_loss": rl, "val_perceptual_loss": pl, "val_kl_loss": kl}
+        metrics = jax.tree_util.tree_map(lambda a: jax.lax.psum(a, axes), metrics)
+        metrics["val_recon_loss"] = metrics["val_l_loss"] + cfg.perceptual_weight * metrics["val_perceptual_loss"]
+        return metrics, recon_full
+
+    smap_kwargs = dict(
+        mesh=mesh,
+        in_specs=(P(), vol_spec, P()),
+        # recon is gathered full-depth (replicated over 'spatial'), batch
+        # still sharded on 'data'
+        out_specs=(P(), P("data")),
+        check_vma=False,
+    )
+    if mesh.shape.get("model", 1) > 1:
+        smap_kwargs["axis_names"] = {"data", SPATIAL_AXIS}
+    return jax.jit(_shard_map(local_eval, **smap_kwargs))
 
 
 def make_stage1_eval_step(ae, lpips_apply: Optional[Callable], cfg: Stage1Config):

@@ -38,6 +38,7 @@ __all__ = [
     "make_stage2_train_step_latents",
     "make_stage2_train_step_spatial",
     "make_stage2_eval_step",
+    "make_stage2_eval_step_spatial",
 ]
 
 
@@ -234,10 +235,14 @@ def make_stage2_train_step_spatial(unet, ae, scheduler, cfg: Stage2Config, mesh)
         di = jax.lax.axis_index("data")
         si = jax.lax.axis_index(SPATIAL_AXIS)
         rng_vol = jax.random.fold_in(rng, di)          # same across a volume's slabs
-        rng_slab = jax.random.fold_in(rng_vol, si + 1)  # unique per slab
-        rng_zl, rng_zi = jax.random.split(rng_slab)
-        rng_n, rng_t = jax.random.split(jax.random.fold_in(rng_vol, 0))
-        rng_cd = jax.random.fold_in(rng_vol, 1)
+        # three disjoint streams off the volume key: slab-local posterior
+        # noise, volume-common (noise/timesteps), and condition dropout. The
+        # old fold_in(rng_vol, si+1) slab key COLLIDED with fold_in(rng_vol, 1)
+        # (= the dropout key) at spatial index 0 — key reuse across different
+        # draws, which JAX documents as unsound.
+        rng_slabs, rng_common, rng_cd = jax.random.split(rng_vol, 3)
+        rng_zl, rng_zi = jax.random.split(jax.random.fold_in(rng_slabs, si))
+        rng_n, rng_t = jax.random.split(rng_common)
 
         images, labels = batch["image"], batch["label"]
         if cfg.clamp_inputs:
@@ -298,6 +303,65 @@ def make_stage2_train_step_spatial(unet, ae, scheduler, cfg: Stage2Config, mesh)
         return state, {"diffusion_loss": loss, "grad_norm": optax.global_norm(grads)}
 
     return train_step
+
+
+def make_stage2_eval_step_spatial(unet, ae, scheduler, cfg: Stage2Config, mesh):
+    """Depth-sharded validation (dp x sp) for ``--spatial`` runs.
+
+    Without this the trainer would validate through the UNSHARDED models,
+    materializing full-volume activations per chip — OOMing at exactly the
+    sizes the spatial axis exists for. Same RNG discipline and loss
+    accounting as :func:`make_stage2_train_step_spatial`."""
+    from jax.sharding import PartitionSpec as P
+
+    from ldm3d_tpu.parallel.compat import shard_map_compat as _shard_map
+    from ldm3d_tpu.parallel.spatial import SPATIAL_AXIS
+
+    unet_sp = unet.clone(spatial_axis=SPATIAL_AXIS)
+    ae_sp = ae.clone(spatial_axis=SPATIAL_AXIS)
+    n_data = mesh.shape["data"]
+    n_spatial = mesh.shape[SPATIAL_AXIS]
+    vol_spec = P("data", SPATIAL_AXIS)
+
+    def local_eval(params, ae_params, batch, scale_factor, rng):
+        di = jax.lax.axis_index("data")
+        si = jax.lax.axis_index(SPATIAL_AXIS)
+        rng_vol = jax.random.fold_in(rng, di)
+        rng_slabs, rng_common, _ = jax.random.split(rng_vol, 3)
+        rng_zl, rng_zi = jax.random.split(jax.random.fold_in(rng_slabs, si))
+        rng_n, rng_t = jax.random.split(rng_common)
+
+        images, labels = batch["image"], batch["label"]
+        if cfg.clamp_inputs:
+            images = jnp.clip(images, 0.0, 1.0)
+            labels = jnp.clip(labels, 0.0, 1.0)
+
+        def encode(x, r):
+            return ae_sp.apply({"params": ae_params}, x,
+                               method="encode_stage_2_inputs", rngs={"sample": r})
+
+        z_labels = encode(labels, rng_zl) * scale_factor
+        condition = encode(images, rng_zi) if cfg.conditional else None
+        noise = jax.random.normal(jax.random.fold_in(rng_n, si), z_labels.shape,
+                                  dtype=jnp.float32).astype(z_labels.dtype)
+        b = z_labels.shape[0]
+        timesteps = jax.random.randint(rng_t, (b,), 0, scheduler.num_train_timesteps)
+        model_in = inferer.noise_prediction_inputs(scheduler, z_labels, noise, timesteps, condition)
+        pred = unet_sp.apply({"params": params}, model_in, timesteps)
+        target = inferer.training_targets(scheduler, z_labels, noise, timesteps)
+        diff = (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
+        loss = jnp.sum(diff) / (diff.size * n_data * n_spatial)
+        return {"val_diffusion_loss": jax.lax.psum(loss, ("data", SPATIAL_AXIS))}
+
+    smap_kwargs = dict(
+        mesh=mesh,
+        in_specs=(P(), P(), vol_spec, P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    if mesh.shape.get("model", 1) > 1:
+        smap_kwargs["axis_names"] = {"data", SPATIAL_AXIS}
+    return jax.jit(_shard_map(local_eval, **smap_kwargs))
 
 
 def make_stage2_eval_step(unet, ae, scheduler, cfg: Stage2Config):

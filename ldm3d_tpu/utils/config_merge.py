@@ -73,7 +73,8 @@ class TrainContext:
         # reference falls back to DDPMScheduler defaults in that case
         # (reference 3d_ldm/train_diffusion.py:140-145 would KeyError, but the
         # documented intent is scheduler defaults). We default explicitly.
-        default = {"num_train_timesteps": 1000, "beta_start": 0.0015, "beta_end": 0.0195,
+        default = {"num_train_timesteps": 1000, "schedule": "scaled_linear_beta",
+                   "beta_start": 0.0015, "beta_end": 0.0195,
                    "prediction_type": "epsilon"}
         cfg = getattr(self.args, "NoiseScheduler", None) or default
         return {**default, **cfg}

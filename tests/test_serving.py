@@ -67,9 +67,23 @@ def test_request_count_labels_actual_status(api):
     api.dispatch("GET", "/health", {})                       # 200
     counts = {labels: v for labels, v in REQUEST_COUNT.collect()}
     assert counts.get(("POST", "/generate", "422"), 0) >= 1
-    assert counts.get(("GET", "/nope", "404"), 0) >= 1
+    # unknown paths collapse to one label (bounded metric cardinality)
+    assert counts.get(("GET", "<other>", "404"), 0) >= 1
     assert counts.get(("GET", "/health", "200"), 0) >= 1
-    assert ("GET", "/nope", "200") not in counts
+    assert not any(lbl[1] == "/nope" for lbl in counts)
+
+
+def test_query_string_and_bad_types(api):
+    """Probes append query params (?probe=1) — must still route; non-numeric
+    request fields are the client's fault: 422, never 500."""
+    code, payload, _ = api.dispatch("GET", "/health?probe=1", {})
+    assert code == 200
+    code, payload, _ = api.dispatch("POST", "/generate", {"num_samples": "abc"})
+    assert code == 422 and "invalid request field" in payload["error"]
+    code, payload, _ = api.dispatch("POST", "/generate", {"guidance_scale": "x"})
+    assert code == 422
+    code, payload, _ = api.dispatch("POST", "/generate", [1, 2])  # non-object body
+    assert code == 422
 
 
 def test_dispatch_internal_error_returns_500(api, monkeypatch):

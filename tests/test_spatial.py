@@ -440,3 +440,49 @@ def test_stage1_spatial_composes_with_tensor_parallel(tiny, eight_devices):
     for a, b in zip(jax.tree_util.tree_leaves(d_ref.params),
                     jax.tree_util.tree_leaves(d_tp.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_stage1_eval_step_spatial(mesh4x2, tiny):
+    """Depth-sharded validation (the --spatial trainer path): same metrics
+    contract as the unsharded eval step, recon returned full-depth. Guards
+    the round-2 finding that spatial runs validated through the UNSHARDED
+    model (which would OOM at the sizes --spatial exists for)."""
+    from ldm3d_tpu.training.stage1 import (Stage1Config, make_stage1_eval_step,
+                                           make_stage1_eval_step_spatial)
+
+    ae, _ = tiny
+    rng = jax.random.PRNGKey(11)
+    x = jax.random.uniform(rng, (4, 32, 32, 32, 1), jnp.float32)
+    params = jax.jit(ae.init)({"params": rng, "sample": rng}, x[:1])["params"]
+    cfg = Stage1Config(perceptual_weight=0.0)
+
+    ref_metrics, _ = make_stage1_eval_step(ae, None, cfg)(params, x, rng)
+    step = make_stage1_eval_step_spatial(ae, None, cfg, mesh4x2)
+    with mesh4x2:
+        metrics, recon = step(params, x, rng)
+    assert recon.shape == x.shape
+    assert np.isfinite(np.asarray(recon)).all()
+    for k in ("val_recon_loss", "val_l_loss", "val_kl_loss"):
+        v, r = float(metrics[k]), float(ref_metrics[k])
+        assert np.isfinite(v)
+        # posterior draws use different (sound) key derivations, so compare
+        # loosely: same order of magnitude, both positive
+        assert v > 0 and abs(v - r) / max(abs(r), 1e-6) < 0.5, (k, v, r)
+
+
+def test_stage2_eval_step_spatial(mesh4x2, tiny):
+    from ldm3d_tpu.training.stage2 import Stage2Config, make_stage2_eval_step_spatial
+
+    ae, unet = tiny
+    rng = jax.random.PRNGKey(13)
+    x = jax.random.uniform(rng, (4, 32, 32, 32, 1), jnp.float32)
+    ae_vars = jax.jit(ae.init)({"params": rng, "sample": rng}, x[:1])
+    u_vars = jax.jit(unet.init)(rng, jnp.zeros((1, 8, 8, 8, unet.in_channels)),
+                                jnp.zeros((1,), jnp.int32))
+    sched = DDPMScheduler.create(num_train_timesteps=16)
+    step = make_stage2_eval_step_spatial(unet, ae, sched, Stage2Config(), mesh4x2)
+    with mesh4x2:
+        vm = step(u_vars["params"], ae_vars["params"], {"image": x, "label": x},
+                  jnp.float32(1.0), rng)
+    loss = float(vm["val_diffusion_loss"])
+    assert np.isfinite(loss) and 0.3 < loss < 3.0  # epsilon-MSE near 1 at init
