@@ -89,7 +89,10 @@ def compiled_flops(jitted, *args) -> float | None:
 # proxy runs at the SAME batch, so vs_baseline isolates sampler/compiler
 # design.
 BATCH_CANDIDATES = (8, 4, 2)
-DECODE_BATCH = 2
+# chunk-1 decode measured 403 vs 600 ms/batch-8 device-only (chunk 2): the
+# single-volume programs pick better layouts and spill less (the same lever
+# serving defaults to via --decode-chunk 1)
+DECODE_BATCH = 1
 VOLUME = 96
 DDIM_STEPS = 50
 DDPM_STEPS = 1000
