@@ -29,8 +29,14 @@ IMAGE_TAG="ldm3d-tpu:${ENVIRONMENT}"
 NETWORK="ldm3d-network"
 CONTAINER="ldm3d-${MODE}"
 
+if [ "$MODE" = jupyter ] && [ "$ENVIRONMENT" = prod ]; then
+  echo "jupyter is a dev-image mode (the production image doesn't ship it): ./setup_docker.sh dev jupyter" >&2
+  exit 1
+fi
+
 BUILD_ARGS=()
 [ "$ENVIRONMENT" = "prod" ] && BUILD_ARGS+=(--target production)
+[ "$ENVIRONMENT" = "dev" ] && BUILD_ARGS+=(--target development)
 echo "building ${IMAGE_TAG} ..."
 docker build "${BUILD_ARGS[@]+"${BUILD_ARGS[@]}"}" -t "$IMAGE_TAG" \
   -f "$REPO_ROOT/deploy/docker/Dockerfile" "$REPO_ROOT"
@@ -49,7 +55,10 @@ case "$MODE" in
   train|train-autoencoder|train-diffusion|inference)
     RUN_ARGS+=(--privileged -v /dev:/dev -e "JAX_PLATFORMS=${JAX_PLATFORMS:-}")
     ;;
-  api) RUN_ARGS+=(--privileged -v /dev:/dev -p "${API_PORT:-8000}:8000") ;;
+  # JAX_PLATFORMS= (empty) overrides the image's tpu pin -> auto-detect, so
+  # the same command works on and off a TPU VM (CPU fallback)
+  api) RUN_ARGS+=(--privileged -v /dev:/dev -p "${API_PORT:-8000}:8000"
+                  -e "JAX_PLATFORMS=${JAX_PLATFORMS:-}") ;;
   jupyter) RUN_ARGS+=(-p "${JUPYTER_PORT:-8888}:8888") ;;
 esac
 

@@ -36,10 +36,27 @@ echo "== artifact registry =="
 gcloud artifacts repositories create ldm3d --repository-format=docker \
   --project "$PROJECT" --location "$REGION" || true
 
-echo "== applying kubernetes stack =="
+# the manifests reference the bare image name; nodes can only pull it from
+# the registry created above, so build+push and rewrite the image ref —
+# without this every pod sits in ImagePullBackOff
+IMAGE="${REGION}-docker.pkg.dev/${PROJECT}/ldm3d/ldm3d-tpu:latest"
+REPO_ROOT="$(cd "$(dirname "$0")/.." && pwd)"
+if command -v docker >/dev/null && docker info >/dev/null 2>&1; then
+  echo "== building and pushing $IMAGE =="
+  gcloud auth configure-docker "${REGION}-docker.pkg.dev" --quiet
+  docker build --target production -t "$IMAGE" \
+    -f "$REPO_ROOT/deploy/docker/Dockerfile" "$REPO_ROOT"
+  docker push "$IMAGE"
+else
+  echo "WARNING: docker unavailable — push $IMAGE yourself (e.g. via Cloud Build:" >&2
+  echo "  gcloud builds submit --tag $IMAGE $REPO_ROOT) before pods can start" >&2
+fi
+
+echo "== applying kubernetes stack (image -> $IMAGE) =="
 gcloud container clusters get-credentials "$CLUSTER" --project "$PROJECT" --region "$REGION"
-kubectl apply -f "$(dirname "$0")/../deploy/kubernetes/deployment.yaml"
-kubectl apply -f "$(dirname "$0")/../deploy/kubernetes/jobs.yaml"
-kubectl apply -f "$(dirname "$0")/../deploy/kubernetes/ingress.yaml"
+for m in deployment jobs ingress; do
+  sed "s|image: ldm3d-tpu:latest|image: ${IMAGE}|g" \
+    "$REPO_ROOT/deploy/kubernetes/${m}.yaml" | kubectl apply -f -
+done
 
 echo "done."
