@@ -41,6 +41,20 @@ def make_betas(num_train_timesteps: int, schedule: str, beta_start: float, beta_
     raise ValueError(f"unknown beta schedule {schedule!r}")
 
 
+def _noise_coeffs(alphas_cumprod: jax.Array, t: jax.Array, like: jax.Array):
+    """(sqrt(abar_t), sqrt(1-abar_t)) broadcast against ``like``.
+
+    The sqrt runs in fp32 and only the RESULT casts to the compute dtype:
+    casting abar itself to bf16 first destroys the low-noise end of the
+    schedule — with the default beta_start=0.0015, abar_0=0.9985 rounds to
+    bf16 1.0, so sqrt(1-abar) becomes exactly 0 and t=0 training pairs a
+    noise-FREE x_t with a nonzero-noise target (measured: true 0.0387 vs
+    bf16 0.0)."""
+    a = jnp.take(alphas_cumprod.astype(jnp.float32), t)
+    a = a.reshape(a.shape + (1,) * (like.ndim - a.ndim))
+    return jnp.sqrt(a).astype(like.dtype), jnp.sqrt(1.0 - a).astype(like.dtype)
+
+
 def _pred_x0_and_eps(pred: jax.Array, x_t: jax.Array, a_t: jax.Array, prediction_type: str):
     """Convert a model output into (x0_hat, eps_hat) given alpha_bar_t."""
     sqrt_a = jnp.sqrt(a_t)
@@ -117,19 +131,15 @@ class DDPMScheduler:
         n = self.num_inference_steps or self.num_train_timesteps
         return jnp.arange(n - 1, -1, -1, dtype=jnp.int32) * self._stride
 
-    def _bcast(self, table: jax.Array, t: jax.Array, like: jax.Array) -> jax.Array:
-        v = jnp.take(table, t)
-        return v.reshape(v.shape + (1,) * (like.ndim - v.ndim)).astype(like.dtype)
-
     def add_noise(self, x0: jax.Array, noise: jax.Array, t: jax.Array) -> jax.Array:
         """q(x_t | x_0): supports per-sample timesteps ``t`` of shape (B,)."""
-        a = self._bcast(self.alphas_cumprod, t, x0)
-        return jnp.sqrt(a) * x0 + jnp.sqrt(1.0 - a) * noise
+        sqrt_a, sqrt_1ma = _noise_coeffs(self.alphas_cumprod, t, x0)
+        return sqrt_a * x0 + sqrt_1ma * noise
 
     def velocity(self, x0: jax.Array, noise: jax.Array, t: jax.Array) -> jax.Array:
         """Target for v-prediction training."""
-        a = self._bcast(self.alphas_cumprod, t, x0)
-        return jnp.sqrt(a) * noise - jnp.sqrt(1.0 - a) * x0
+        sqrt_a, sqrt_1ma = _noise_coeffs(self.alphas_cumprod, t, x0)
+        return sqrt_a * noise - sqrt_1ma * x0
 
     def step(self, model_output: jax.Array, t: jax.Array, x_t: jax.Array, rng: jax.Array) -> jax.Array:
         """One reverse step x_t -> x_{t-1} (scalar traced timestep ``t``)."""
@@ -207,9 +217,8 @@ class DDIMScheduler:
         return (jnp.arange(self.num_inference_steps - 1, -1, -1, dtype=jnp.int32)) * stride
 
     def add_noise(self, x0: jax.Array, noise: jax.Array, t: jax.Array) -> jax.Array:
-        a = jnp.take(self.alphas_cumprod, t)
-        a = a.reshape(a.shape + (1,) * (x0.ndim - a.ndim)).astype(x0.dtype)
-        return jnp.sqrt(a) * x0 + jnp.sqrt(1.0 - a) * noise
+        sqrt_a, sqrt_1ma = _noise_coeffs(self.alphas_cumprod, t, x0)
+        return sqrt_a * x0 + sqrt_1ma * noise
 
     def step(self, model_output: jax.Array, t: jax.Array, x_t: jax.Array, rng: jax.Array) -> jax.Array:
         stride = self.num_train_timesteps // self.num_inference_steps
@@ -323,9 +332,8 @@ class DPMSolverPPScheduler:
         return jnp.arange(self.num_inference_steps - 1, -1, -1, dtype=jnp.int32) * stride
 
     def add_noise(self, x0: jax.Array, noise: jax.Array, t: jax.Array) -> jax.Array:
-        a = jnp.take(self.alphas_cumprod, t)
-        a = a.reshape(a.shape + (1,) * (x0.ndim - a.ndim)).astype(x0.dtype)
-        return jnp.sqrt(a) * x0 + jnp.sqrt(1.0 - a) * noise
+        sqrt_a, sqrt_1ma = _noise_coeffs(self.alphas_cumprod, t, x0)
+        return sqrt_a * x0 + sqrt_1ma * noise
 
     def step_multistep(
         self, model_output: jax.Array, i: jax.Array, t: jax.Array,

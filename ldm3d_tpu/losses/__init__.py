@@ -2,6 +2,7 @@ from ldm3d_tpu.losses.losses import (
     l1_loss,
     l2_loss,
     kl_loss,
+    kl_loss_sum,
     lsgan_generator_loss,
     lsgan_discriminator_loss,
 )
@@ -10,6 +11,7 @@ __all__ = [
     "l1_loss",
     "l2_loss",
     "kl_loss",
+    "kl_loss_sum",
     "lsgan_generator_loss",
     "lsgan_discriminator_loss",
 ]

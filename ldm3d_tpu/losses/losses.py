@@ -52,6 +52,18 @@ def kl_loss(z_mu: jax.Array, z_sigma: jax.Array, clamp: bool = False) -> jax.Arr
     return loss
 
 
+def kl_loss_sum(z_mu: jax.Array, z_sigma: jax.Array) -> jax.Array:
+    """Shard-local KL SUM, elementwise-identical to :func:`kl_loss`.
+
+    For depth-sharded paths that divide by the global batch and psum: using
+    one formula in both places keeps --spatial and unsharded runs reporting
+    the same kl_loss and producing the same KL gradients (an inlined
+    ``-2*log(sigma)`` variant diverged near the sigma clamp floor)."""
+    mu = z_mu.astype(jnp.float32)
+    sigma = jnp.maximum(z_sigma.astype(jnp.float32), 1e-8)
+    return 0.5 * jnp.sum(mu**2 + sigma**2 - jnp.log(sigma**2 + 1e-8) - 1.0)
+
+
 def _lsq(logits: jax.Array, target: float) -> jax.Array:
     l32 = logits.astype(jnp.float32)
     return jnp.mean((l32 - target) ** 2)

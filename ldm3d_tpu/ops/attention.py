@@ -4,7 +4,9 @@ The reference's attention runs inside MONAI blocks on cuDNN / flash-SDP
 (reference ``3d_ldm/train_autoencoder.py:110-115`` enables flash SDP). Here the
 hot path is a Pallas flash-attention kernel tiled for the MXU; a pure-XLA
 einsum path (fp32 softmax accumulation) is used as fallback on CPU meshes, in
-tests, and for token counts too small to benefit from tiling.
+tests, and (with a loud warning) for token counts with no multiple-of-8
+block divisor — volumetric token counts always have one, so on TPU the
+kernel handles every shape the model zoo produces.
 
 Shapes follow the JAX convention: q, k, v are ``(batch, tokens, heads, head_dim)``.
 """

@@ -28,21 +28,32 @@ __all__ = ["tp_spec_for", "shard_params_tp", "tp_sharding_tree", "shard_train_st
 MODEL_AXIS = "model"
 
 
-def tp_spec_for(path: tuple, arr, axis_size: int) -> P:
+# don't split narrow output dims by default: a tiny per-device shard wastes
+# the 128-lane MXU width and trades it for collectives — this is also what
+# keeps the UNet's 16-channel zero-init output conv (and the VAE's quant
+# convs) replicated, as the module rules above state
+_MIN_SHARD_CHANNELS = 16
+
+
+def tp_spec_for(path: tuple, arr, axis_size: int,
+                min_shard_channels: int = _MIN_SHARD_CHANNELS) -> P:
     """PartitionSpec for one parameter: shard the output-channel dim on
-    ``model`` when it tiles, else replicate."""
-    if arr.ndim >= 2 and arr.shape[-1] % axis_size == 0 and arr.shape[-1] >= 2 * axis_size:
+    ``model`` when it tiles (at least ``min_shard_channels`` per device),
+    else replicate."""
+    if (arr.ndim >= 2 and arr.shape[-1] % axis_size == 0
+            and arr.shape[-1] // axis_size >= min_shard_channels):
         # conv (kd,kh,kw,in,out) and dense (in,out): split out-channels
         return P(*([None] * (arr.ndim - 1) + [MODEL_AXIS]))
     return P()
 
 
-def tp_sharding_tree(params, mesh: Mesh):
+def tp_sharding_tree(params, mesh: Mesh,
+                     min_shard_channels: int = _MIN_SHARD_CHANNELS):
     """NamedSharding tree for a param pytree under ``mesh`` (model axis)."""
     m = mesh.shape[MODEL_AXIS]
 
     def _one(path, arr):
-        return NamedSharding(mesh, tp_spec_for(path, arr, m))
+        return NamedSharding(mesh, tp_spec_for(path, arr, m, min_shard_channels))
 
     return jax.tree_util.tree_map_with_path(_one, params)
 

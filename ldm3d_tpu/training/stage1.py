@@ -29,6 +29,7 @@ import optax
 
 from ldm3d_tpu.losses import (
     kl_loss,
+    kl_loss_sum,
     l1_loss,
     l2_loss,
     lsgan_discriminator_loss,
@@ -179,8 +180,12 @@ def make_stage1_train_step_spatial(ae, disc, lpips_apply: Optional[Callable],
     def g_loss_fn(g_params, d_params, images, rng, adv_active: bool):
         di = jax.lax.axis_index("data")
         si = jax.lax.axis_index(SPATIAL_AXIS)
-        rng_sample = jax.random.fold_in(jax.random.fold_in(rng, di), si + 1)
-        rng_p = jax.random.fold_in(rng, di)  # same across a volume's slabs
+        # disjoint streams: the slab-keyed posterior noise and the
+        # volume-common LPIPS slice selection must not share a consumed key
+        # (same discipline as the spatial stage-2 step and the eval step)
+        rng_vol = jax.random.fold_in(rng, di)
+        rng_slabs, rng_p = jax.random.split(rng_vol)  # rng_p same across slabs
+        rng_sample = jax.random.fold_in(rng_slabs, si)
 
         recon, z_mu, z_sigma = ae_sp.apply({"params": g_params}, images,
                                            rngs={"sample": rng_sample})
@@ -190,11 +195,9 @@ def make_stage1_train_step_spatial(ae, disc, lpips_apply: Optional[Callable],
         else:
             rl_sum = jnp.sum(jnp.abs(recon.astype(jnp.float32) - images.astype(jnp.float32)))
         rl = rl_sum / (recon.size * n_dev)  # local size x device count = global count
-        # KL: per-sample sum over (sharded) latent dims, / global batch
-        mu = z_mu.astype(jnp.float32)
-        sig = jnp.clip(z_sigma.astype(jnp.float32), 1e-8, None)
-        kl = 0.5 * jnp.sum(mu * mu + sig * sig - 2.0 * jnp.log(sig) - 1.0)
-        kl = kl / (images.shape[0] * n_data)
+        # KL: shard-local sum (same elementwise formula as losses.kl_loss,
+        # so --spatial and unsharded runs agree) / global batch
+        kl = kl_loss_sum(z_mu, z_sigma) / (images.shape[0] * n_data)
 
         recon_full = _gather(recon)
         images_full = _gather(images)
@@ -302,10 +305,7 @@ def make_stage1_eval_step_spatial(ae, lpips_apply: Optional[Callable],
         else:
             rl_sum = jnp.sum(jnp.abs(recon.astype(jnp.float32) - images.astype(jnp.float32)))
         rl = rl_sum / (recon.size * n_dev)
-        mu = z_mu.astype(jnp.float32)
-        sig = jnp.clip(z_sigma.astype(jnp.float32), 1e-8, None)
-        kl = 0.5 * jnp.sum(mu * mu + sig * sig - 2.0 * jnp.log(sig) - 1.0)
-        kl = kl / (images.shape[0] * n_data)
+        kl = kl_loss_sum(z_mu, z_sigma) / (images.shape[0] * n_data)
 
         recon_full = jax.lax.all_gather(recon, SPATIAL_AXIS, axis=1, tiled=True)
         if lpips_apply is not None and cfg.perceptual_weight:

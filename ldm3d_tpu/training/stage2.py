@@ -109,6 +109,21 @@ def compute_scale_factor(ae, ae_params, labels, rng) -> jax.Array:
     return _compute(ae_params, labels, rng)
 
 
+def _stage2_mse(pred, target, timesteps, scheduler, cfg: "Stage2Config",
+                reduce: str = "mean"):
+    """The stage-2 objective in one place: fp32 squared error, optionally
+    Min-SNR-weighted per sample. ``reduce="mean"`` is the unsharded loss;
+    ``reduce="sum"`` returns the shard-local SUM for spatial paths (divide by
+    the global count and psum). One implementation keeps the three train-step
+    builders computing the same objective."""
+    diff = (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
+    if cfg.min_snr_gamma > 0:
+        b = timesteps.shape[0]
+        w = min_snr_weights(scheduler, timesteps, cfg.min_snr_gamma)
+        diff = diff * w.reshape((b,) + (1,) * (diff.ndim - 1))
+    return jnp.mean(diff) if reduce == "mean" else jnp.sum(diff)
+
+
 def make_stage2_train_step(unet, ae, scheduler, cfg: Stage2Config):
     """Build the jitted LDM train step.
 
@@ -138,11 +153,7 @@ def make_stage2_train_step(unet, ae, scheduler, cfg: Stage2Config):
         model_in = inferer.noise_prediction_inputs(scheduler, z_labels, noise, timesteps, condition)
         pred = unet.apply({"params": params}, model_in, timesteps)
         target = inferer.training_targets(scheduler, z_labels, noise, timesteps)
-        if cfg.min_snr_gamma > 0:
-            d = (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
-            per_sample = jnp.mean(d.reshape(b, -1), axis=1)
-            return jnp.mean(min_snr_weights(scheduler, timesteps, cfg.min_snr_gamma) * per_sample)
-        return l2_loss(pred, target)
+        return _stage2_mse(pred, target, timesteps, scheduler, cfg)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, ae_params, batch, scale_factor, rng):
@@ -182,11 +193,7 @@ def make_stage2_train_step_latents(unet, scheduler, cfg: Stage2Config):
         model_in = inferer.noise_prediction_inputs(scheduler, z_labels, noise, timesteps, condition)
         pred = unet.apply({"params": params}, model_in, timesteps)
         target = inferer.training_targets(scheduler, z_labels, noise, timesteps)
-        if cfg.min_snr_gamma > 0:
-            d = (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
-            per_sample = jnp.mean(d.reshape(b, -1), axis=1)
-            return jnp.mean(min_snr_weights(scheduler, timesteps, cfg.min_snr_gamma) * per_sample)
-        return l2_loss(pred, target)
+        return _stage2_mse(pred, target, timesteps, scheduler, cfg)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, scale_factor, rng):
@@ -266,14 +273,10 @@ def make_stage2_train_step_spatial(unet, ae, scheduler, cfg: Stage2Config, mesh)
         model_in = inferer.noise_prediction_inputs(scheduler, z_labels, noise, timesteps, condition)
         pred = unet_sp.apply({"params": params}, model_in, timesteps)
         target = inferer.training_targets(scheduler, z_labels, noise, timesteps)
-        # local sum / global count: psum of this over the mesh is the global mean
-        diff = (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
-        if cfg.min_snr_gamma > 0:
-            # per-sample weights; timesteps agree across a volume's slabs
-            w = min_snr_weights(scheduler, timesteps, cfg.min_snr_gamma)
-            diff = diff * w.reshape((b,) + (1,) * (diff.ndim - 1))
-        global_count = diff.size * n_data * n_spatial
-        return jnp.sum(diff) / global_count
+        # local sum / global count: psum of this over the mesh is the global
+        # mean (per-sample Min-SNR weights agree across a volume's slabs)
+        global_count = pred.size * n_data * n_spatial
+        return _stage2_mse(pred, target, timesteps, scheduler, cfg, reduce="sum") / global_count
 
     def sharded_grads(params, ae_params, batch, scale_factor, rng):
         loss, grads = jax.value_and_grad(local_loss)(params, ae_params, batch, scale_factor, rng)

@@ -205,3 +205,25 @@ def test_num_inference_steps_validation():
             DDPMScheduler.create(**cls_kwargs)
         with pytest.raises(ValueError):
             DDIMScheduler.create(**cls_kwargs)
+
+
+def test_add_noise_bf16_low_timesteps_inject_noise():
+    """Coefficients must be computed in fp32 and only then cast: quantizing
+    alphas_cumprod to bf16 first rounds abar_0=0.9985 to 1.0, so t=0 injected
+    ZERO noise while the training target was the (nonzero) noise — silently
+    corrupting the low-noise end of bf16 training (found in review)."""
+    import jax.numpy as jnp
+
+    from ldm3d_tpu.diffusion import DDIMScheduler, DDPMScheduler, DPMSolverPPScheduler
+
+    x0 = jnp.zeros((2, 4, 4, 4, 3), jnp.bfloat16)
+    noise = jnp.ones_like(x0)
+    t = jnp.zeros((2,), jnp.int32)
+    expected = float(np.sqrt(0.0015))  # sqrt(1 - abar_0), abar_0 = 1 - beta_0
+    for sched in (DDPMScheduler.create(), DDIMScheduler.create(num_inference_steps=50),
+                  DPMSolverPPScheduler.create(num_inference_steps=20)):
+        noisy = sched.add_noise(x0, noise, t)
+        got = float(np.asarray(noisy, np.float32).max())
+        assert abs(got - expected) < 3e-4, (type(sched).__name__, got, expected)
+    v = DDPMScheduler.create().velocity(x0, noise, t)
+    assert float(np.asarray(v, np.float32).max()) > 0.99  # sqrt(abar_0) ~ 1

@@ -48,12 +48,29 @@ def _init_params(unet):
 
 
 def test_tp_shards_large_kernels(mesh2x4, tiny_unet):
+    # min_shard_channels=1: the tiny test UNet's 16/32-wide kernels are below
+    # the production floor (which keeps e.g. the flagship's 16-wide zero-init
+    # output conv replicated) — this test checks the MECHANISM
     params = _init_params(tiny_unet)
-    tree = tp_sharding_tree(params, mesh2x4)
+    tree = tp_sharding_tree(params, mesh2x4, min_shard_channels=1)
     sharded = [s for s in jax.tree_util.tree_leaves(tree) if s.spec != P()]
     assert len(sharded) > 30  # the conv/dense kernels
     for s in sharded:
         assert s.spec[-1] == "model"
+
+
+def test_tp_floor_keeps_narrow_outputs_replicated(mesh2x4, tiny_unet):
+    """The production floor: out-channel dims below min_shard_channels per
+    device stay replicated (the module docstring's zero-init-output-conv
+    rule). For the tiny UNet on model=4 every kernel is below the default
+    floor, so nothing shards."""
+    import numpy as np
+
+    from ldm3d_tpu.parallel.tensor import tp_spec_for
+
+    assert tp_spec_for((), np.zeros((3, 3, 3, 32, 16)), 2) == P()   # 8/dev
+    assert tp_spec_for((), np.zeros((3, 3, 3, 32, 64)), 2) != P()   # 32/dev
+    assert tp_spec_for((), np.zeros((3, 3, 3, 32, 64)), 8) == P()   # 8/dev
 
 
 def test_tp_forward_matches(mesh2x4, tiny_unet):
