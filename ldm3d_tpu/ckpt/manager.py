@@ -189,8 +189,6 @@ class CheckpointManager:
             sharding = NamedSharding(mesh, PartitionSpec())
 
         def _abstract(x):
-            if isinstance(x, jax.ShapeDtypeStruct):
-                return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
             return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
 
         template = jax.tree.map(_abstract, abstract_state)

@@ -168,13 +168,20 @@ def setup(args) -> tuple:
                        devices=devices[:n])
     logging.info("mesh: %d data x %d tensor x %d spatial over %s",
                  n // (spatial * tensor), tensor, spatial, devices[0].platform)
-    if getattr(args, "synthetic_data", False):
-        args.synthetic_data = True
     return args, mesh
 
 
 def model_dtype(args):
     return jnp.bfloat16 if args.amp else jnp.float32
+
+
+def env_seed(args, default: int = 42) -> int:
+    """The environment seed, honoring an EXPLICIT 0 (the reference's
+    set_determinism(42) default applies only when no seed is configured —
+    `int(...) or 42` silently turned "seed": 0 into 42, decoupling model RNG
+    from the data loaders, which use the raw value)."""
+    seed = getattr(args, "seed", None)
+    return default if seed is None or seed == "" else int(seed)
 
 
 def global_batch_size(per_device_batch: int, mesh) -> int:

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ldm3d_tpu.cli.common import build_parser, model_dtype, setup
+from ldm3d_tpu.cli.common import build_parser, env_seed, model_dtype, setup
 from ldm3d_tpu.cli.inference import build_sampler_fn
 from ldm3d_tpu.data import prepare_dataloader
 from ldm3d_tpu.evaluation import evaluate_pairs
@@ -54,7 +54,7 @@ def main(argv=None):
     args, mesh = setup(args)
     dt = model_dtype(args)
     ctx = TrainContext(args)
-    rng = jax.random.PRNGKey(int(getattr(args, "seed", 0)) or 42)
+    rng = jax.random.PRNGKey(env_seed(args))
 
     patch_size = args.diffusion_train["patch_size"]
 
@@ -65,8 +65,35 @@ def main(argv=None):
         args, mesh, dt, rng, use_ema=args.use_ema)
     scheduler = make_sampling_scheduler(args.sampler, args.steps, ctx.scheduler_config())
 
-    sampler = build_sampler_fn(args, ae, ae_params, unet, u_params, scheduler, scale_factor,
-                               mesh=mesh)
+    if mesh.shape.get("spatial", 1) > 1:
+        # depth-sharded sampling + encoding, like cli.inference: the
+        # unsharded path would OOM at exactly the sizes --spatial exists for
+        from ldm3d_tpu.parallel import (make_spatial_encoder, make_spatial_sampler,
+                                        validate_spatial_divisibility)
+
+        validate_spatial_divisibility(latent_shape[0], mesh.shape["spatial"],
+                                      len(args.diffusion_def["channels"]) - 1)
+        if args.batch % mesh.shape["data"]:
+            raise ValueError(f"--batch {args.batch} must be divisible by the data axis "
+                             f"({mesh.shape['data']} = devices/spatial)")
+        sp_sampler = make_spatial_sampler(unet, ae, scheduler, mesh,
+                                          scale_factor=scale_factor,
+                                          guidance_scale=args.guidance)
+
+        def sampler(noise, srng, condition=None):
+            return sp_sampler(u_params, ae_params, noise, srng, condition)
+
+        _sp_encoder = make_spatial_encoder(ae, mesh)
+
+        def encode_condition(images, crng):
+            return _sp_encoder(ae_params, images, crng)
+    else:
+        sampler = build_sampler_fn(args, ae, ae_params, unet, u_params, scheduler,
+                                   scale_factor, mesh=mesh)
+
+        def encode_condition(images, crng):
+            return ae.apply({"params": ae_params}, images,
+                            method="encode_stage_2_inputs", rngs={"sample": crng})
     conditional = unet.in_channels > ae.latent_channels
     if not conditional:
         log.warning("unconditional UNet: paired metrics compare unconditional samples "
@@ -89,8 +116,7 @@ def main(argv=None):
         rng, crng, nrng, srng = jax.random.split(rng, 4)
         condition = None
         if conditional:
-            condition = ae.apply({"params": ae_params}, images,
-                                 method="encode_stage_2_inputs", rngs={"sample": crng})
+            condition = encode_condition(images, crng)
         noise = jax.random.normal(nrng, noise_shape, jnp.float32).astype(dt)
         vols = jax.block_until_ready(sampler(noise, srng, condition))
         # trim to --num, to the real PER-HOST sample count (the val loader

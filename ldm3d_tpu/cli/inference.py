@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ldm3d_tpu.cli.common import build_parser, model_dtype, setup
+from ldm3d_tpu.cli.common import build_parser, env_seed, model_dtype, setup
 from ldm3d_tpu.data import prepare_dataloader
 from ldm3d_tpu.diffusion import inferer
 from ldm3d_tpu.utils.config_merge import TrainContext
@@ -170,7 +170,7 @@ def main(argv=None):
     args, mesh = setup(args)
     dt = model_dtype(args)
     ctx = TrainContext(args)
-    rng = jax.random.PRNGKey(int(getattr(args, "seed", 0)) or 42)
+    rng = jax.random.PRNGKey(env_seed(args))
 
     patch_size = args.diffusion_train["patch_size"]
 

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ldm3d_tpu.ckpt import CheckpointManager, StageArtifacts
-from ldm3d_tpu.cli.common import build_parser, global_batch_size, model_dtype, setup, track_run
+from ldm3d_tpu.cli.common import build_parser, env_seed, global_batch_size, model_dtype, setup, track_run
 from ldm3d_tpu.configs import define_instance
 from ldm3d_tpu.data import prepare_dataloader
 from ldm3d_tpu.nn import LPIPS, PatchDiscriminator3D
@@ -99,7 +99,7 @@ def main(argv=None):
     ae = define_instance(args, "autoencoder_def").clone(dtype=dt, **({'remat': True} if args.remat else {}))
     disc = PatchDiscriminator3D(num_layers_d=3, channels=32, in_channels=args.image_channels,
                                 out_channels=1, dtype=dt)
-    rng = jax.random.PRNGKey(int(getattr(args, "seed", 0)) or 42)
+    rng = jax.random.PRNGKey(env_seed(args))
     sample_shape = (1, *train_cfg["patch_size"], args.image_channels)
     g_vars = jax.jit(ae.init)({"params": rng, "sample": rng}, jnp.zeros(sample_shape, dt))
     d_vars = jax.jit(disc.init)(rng, jnp.zeros(sample_shape, dt))
@@ -115,6 +115,10 @@ def main(argv=None):
         recon_loss=train_cfg.get("recon_loss", "l1"),
         kl_weight=train_cfg["kl_weight"],
         perceptual_weight=train_cfg.get("perceptual_weight", 0.0),
+        # schema-documented knobs must actually take effect (the reference
+        # hardcodes both — 0.01 at :410 and epoch>5 at :304)
+        adv_weight=train_cfg.get("adv_weight", 0.01),
+        warmup_epochs=train_cfg.get("warmup_epochs", 5),
     )
     g_state = TrainState.create(ae.apply, g_vars["params"],
                                 make_optimizer(schedule, s1cfg.grad_clip, grad_accum=args.grad_accum))

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ldm3d_tpu.ckpt import CheckpointManager, StageArtifacts
-from ldm3d_tpu.cli.common import build_parser, global_batch_size, model_dtype, setup, track_run
+from ldm3d_tpu.cli.common import build_parser, env_seed, global_batch_size, model_dtype, setup, track_run
 from ldm3d_tpu.configs import define_instance
 from ldm3d_tpu.data import prepare_dataloader
 from ldm3d_tpu.diffusion import DDPMScheduler, inferer
@@ -89,7 +89,7 @@ def main(argv=None):
     )
     steps_per_epoch = max(1, train_loader.steps_per_epoch())
 
-    rng = jax.random.PRNGKey(int(getattr(args, "seed", 0)) or 42)
+    rng = jax.random.PRNGKey(env_seed(args))
 
     # frozen stage-1 VAE ----------------------------------------------------
     ae, ae_params = load_frozen_autoencoder(args, dt, rng, train_cfg["patch_size"], mesh)
@@ -119,7 +119,10 @@ def main(argv=None):
 
     max_epochs = args.max_epochs or train_cfg["max_epochs"]
     val_interval = train_cfg["val_interval"]
-    schedule = build_lr_schedule("multistep", train_cfg["lr"], max_epochs, steps_per_epoch)
+    # default = the reference's MultiStepLR (:156); the schema-accepted
+    # lr_scheduler key must actually take effect when set
+    schedule = build_lr_schedule(train_cfg.get("lr_scheduler", "multistep"),
+                                 train_cfg["lr"], max_epochs, steps_per_epoch)
     s2cfg = Stage2Config(conditional=not args.unconditional, cond_dropout=args.cond_dropout,
                          min_snr_gamma=args.min_snr_gamma)
     u_state = TrainState.create(unet.apply, u_vars["params"],
@@ -184,7 +187,7 @@ def main(argv=None):
         # topology from the JAX process set, like prepare_dataloader)
         cache = LatentCache.build(ae, ae_params, train_loader.dataset, batch_size,
                                   conditional=s2cfg.conditional,
-                                  seed=int(getattr(args, "seed", 0)) or 42)
+                                  seed=env_seed(args))
         lat_step = make_stage2_train_step_latents(unet, scheduler, s2cfg)
 
         def train_step(state, _ae_params, sb, sf, r):  # uniform loop signature

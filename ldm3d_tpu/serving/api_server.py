@@ -241,7 +241,10 @@ def make_fastapi_app(api: Api):
 
     @app.post("/generate")
     async def generate(request: Request):
-        body = await request.json()
+        try:
+            body = await request.json()
+        except Exception:  # malformed JSON: 400 like the stdlib frontend
+            return JSONResponse({"error": "invalid JSON body"}, status_code=400)
         code, payload, _ = api.dispatch("POST", "/generate", body)
         return JSONResponse(payload, status_code=code)
 

@@ -41,9 +41,9 @@ def run(raw_data: str) -> str:
         payload = json.loads(raw_data) if raw_data else {}
     except json.JSONDecodeError as e:
         return json.dumps({"error": f"invalid JSON: {e}"})
-    num = int(payload.get("num_samples", 1))
-    seed = payload.get("seed")
     try:
+        num = int(payload.get("num_samples", 1))
+        seed = payload.get("seed")
         result = _server.generate(num_samples=num, seed=seed)
         return json.dumps(result)
     except Exception as e:  # scoring must not crash the worker

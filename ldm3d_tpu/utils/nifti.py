@@ -42,7 +42,10 @@ def _build_header(shape, dtype: np.dtype, zooms) -> bytes:
         raise ValueError(f"unsupported dtype {dtype}; one of {list(_DTYPE_CODES)}")
     h = bytearray(_HEADER_SIZE)
     struct.pack_into("<i", h, 0, _HEADER_SIZE)                  # sizeof_hdr
-    struct.pack_into("<b", h, 39, 114)                           # dim_info (unused, 'r')
+    # offset 38 = char 'regular' ('r' by convention); offset 39 = dim_info,
+    # which must stay 0 (packing 'r' there would claim bogus MRI
+    # frequency/slice-encoding directions to readers like nibabel)
+    struct.pack_into("<b", h, 38, 114)                           # regular = 'r'
     dim = (len(shape), *shape) + (1,) * (7 - len(shape))
     struct.pack_into("<8h", h, 40, *dim)                         # dim
     struct.pack_into("<h", h, 70, code)                          # datatype

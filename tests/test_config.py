@@ -176,3 +176,16 @@ def test_merge_rejects_unknown_key_end_to_end(tmp_path):
     cfgf.write_text(json.dumps(cfg))
     with pytest.raises(ValueError, match="did you mean 'diffusion_train'"):
         merge_configs_onto_args(argparse.Namespace(), str(envf), str(cfgf))
+
+
+def test_env_seed_honors_explicit_zero():
+    """'seed': 0 in environment.json must NOT silently become 42 (the data
+    loaders use the raw value, so `or 42` decoupled model and loader RNG)."""
+    import argparse
+
+    from ldm3d_tpu.cli.common import env_seed
+
+    assert env_seed(argparse.Namespace(seed=0)) == 0
+    assert env_seed(argparse.Namespace(seed=7)) == 7
+    assert env_seed(argparse.Namespace()) == 42
+    assert env_seed(argparse.Namespace(seed=None)) == 42

@@ -80,3 +80,17 @@ def test_4d_multichannel_roundtrip(tmp_path):
     nib = pytest.importorskip("nibabel")
     loaded = np.asanyarray(nib.load(path).dataobj)
     np.testing.assert_allclose(loaded, vol, rtol=1e-6)
+
+
+def test_header_regular_and_dim_info_fields(tmp_path):
+    """'r' belongs at offset 38 (regular); offset 39 (dim_info) must stay 0 —
+    a nonzero dim_info claims MRI frequency/slice-encoding directions that
+    generated volumes do not have (found in review: 'r' was packed into 39)."""
+    vol = np.zeros((3, 3, 3), np.float32)
+    path = write_nifti(str(tmp_path / "h.nii"), vol)
+    raw = open(path, "rb").read()
+    assert raw[38] == 114  # 'r'
+    assert raw[39] == 0    # dim_info unset
+    nib = pytest.importorskip("nibabel")
+    img = nib.load(path)
+    assert img.header.get_dim_info() == (None, None, None)
