@@ -63,7 +63,15 @@ def build_lpips(args, dtype):
     probe = jnp.zeros((1, 32, 32, 1), dtype)
     variables = jax.jit(lpips.init)(jax.random.PRNGKey(17), probe, probe)
     weights_path = getattr(args, "lpips_weights", "")
-    if weights_path and os.path.exists(weights_path):
+    if weights_path:
+        # an explicitly configured path that doesn't resolve must FAIL: a
+        # silent fallback to random features trains against a materially
+        # different perceptual objective with only an info line as evidence
+        if not os.path.exists(weights_path):
+            raise FileNotFoundError(
+                f"lpips_weights is set to {weights_path!r} but the file does not "
+                "exist (tools/convert_lpips.py produces it); unset the key to "
+                "train with fixed-seed LPIPS features deliberately")
         from flax import serialization
 
         with open(weights_path, "rb") as f:

@@ -25,6 +25,7 @@ import dataclasses
 import functools
 import json
 import logging
+import math
 import os
 from typing import Callable, Optional
 
@@ -59,7 +60,19 @@ class EvalReport:
         return self.score > threshold
 
     def to_json(self) -> str:
-        return json.dumps(dataclasses.asdict(self), indent=2)
+        def _clean(v):
+            if isinstance(v, float) and not math.isfinite(v):
+                # bare NaN/Infinity tokens are invalid JSON for strict parsers
+                # (jq, JS) — the gate report must always parse; None marks
+                # "no finite value" (e.g. per-sample PSNR of identical pairs)
+                return None
+            if isinstance(v, dict):
+                return {k: _clean(x) for k, x in v.items()}
+            if isinstance(v, list):
+                return [_clean(x) for x in v]
+            return v
+
+        return json.dumps(_clean(dataclasses.asdict(self)), indent=2, allow_nan=False)
 
     def save(self, path: str) -> str:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

@@ -106,6 +106,11 @@ def ssim3d(
     """
     x = pred.astype(jnp.float32)
     y = target.astype(jnp.float32)
+    # VALID filtering with a window longer than a spatial dim produces an
+    # EMPTY map (mean of nothing = NaN, silently failing the CI gate for
+    # thin-slab volumes); clamp to the smallest spatial extent, kept odd
+    window_size = min(window_size, *pred.shape[1:4])
+    window_size = window_size if window_size % 2 == 1 else window_size - 1
     kern = jnp.asarray(gaussian_kernel1d(window_size, sigma))
 
     mu_x = _filter3d(x, kern)

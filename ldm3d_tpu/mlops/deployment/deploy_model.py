@@ -86,12 +86,26 @@ class ModelDeployment:
         container["image"] = image
         if model_dir:
             container["env"].append({"name": "MODEL_DIR", "value": model_dir})
+        # Traffic routing that actually routes: plain Services can't split by
+        # percentage (kube-proxy balances across whatever the selector
+        # matches), so traffic_percent=100 pins the Service selector to THIS
+        # version — a blue/green flip. Partial splits keep the selector on
+        # the app (all versions) and scale this version's replica share to
+        # approximate the split, recording the request in the annotation; a
+        # mesh/ingress controller can consume the annotation for exact
+        # weighting. Silently annotating while routing 50/50 (the previous
+        # behavior) advertised a split that never happened.
+        selector = dict(labels) if traffic_percent >= 100 else {"app": name}
+        if 0 < traffic_percent < 100:
+            manifest["spec"]["replicas"] = max(1, round(replicas * traffic_percent / 100))
+        elif traffic_percent <= 0:
+            manifest["spec"]["replicas"] = 0  # staged but serving nothing
         service = {
             "apiVersion": "v1",
             "kind": "Service",
             "metadata": {"name": name, "namespace": self.namespace,
                          "annotations": {"traffic-split": json.dumps({dep_name: traffic_percent})}},
-            "spec": {"selector": {"app": name}, "ports": [{"port": 80, "targetPort": 8000}]},
+            "spec": {"selector": selector, "ports": [{"port": 80, "targetPort": 8000}]},
         }
         return {"deployment": manifest, "service": service}
 
@@ -145,6 +159,11 @@ class ModelDeployment:
         blocks until rollout completes; missing kubectl is an error — a
         requested live deploy must never silently degrade to render-only."""
         entry = self.registry.get(name, stage) if self.registry else None
+        if self.registry is not None and entry is None:
+            # a registry-backed deploy of a stage with no model must FAIL, not
+            # quietly ship a v1 Deployment with no MODEL_DIR (promote a
+            # version to the stage first, or deploy without --registry-dir)
+            raise DeployError(f"no model named {name!r} at stage {stage!r} in the registry")
         version = entry["version"] if entry else 1
         model_dir = entry["checkpoint_dir"] if entry else None
         rendered = self.render(name, version, image, traffic_percent, model_dir)

@@ -64,8 +64,12 @@ class TrainingPipeline:
         merge_configs_onto_args(args, self.environment_file, self.config_file)
         if "--synthetic-data" in self.extra_flags:
             args.synthetic_data = True
+        # same divisibility rule as the stage-1 trainer — a pre-flight check
+        # that validates against a different constraint than the trainer
+        # enforces would pass data the trainer then rejects
+        size_divisible = 2 ** (len(args.autoencoder_def["channels"]) - 1)
         tl, vl = prepare_dataloader(args, 1, args.autoencoder_train["patch_size"],
-                                    randcrop=True, size_divisible=4)
+                                    randcrop=True, size_divisible=size_divisible)
         return {"train_samples": len(tl.dataset), "val_samples": len(vl.dataset)}
 
     def step_train_autoencoder(self) -> dict:
@@ -231,6 +235,10 @@ def main(argv=None):
     p.add_argument("--max-epochs", type=int, default=None)
     p.add_argument("--synthetic-data", action="store_true")
     p.add_argument("--emit-spec", action="store_true", help="print the cloud DAG spec and exit")
+    p.add_argument("--step", default=None,
+                   choices=("data_prep", "train_autoencoder", "train_diffusion", "evaluate"),
+                   help="run ONE pipeline step (what the emitted cloud spec's "
+                        "per-step commands invoke) instead of the whole DAG")
     p.add_argument("--batch-inference", type=int, default=0, metavar="N",
                    help="run the batch-inference pipeline for N samples instead of training")
     p.add_argument("--sampler", default="ddim", help="batch-inference sampler (ddpm/ddim/dpm)")
@@ -253,6 +261,15 @@ def main(argv=None):
                             max_epochs=args.max_epochs, extra_flags=extra)
     if args.emit_spec:
         print(json.dumps(pipe.emit_cloud_spec(), indent=2))
+        return
+    if args.step:
+        step_fns = {
+            "data_prep": pipe.step_data_prep,
+            "train_autoencoder": pipe.step_train_autoencoder,
+            "train_diffusion": pipe.step_train_diffusion,
+            "evaluate": lambda: pipe.step_evaluate({}),
+        }
+        print(json.dumps(step_fns[args.step](), default=str))
         return
     results = pipe.run_local()
     print(json.dumps({k: v for k, v in results.items()}, default=str))

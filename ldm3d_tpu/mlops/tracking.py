@@ -12,6 +12,7 @@ the CLIs via ``--track`` (and is importable without any cloud SDK).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
@@ -41,6 +42,11 @@ class ExperimentTracker:
         self._mlflow = _mlflow()
         self._run_dir: Optional[str] = None
         self._active = False
+        # initialized here, not in start_run: the mlflow backend tolerates
+        # log_* before start_run (it auto-starts a run), so the fallback
+        # must not AttributeError on the same call sequence
+        self._metrics: list[dict] = []
+        self._params: dict = {}
         if self._mlflow:
             if tracking_uri:
                 self._mlflow.set_tracking_uri(tracking_uri)
@@ -91,11 +97,15 @@ class ExperimentTracker:
             self._metrics.append({"step": step, "time": time.time(),
                                   **{k: float(v) for k, v in metrics.items()}})
 
-    def log_artifact(self, path: str) -> None:
+    def log_artifact(self, path: str, artifact_path: Optional[str] = None) -> None:
+        """``artifact_path``: optional subdirectory — distinguishes artifacts
+        that share a basename (e.g. each stage's ``best_meta.json``)."""
         if self._mlflow:
-            self._mlflow.log_artifact(path)
+            self._mlflow.log_artifact(path, artifact_path=artifact_path)
         elif self._run_dir:
-            shutil.copy(path, os.path.join(self._run_dir, "artifacts", os.path.basename(path)))
+            dest = os.path.join(self._run_dir, "artifacts", artifact_path or "")
+            os.makedirs(dest, exist_ok=True)
+            shutil.copy(path, os.path.join(dest, os.path.basename(path)))
 
     # -- helpers -----------------------------------------------------------------
 
@@ -114,20 +124,36 @@ class ExperimentTracker:
 
 
 class ModelRegistry:
-    """Register / promote / resolve model versions.
+    """Register / promote / resolve model versions in a local JSON index over
+    checkpoint directories (stages: None -> Staging -> Production, the stage
+    contract of the reference's ``mlflow_integration.py:216-262``).
 
-    MLflow registry when available; otherwise a JSON index over checkpoint
-    directories (stages: None -> Staging -> Production, parity with
-    ``mlflow_integration.py:216-262``).
+    Deliberately file-based rather than the MLflow model registry: the
+    artifacts are orbax checkpoint DIRECTORIES on shared storage, which the
+    MLflow registry cannot serve; the index records where they live. Writes
+    are serialized with an advisory file lock and committed atomically
+    (tmp + rename), so concurrent CI jobs cannot lose a version record.
     """
 
     STAGES = ("None", "Staging", "Production", "Archived")
 
     def __init__(self, registry_root: str = "./model_registry"):
         self.registry_root = registry_root
-        self._mlflow = _mlflow()
         os.makedirs(registry_root, exist_ok=True)
         self._index_path = os.path.join(registry_root, "index.json")
+        self._lock_path = os.path.join(registry_root, ".index.lock")
+
+    @contextlib.contextmanager
+    def _locked(self):
+        """Advisory lock around read-modify-write of the index."""
+        import fcntl
+
+        with open(self._lock_path, "w") as lock_f:
+            fcntl.flock(lock_f, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(lock_f, fcntl.LOCK_UN)
 
     def _index(self) -> dict:
         if os.path.exists(self._index_path):
@@ -136,32 +162,36 @@ class ModelRegistry:
         return {}
 
     def _save_index(self, idx: dict) -> None:
-        with open(self._index_path, "w") as f:
+        tmp = self._index_path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(idx, f, indent=2)
+        os.replace(tmp, self._index_path)  # atomic: readers never see a torn file
 
     def register(self, name: str, checkpoint_dir: str, metrics: Optional[dict] = None) -> int:
-        idx = self._index()
-        versions = idx.setdefault(name, [])
-        version = len(versions) + 1
-        versions.append({
-            "version": version,
-            "checkpoint_dir": os.path.abspath(checkpoint_dir),
-            "metrics": metrics or {},
-            "stage": "None",
-            "registered_at": time.time(),
-        })
-        self._save_index(idx)
+        with self._locked():
+            idx = self._index()
+            versions = idx.setdefault(name, [])
+            version = len(versions) + 1
+            versions.append({
+                "version": version,
+                "checkpoint_dir": os.path.abspath(checkpoint_dir),
+                "metrics": metrics or {},
+                "stage": "None",
+                "registered_at": time.time(),
+            })
+            self._save_index(idx)
         return version
 
     def promote(self, name: str, version: int, stage: str) -> None:
         if stage not in self.STAGES:
             raise ValueError(f"stage must be one of {self.STAGES}")
-        idx = self._index()
-        for entry in idx.get(name, []):
-            if entry["version"] == version:
-                entry["stage"] = stage
-                self._save_index(idx)
-                return
+        with self._locked():
+            idx = self._index()
+            for entry in idx.get(name, []):
+                if entry["version"] == version:
+                    entry["stage"] = stage
+                    self._save_index(idx)
+                    return
         raise KeyError(f"{name} v{version} not found")
 
     def get(self, name: str, stage: str = "Production") -> Optional[dict]:
@@ -184,7 +214,9 @@ def log_training_run(tracker: ExperimentTracker, config: dict, final_metrics: di
             for sub in ("", "autoencoder", "discriminator", "diffusion_unet"):
                 meta = os.path.join(checkpoint_dir, sub, "best_meta.json")
                 if os.path.exists(meta):
-                    tracker.log_artifact(meta)
+                    # per-stage subdir: they all share the basename, and both
+                    # backends store artifacts by basename (last write wins)
+                    tracker.log_artifact(meta, artifact_path=sub or None)
         tracker.end_run("FINISHED")
     except Exception:
         tracker.end_run("FAILED")

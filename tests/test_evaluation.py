@@ -5,6 +5,8 @@ exist, SURVEY.md §3.5), so these tests check our implementation against
 closed-form and torch-independent ground truths.
 """
 
+import json
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -187,3 +189,31 @@ def test_evaluate_pairs_with_vae_features():
 def test_evaluate_pairs_rejects_mismatched_lists():
     with pytest.raises(ValueError):
         evaluate_pairs([_vol(0)], [])
+
+
+def test_ssim_thin_volume_no_nan():
+    """Volumes thinner than the 11-tap window must not yield NaN (the VALID
+    filter produced an EMPTY map, silently failing the CI gate)."""
+    import jax.numpy as jnp
+
+    from ldm3d_tpu.evaluation import metrics as M
+
+    x = jnp.linspace(0, 1, 1 * 8 * 32 * 32).reshape(1, 8, 32, 32, 1)
+    v = np.asarray(M.ssim3d(x, x))
+    assert np.isfinite(v).all()
+    assert v[0] > 0.99  # identical volumes
+
+
+def test_report_json_never_emits_nan_tokens(tmp_path):
+    """evaluation_report.json must parse under strict JSON (jq/JS): non-finite
+    values serialize as null, not bare NaN/Infinity tokens."""
+    from ldm3d_tpu.evaluation.evaluator import EvalReport
+
+    r = EvalReport(num_samples=1, mae=float("nan"), mse=0.0, psnr=float("inf"),
+                   ssim=0.5, ms_ssim=0.5, frechet=None, score=float("nan"),
+                   per_sample={"psnr": [float("inf")]})
+    text = r.to_json()
+    assert "NaN" not in text and "Infinity" not in text
+    parsed = json.loads(text)
+    assert parsed["mae"] is None and parsed["per_sample"]["psnr"][0] is None
+    assert not r.passed(0.8)  # NaN score fails the gate closed
