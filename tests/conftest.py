@@ -13,9 +13,14 @@ import sys
 # make every tiny test compile over the tunnel. The config update below is the
 # only override that wins once the plugin has registered.
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+import re as _re
+
+# force the count even when the environment inherited a DIFFERENT one (e.g.
+# another project's XLA_FLAGS): tests assume the 8-device mesh, and a stale
+# 4 would fail them obscurely instead of here
+flags = _re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+                os.environ.get("XLA_FLAGS", ""))
+os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -58,4 +58,5 @@ print(f"RESULT global_mean {float(mean):.6f}", flush=True)
 # update must be identical on every host
 w = jnp.ones((4,))
 grad = jax.jit(jax.grad(lambda w, b: jnp.mean((b["x"] @ w) ** 2)))(w, batch)
-print(f"RESULT grad {' '.join(f'{g:.6f}' for g in np.asarray(grad))}", flush=True)
+# repr round-trips float64 exactly — the reader asserts BITWISE agreement
+print(f"RESULT grad {' '.join(repr(float(g)) for g in np.asarray(grad))}", flush=True)

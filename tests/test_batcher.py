@@ -17,7 +17,7 @@ def test_concurrent_submissions_merge_and_results_route():
         time.sleep(0.02)  # give submitters time to queue up behind call 1
         return noise * 2.0
 
-    b = DynamicBatcher(run_batch, batch_size=4, max_wait_ms=50)
+    b = DynamicBatcher(run_batch, batch_size=4, max_wait_ms=2000)
     try:
         results = {}
 
@@ -34,7 +34,10 @@ def test_concurrent_submissions_merge_and_results_route():
             np.testing.assert_array_equal(results[i], np.full((2, 2), 2.0 * i))
         # 8 samples arrived concurrently: fewer batched calls than samples
         assert b.samples_run == 8
-        assert b.batches_run < 8, f"no merging happened: {calls}"
+        # the 2s window makes merging robust to slow/loaded runners (each
+        # window still closes EARLY once 4 items arrive, so the test stays
+        # fast); 8 samples over batch-4 calls = 2 in the common case
+        assert b.batches_run <= 4, f"no merging happened: {calls}"
         assert all(c == 4 for c in calls)  # every call padded/filled to B
     finally:
         b.close()

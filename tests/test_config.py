@@ -159,7 +159,7 @@ def test_schema_rejects_wrong_type():
         validate_config(cfg)
 
 
-def test_schema_rejects_unknown_env_key(tmp_path):
+def test_schema_rejects_unknown_env_key():
     from ldm3d_tpu.configs.schema import ConfigSchemaError, validate_environment
     with pytest.raises(ConfigSchemaError, match="model_dirs"):
         validate_environment({"model_dirs": "/x"})

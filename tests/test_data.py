@@ -1,5 +1,7 @@
 """Data pipeline tests: NPZ parity, splits, transforms, loader semantics."""
 
+import glob
+
 import numpy as np
 import pytest
 
@@ -24,7 +26,7 @@ def npz_dir(tmp_path_factory):
 
 
 def test_npz_loading_and_layout(npz_dir):
-    ds = NPZPairDataset(sorted(__import__("glob").glob(npz_dir + "/*.npz")))
+    ds = NPZPairDataset(sorted(glob.glob(npz_dir + "/*.npz")))
     s = ds[0]
     assert s["image"].shape == (24, 24, 24, 1)  # NDHWC, channels-last
     assert s["label"].shape == (24, 24, 24, 1)
@@ -85,7 +87,7 @@ def test_center_crop():
 
 
 def test_loader_drop_last_and_padding(npz_dir):
-    files = sorted(__import__("glob").glob(npz_dir + "/*.npz"))
+    files = sorted(glob.glob(npz_dir + "/*.npz"))
     ds = NPZPairDataset(files, patch_size=[16, 16, 16])
     strict = BatchLoader(ds, batch_size=4, shuffle=False, drop_last=True)
     batches = list(strict.epoch(0))
@@ -99,7 +101,7 @@ def test_loader_drop_last_and_padding(npz_dir):
 
 
 def test_loader_shuffle_is_seeded(npz_dir):
-    files = sorted(__import__("glob").glob(npz_dir + "/*.npz"))
+    files = sorted(glob.glob(npz_dir + "/*.npz"))
     ds = NPZPairDataset(files, patch_size=[16, 16, 16], scale_on_host=False)
     l1 = BatchLoader(ds, batch_size=2, shuffle=True, seed=5)
     l2 = BatchLoader(ds, batch_size=2, shuffle=True, seed=5)

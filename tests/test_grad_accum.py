@@ -66,3 +66,29 @@ def test_multisteps_updates_only_every_k():
     np.testing.assert_allclose(np.asarray(state.params["w"]), np.asarray(p0))
     state = state.apply_gradients(g)
     assert not np.allclose(np.asarray(state.params["w"]), np.asarray(p0))  # k-th step applies
+
+
+def test_multisteps_applies_the_average_gradient():
+    """Direction-sensitive accumulation check: after k micro-grads, the
+    applied update must equal ONE plain-optimizer step on their MEAN.
+    (Adam is scale-invariant, so the model-level delta-ratio test above
+    cannot distinguish sum vs average vs last-micro-batch-only — this can:
+    g1 and g2 point in different directions, so any wrong combination
+    changes the update direction, not just its scale.)"""
+    import optax
+
+    sched = build_lr_schedule(None, 1e-3, 1, 1)
+    params = {"w": jnp.array([1.0, -2.0, 3.0])}
+    g1 = {"w": jnp.array([1.0, 0.0, -4.0])}
+    g2 = {"w": jnp.array([0.0, 2.0, 8.0])}
+    g_mean = jax.tree.map(lambda a, b: (a + b) / 2.0, g1, g2)
+
+    acc = TrainState.create(lambda v, x: x, dict(params), make_optimizer(sched, grad_accum=2))
+    acc = acc.apply_gradients(g1)
+    acc = acc.apply_gradients(g2)
+
+    plain = TrainState.create(lambda v, x: x, dict(params), make_optimizer(sched))
+    plain = plain.apply_gradients(g_mean)
+
+    np.testing.assert_allclose(np.asarray(acc.params["w"]),
+                               np.asarray(plain.params["w"]), rtol=1e-6, atol=1e-7)

@@ -63,6 +63,6 @@ def test_two_process_data_parallel():
     assert r0["global_mean"] == r1["global_mean"]
     assert abs(float(r0["global_mean"]) - 2.5) < 1e-6
     # gradients identical on every host (the DDP invariant)
-    g0 = np.fromstring(r0["grad"], sep=" ")
-    g1 = np.fromstring(r1["grad"], sep=" ")
+    g0 = np.array(r0["grad"].split(), dtype=np.float64)
+    g1 = np.array(r1["grad"].split(), dtype=np.float64)
     np.testing.assert_array_equal(g0, g1)

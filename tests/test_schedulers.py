@@ -79,8 +79,10 @@ def test_v_prediction_consistency():
 
 
 def test_ddpm_full_loop_statistics():
-    """1000-step unconditional loop with zero-epsilon model stays finite and
-    shrinks toward the prior mean (sanity for the scan sampler path)."""
+    """Full unconditional loop with a zero-epsilon model: output stays finite,
+    contracts toward the prior (std strictly below the input noise's), and
+    respects clip_sample's [-1, 1] bound — a finite-but-wrong sampler (steps
+    in the wrong order, never updating x) fails at least one of these."""
     from ldm3d_tpu.diffusion import inferer
 
     sch = DDPMScheduler.create(num_train_timesteps=25)
@@ -89,8 +91,11 @@ def test_ddpm_full_loop_statistics():
     def unet_apply(x, t):
         return jnp.zeros_like(x)
 
-    out = inferer.sample_latents(unet_apply, sch, noise, jax.random.PRNGKey(1))
-    assert np.all(np.isfinite(np.asarray(out)))
+    out = np.asarray(inferer.sample_latents(unet_apply, sch, noise, jax.random.PRNGKey(1)))
+    assert np.all(np.isfinite(out))
+    assert not np.allclose(out, np.asarray(noise))           # x actually updated
+    assert float(out.std()) < 0.85 * float(np.asarray(noise).std())  # measured ~0.71 vs 0.92
+    assert np.abs(out).max() <= 1.0 + 1e-5                   # clip_sample bound
 
 
 def test_dpm_solver_analytic_exactness():

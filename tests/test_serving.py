@@ -126,7 +126,7 @@ def test_metrics_primitives():
     assert "h_seconds_count 2" in text
 
 
-def test_score_contract(monkeypatch):
+def test_score_contract():
     from ldm3d_tpu.serving import score
 
     score.init()
@@ -245,6 +245,18 @@ def test_decode_chunk_matches_whole_batch(real_api):
         aw = np.frombuffer(base64.b64decode(sw["data"]), np.float32)
         ac = np.frombuffer(base64.b64decode(sc["data"]), np.float32)
         np.testing.assert_array_equal(aw, ac)
+
+
+def test_ddpm_server_skips_micro_batcher(real_api):
+    """The micro-batcher is exact only for deterministic samplers: ddpm draws
+    ancestral noise from the BATCH's rng, so a merged request's output would
+    depend on its batch-mates' seeds. load_model must not build a batcher for
+    ddpm even at batch > 1 (model_server gate) — this pins the gate."""
+    srv = ModelServer(real_api.server.config_file, real_api.server.environment_file,
+                      sampler="ddpm", steps=2, batch=2)
+    srv.load_model()
+    assert not srv.is_dummy
+    assert srv._batcher is None, "ddpm server must not micro-batch requests"
 
 
 def test_spatial_serving(real_api):
