@@ -333,6 +333,40 @@ def run_bench(models, BATCH: int):
     except Exception as e:  # noqa: BLE001 — secondary metric only
         _progress(f"training secondary skipped ({type(e).__name__}: {str(e)[:80]})")
 
+    # secondary: stage-1 VAE-GAN training throughput at the recommended
+    # config (batch 8 + remat @ 64^3, unlocked by the streamed flash-attention
+    # backward — docs/PERFORMANCE.md); failures never affect the headline
+    s1_train_vols_per_sec = None
+    try:
+        from ldm3d_tpu.nn import LPIPS, PatchDiscriminator3D
+        from ldm3d_tpu.training import (Stage1Config, TrainState, make_optimizer,
+                                        make_stage1_train_step)
+
+        ae_rm = ae.clone(remat=True)
+        disc = PatchDiscriminator3D(num_layers_d=3, channels=32, dtype=jnp.bfloat16)
+        s1x = jax.random.uniform(rng, (8, 64, 64, 64, 1), jnp.float32)
+        g_params = jax.jit(ae_rm.init)({"params": rng, "sample": rng},
+                                       jnp.zeros((1, 64, 64, 64, 1), jnp.bfloat16))["params"]
+        d_params = jax.jit(disc.init)(rng, jnp.zeros((1, 64, 64, 64, 1), jnp.bfloat16))["params"]
+        lp = LPIPS(dtype=jnp.bfloat16)
+        lp_vars = jax.jit(lp.init)(jax.random.PRNGKey(17),
+                                   jnp.zeros((1, 16, 16, 1), jnp.bfloat16),
+                                   jnp.zeros((1, 16, 16, 1), jnp.bfloat16))
+        s1_step = make_stage1_train_step(
+            ae_rm, disc, lambda a, b: lp.apply(lp_vars, a, b), Stage1Config())
+        g_st = TrainState.create(ae_rm.apply, g_params, make_optimizer(1e-4))
+        d_st = TrainState.create(disc.apply, d_params, make_optimizer(1e-4))
+        g_st, d_st, sm = s1_step(g_st, d_st, s1x, jax.random.PRNGKey(3), True)
+        float(sm["recon_loss"])  # compile + warm
+        t0 = time.perf_counter()
+        for i in range(3):
+            g_st, d_st, sm = s1_step(g_st, d_st, s1x, jax.random.PRNGKey(4 + i), True)
+        float(sm["recon_loss"])
+        s1_train_vols_per_sec = 8 / ((time.perf_counter() - t0) / 3)
+        _progress(f"stage-1 VAE-GAN training: {s1_train_vols_per_sec:.2f} vol/s")
+    except Exception as e:  # noqa: BLE001 — secondary metric only
+        _progress(f"stage-1 training secondary skipped ({type(e).__name__}: {str(e)[:80]})")
+
     # --- MFU: XLA-cost-model FLOPs over measured wall time --------------------
     # One UNet application (the scan body's cost) and one decode chunk; both
     # programs are already in the persistent compile cache from the timings
@@ -380,6 +414,8 @@ def run_bench(models, BATCH: int):
                                        if dpm20_vols_per_sec else None),
         "stage2_train_volumes_per_sec_chip": (round(train_vols_per_sec, 4)
                                               if train_vols_per_sec else None),
+        "stage1_train_volumes_per_sec_chip": (round(s1_train_vols_per_sec, 4)
+                                              if s1_train_vols_per_sec else None),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
