@@ -710,3 +710,32 @@ def test_per_request_steps_on_ddpm_server(real_api):
     # steps beyond the training schedule are rejected, not silently clamped
     with pytest.raises(ValueError, match="num_inference_steps"):
         srv.generate(1, seed=0, inference_steps=17)
+
+
+def test_health_check_exit_code_contract(api, tmp_path):
+    """Container health check (Docker HEALTHCHECK / K8s probe command,
+    reference mlops/docker/health_check.py:53-96 parity): exit 0 against a
+    healthy live server, exit 1 on unreachable API or missing model files;
+    --skip-device marks the device check skipped-ok (the API server process
+    holds the TPU exclusively, so the probe must not grab it)."""
+    import threading
+
+    from ldm3d_tpu.serving.api_server import make_stdlib_server
+    from ldm3d_tpu.serving.health_check import main as health_main
+
+    httpd = make_stdlib_server(api, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        rc = health_main(["--skip-device", "--api-url", f"http://127.0.0.1:{port}"])
+        assert rc == 0
+        # unreachable API -> unhealthy
+        rc = health_main(["--skip-device", "--api-url", "http://127.0.0.1:9"])
+        assert rc == 1
+        # missing model artifacts -> unhealthy
+        rc = health_main(["--skip-device", "--model-dir", str(tmp_path / "nope")])
+        assert rc == 1
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
