@@ -99,6 +99,11 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    help="ZeRO-1: shard optimizer moments over the data axis (~1/N optimizer "
                         "memory; the reference only lists this as future work). Composes with "
                         "--tensor; see docs/SCALING.md")
+    p.add_argument("--fsdp", action="store_true",
+                   help="FSDP (ZeRO-3): shard params + optimizer moments + EMA over the data "
+                        "axis (~1/N training-state memory; XLA all-gathers weights per use and "
+                        "reduce-scatters grads). Supersedes --zero; composes with --tensor and "
+                        "--spatial; see docs/SCALING.md")
     return p
 
 

@@ -165,7 +165,17 @@ def main(argv=None):
         log.info("tensor parallel: G+D params + optimizer sharded over %d devices",
                  mesh.shape["model"])
 
-    if getattr(args, "zero", False) and mesh.shape["data"] > 1:
+    if getattr(args, "fsdp", False) and mesh.shape["data"] > 1:
+        # FSDP/ZeRO-3: params + moments sharded over data (parallel/fsdp.py)
+        from ldm3d_tpu.parallel import shard_train_state_fsdp
+
+        if getattr(args, "zero", False):
+            log.info("--zero is redundant under --fsdp (moments are FSDP-sharded)")
+        g_state = shard_train_state_fsdp(g_state, mesh)
+        d_state = shard_train_state_fsdp(d_state, mesh)
+        log.info("FSDP: G+D params + optimizer state sharded over %d data-parallel devices",
+                 mesh.shape["data"])
+    elif getattr(args, "zero", False) and mesh.shape["data"] > 1:
         # ZeRO-1: optimizer moments sharded over the data axis (parallel/zero.py)
         from ldm3d_tpu.parallel import shard_train_state_zero
 

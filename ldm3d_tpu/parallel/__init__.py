@@ -21,6 +21,10 @@ from ldm3d_tpu.parallel.zero import (
     zero_sharding_tree,
     zero_spec_for,
 )
+from ldm3d_tpu.parallel.fsdp import (
+    fsdp_sharding_tree,
+    shard_train_state_fsdp,
+)
 from ldm3d_tpu.parallel.spatial import (
     SPATIAL_AXIS,
     halo_exchange,
@@ -51,6 +55,8 @@ __all__ = [
     "shard_train_state_zero",
     "zero_sharding_tree",
     "zero_spec_for",
+    "fsdp_sharding_tree",
+    "shard_train_state_fsdp",
     "global_batch",
     "init_multihost",
     "is_multihost",

@@ -16,6 +16,7 @@ DDIM/DDPM scan.
 from __future__ import annotations
 
 import base64
+import contextlib
 import logging
 import threading
 import time
@@ -24,6 +25,54 @@ from typing import Any, Optional
 import numpy as np
 
 log = logging.getLogger("model_server")
+
+
+class _RWGate:
+    """Reader-writer gate: ``generate()`` calls are readers, ``load_model()``
+    (the ``POST /model/reload`` admin op) is the writer.
+
+    Without it a reload swaps ``_run`` / ``_batcher`` / ``_sampler_cache``
+    while an in-flight request is mid-``generate`` — the request can mix old
+    weights with a new compiled program, or submit to a batcher that is being
+    closed under it. Writer-preferring: once a reload is waiting, new requests
+    queue behind it so a steady request stream cannot starve the reload
+    (requests block for the reload's checkpoint-restore + compile; that is the
+    correct contract for an admin op — the readiness probe covers clients)."""
+
+    def __init__(self):
+        self._cond = threading.Condition()
+        self._readers = 0
+        self._writer = False
+        self._writers_waiting = 0
+
+    @contextlib.contextmanager
+    def read(self):
+        with self._cond:
+            while self._writer or self._writers_waiting:
+                self._cond.wait()
+            self._readers += 1
+        try:
+            yield
+        finally:
+            with self._cond:
+                self._readers -= 1
+                if self._readers == 0:
+                    self._cond.notify_all()
+
+    @contextlib.contextmanager
+    def write(self):
+        with self._cond:
+            self._writers_waiting += 1
+            while self._writer or self._readers:
+                self._cond.wait()
+            self._writers_waiting -= 1
+            self._writer = True
+        try:
+            yield
+        finally:
+            with self._cond:
+                self._writer = False
+                self._cond.notify_all()
 
 
 def _squeeze_single_channel(arr: np.ndarray) -> np.ndarray:
@@ -95,24 +144,31 @@ class ModelServer:
         self._sampler_cache: "dict[tuple, Any]" = {}
         self._sampler_cache_max = 8
         self._build_run = None  # (sampler, steps, guidance) -> run fn
+        # reload vs in-flight generate: see _RWGate
+        self._reload_gate = _RWGate()
 
     # -- loading -------------------------------------------------------------
 
     def load_model(self) -> None:
-        t0 = time.time()
-        if self._batcher is not None:  # reload: retire the old batcher
-            self._batcher.close()
-            self._batcher = None
-        try:
-            self._load_real()
-            self.is_dummy = False
-            log.info("loaded real two-stage LDM pipeline")
-        except Exception as e:
-            log.warning("falling back to dummy model: %s", e)
-            self._load_dummy()
-            self.is_dummy = True
-        self.model_loaded = True
-        self.load_time = time.time() - t0
+        # exclusive vs in-flight generate(): the swap of _run / _batcher /
+        # _sampler_cache must never happen under a request — a half-swapped
+        # pipeline could pair old weights with a new compiled program or
+        # submit to a batcher being closed (see _RWGate)
+        with self._reload_gate.write():
+            t0 = time.time()
+            if self._batcher is not None:  # reload: retire the old batcher
+                self._batcher.close()
+                self._batcher = None
+            try:
+                self._load_real()
+                self.is_dummy = False
+                log.info("loaded real two-stage LDM pipeline")
+            except Exception as e:
+                log.warning("falling back to dummy model: %s", e)
+                self._load_dummy()
+                self.is_dummy = True
+            self.model_loaded = True
+            self.load_time = time.time() - t0
 
     def _load_real(self) -> None:
         import argparse
@@ -367,6 +423,17 @@ class ModelServer:
                  inference_steps: Optional[int] = None,
                  guidance_scale: Optional[float] = None,
                  output_format: str = "base64") -> dict[str, Any]:
+        # shared read slot: a concurrent /model/reload waits for this request
+        # to finish, and this request never sees a half-swapped pipeline
+        with self._reload_gate.read():
+            return self._generate(num_samples, seed, condition_volume,
+                                  inference_steps, guidance_scale, output_format)
+
+    def _generate(self, num_samples: int = 1, seed: Optional[int] = None,
+                  condition_volume: Optional[np.ndarray] = None,
+                  inference_steps: Optional[int] = None,
+                  guidance_scale: Optional[float] = None,
+                  output_format: str = "base64") -> dict[str, Any]:
         """Sample ``num_samples`` volumes.
 
         For concat-conditional models (in_channels > latent_channels), pass

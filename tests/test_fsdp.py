@@ -1,0 +1,184 @@
+"""FSDP / ZeRO-3 parameter sharding over the 'data' axis (parallel/fsdp.py).
+
+Pins four properties: (a) a fsdp-sharded TrainState takes the SAME update as
+an unsharded one (layout-only transform), (b) params AND moments physically
+live sharded after jitted steps — each device holds 1/N (the memory claim
+ZeRO-1 can't make), (c) the EMA copy is sharded too, (d) composition with
+tensor parallelism. The reference lists ZeRO/FSDP only as future work
+(README_MULTIGPU.md:200-204).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from ldm3d_tpu.configs import ConfigResolver, load_json, preset_path
+from ldm3d_tpu.parallel import (
+    MeshSpec,
+    create_mesh,
+    shard_batch,
+    shard_train_state_fsdp,
+)
+from ldm3d_tpu.training import TrainState
+
+RNG = jax.random.PRNGKey(0)
+
+
+@pytest.fixture(scope="module")
+def mesh8(eight_devices):
+    return create_mesh(MeshSpec(data=8), devices=eight_devices)
+
+
+def _linear_problem():
+    params = {
+        "w": jax.random.normal(RNG, (48, 64), jnp.float32),
+        "b": jnp.zeros((64,), jnp.float32),
+    }
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 48), jnp.float32)
+    y = jax.random.normal(jax.random.PRNGKey(2), (16, 64), jnp.float32)
+
+    def loss_fn(p, x, y):
+        return jnp.mean((x @ p["w"] + p["b"] - y) ** 2)
+
+    @jax.jit
+    def step(state, x, y):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, x, y)
+        return state.apply_gradients(grads), loss
+
+    return params, x, y, step
+
+
+def test_fsdp_state_parity_and_layout(mesh8):
+    """Same updates as unsharded; params AND moments physically sharded."""
+    params, x, y, step = _linear_problem()
+    tx = optax.adam(1e-2)
+
+    def make_state():
+        return TrainState.create(lambda p, x: x @ p["w"] + p["b"],
+                                 jax.tree_util.tree_map(jnp.copy, params), tx,
+                                 ema_decay=0.99)
+
+    ref = make_state()
+    for _ in range(3):
+        ref, ref_loss = step(ref, x, y)
+
+    with mesh8:
+        fs = shard_train_state_fsdp(make_state(), mesh8)
+        batch = shard_batch(mesh8, {"x": x, "y": y})
+        for _ in range(3):
+            fs, f_loss = step(fs, batch["x"], batch["y"])
+
+    np.testing.assert_allclose(float(ref_loss), float(f_loss), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(ref.params),
+                    jax.tree_util.tree_leaves(fs.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(ref.ema_params),
+                    jax.tree_util.tree_leaves(fs.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    # the param 'w' — not just its moments — stays sharded over 'data' after
+    # jitted steps: each device holds 1/8 of the weight (ZeRO-3's claim)
+    w = fs.params["w"]
+    assert "data" in tuple(w.sharding.spec), w.sharding
+    assert w.addressable_shards[0].data.size == w.size // 8
+    moment_leaves = [a for a in jax.tree_util.tree_leaves(fs.opt_state)
+                     if getattr(a, "shape", None) == (48, 64)]
+    assert len(moment_leaves) >= 2  # adam mu and nu
+    for m in moment_leaves:
+        assert m.addressable_shards[0].data.size == m.size // 8
+    # the freshly-placed EMA is sharded (the post-step one follows
+    # propagation from the sharded params)
+    with mesh8:
+        placed = shard_train_state_fsdp(make_state(), mesh8)
+    e = placed.ema_params["w"]
+    assert e.addressable_shards[0].data.size == e.size // 8
+    # the (64,) bias tiles the rule (>= 2N, divisible) so it shards too;
+    # genuinely small leaves replicate (pinned by test_zero_spec_rules)
+    b = fs.params["b"]
+    assert b.addressable_shards[0].data.size == b.size // 8
+
+
+def test_fsdp_stage2_latents_step(mesh8):
+    """Integration: the stage-2 latent-cache train step runs fsdp-sharded on
+    the real UNet and matches the unsharded update (same rng)."""
+    from ldm3d_tpu.diffusion import DDPMScheduler
+    from ldm3d_tpu.training import (
+        Stage2Config,
+        build_lr_schedule,
+        make_diffusion_optimizer,
+        make_stage2_train_step_latents,
+    )
+
+    cfg = load_json(preset_path("config_tiny_cpu.json"))
+    unet = ConfigResolver(cfg).instantiate("diffusion_def")
+    z = jnp.zeros((1, 8, 8, 8, unet.in_channels))
+    u_params = unet.init(RNG, z, jnp.zeros((1,), jnp.int32))["params"]
+    sched = DDPMScheduler.create(num_train_timesteps=16)
+
+    def make_state():
+        return TrainState.create(
+            unet.apply, jax.tree_util.tree_map(jnp.copy, u_params),
+            make_diffusion_optimizer(build_lr_schedule("multistep", 1e-3, 1, 1)),
+        )
+
+    step = make_stage2_train_step_latents(unet, sched, Stage2Config())
+    lat = unet.in_channels // 2
+    rng = jax.random.PRNGKey(7)
+    batch = {
+        "label_mu": jax.random.normal(rng, (8, 8, 8, 8, lat), jnp.float32),
+        "label_sigma": jnp.full((8, 8, 8, 8, lat), 0.1, jnp.float32),
+        "image_mu": jax.random.normal(rng, (8, 8, 8, 8, lat), jnp.float32),
+        "image_sigma": jnp.full((8, 8, 8, 8, lat), 0.1, jnp.float32),
+    }
+
+    ref_state, ref_m = step(make_state(), batch, jnp.float32(1.0), rng)
+
+    with mesh8:
+        fs = shard_train_state_fsdp(make_state(), mesh8)
+        fb = shard_batch(mesh8, batch)
+        fs, fm = step(fs, fb, jnp.float32(1.0), rng)
+
+    np.testing.assert_allclose(float(ref_m["diffusion_loss"]),
+                               float(fm["diffusion_loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(ref_state.params),
+                    jax.tree_util.tree_leaves(fs.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    # at least the large conv kernels live sharded after the step
+    sharded = [a for a in jax.tree_util.tree_leaves(fs.params)
+               if getattr(a, "ndim", 0) >= 2
+               and a.addressable_shards[0].data.size < a.size]
+    assert sharded, "no parameter left physically sharded after the step"
+
+
+def test_fsdp_composes_with_tensor_parallel(eight_devices):
+    """data=4 x model=2: params TP-sharded on 'model' AND fsdp-sharded on
+    'data' — updates still match the unsharded run."""
+    from ldm3d_tpu.parallel import shard_train_state_tp
+
+    mesh = create_mesh(MeshSpec(data=4, model=2), devices=eight_devices)
+    params, x, y, step = _linear_problem()
+    tx = optax.adam(1e-2)
+
+    def make_state():
+        return TrainState.create(lambda p, x: x @ p["w"] + p["b"],
+                                 jax.tree_util.tree_map(jnp.copy, params), tx)
+
+    ref = make_state()
+    for _ in range(2):
+        ref, _ = step(ref, x, y)
+
+    with mesh:
+        fs = shard_train_state_fsdp(shard_train_state_tp(make_state(), mesh), mesh)
+        for _ in range(2):
+            fs, _ = step(fs, x, y)
+
+    for a, b in zip(jax.tree_util.tree_leaves(ref.params),
+                    jax.tree_util.tree_leaves(fs.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    # 'w' carries BOTH axes: P('data', 'model') — 1/8 per device
+    w = fs.params["w"]
+    spec = tuple(w.sharding.spec)
+    assert "data" in spec and "model" in spec, w.sharding
+    assert w.addressable_shards[0].data.size == w.size // 8

@@ -739,3 +739,62 @@ def test_health_check_exit_code_contract(api, tmp_path):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_reload_excludes_inflight_generate(monkeypatch):
+    """POST /model/reload must not swap the pipeline under an in-flight
+    /generate: the reload blocks until the request drains, and requests
+    arriving behind a waiting reload queue after it (writer-preferring)."""
+    import threading
+    import time as _time
+
+    from ldm3d_tpu.serving import model_server as ms
+
+    server = ModelServer(None, None)
+    server.load_model()
+    assert server.is_dummy
+
+    entered = threading.Event()
+    release = threading.Event()
+    real_sleep = _time.sleep  # ms.time IS the time module: keep the real one
+
+    def slow_sleep(_t):  # the dummy generate's latency shim, made controllable
+        entered.set()
+        assert release.wait(10), "test deadlock: release never set"
+
+    monkeypatch.setattr(ms.time, "sleep", slow_sleep)
+    order: list[str] = []
+    result = {}
+
+    def gen():
+        result["resp"] = server.generate(num_samples=1, seed=0)
+        order.append("generate")
+
+    def reload():
+        server.load_model()
+        order.append("reload")
+
+    t_gen = threading.Thread(target=gen)
+    t_gen.start()
+    assert entered.wait(10)
+    t_reload = threading.Thread(target=reload)
+    t_reload.start()
+    # the reload must be parked behind the in-flight generate
+    deadline = _time.monotonic() + 2.0
+    while _time.monotonic() < deadline and not server._reload_gate._writers_waiting:
+        real_sleep(0.01)
+    assert t_reload.is_alive()
+    assert server._reload_gate._writers_waiting == 1
+    # a second request arriving now queues BEHIND the waiting reload
+    late = {}
+    t_late = threading.Thread(target=lambda: late.update(
+        resp=server.generate(num_samples=1, seed=1)))
+    t_late.start()
+    real_sleep(0.05)
+    assert "resp" not in late  # parked: reload has priority
+    release.set()
+    t_gen.join(10); t_reload.join(10); t_late.join(10)
+    assert not (t_gen.is_alive() or t_reload.is_alive() or t_late.is_alive())
+    assert order[0] == "generate" and "reload" in order
+    assert result["resp"]["status"] == "success"
+    assert late["resp"]["status"] == "success"
