@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ldm3d_tpu.nn import (
     LPIPS,
@@ -138,14 +139,20 @@ def test_attention_block_heads():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
-def test_upsample3d_polyphase_matches_naive():
-    """The fused polyphase upsample-conv (Upsample3D single-device path) must
-    equal nearest-x2-repeat + SAME conv3^3 exactly — forward and gradients —
+@pytest.mark.parametrize("impl", ["lhsdil", "polyphase"])
+def test_upsample3d_fused_matches_naive(impl, monkeypatch):
+    """BOTH fused upsample-conv forms (the default lhs_dilation transposed
+    conv and the LDM3D_UPSAMPLE=polyphase fallback) must equal
+    nearest-x2-repeat + SAME conv3^3 exactly — forward and gradients —
     including odd sizes. Same param tree, so checkpoints are interchangeable."""
     from flax import linen as fnn
 
     from ldm3d_tpu.nn.blocks import Upsample3D, _conv3
 
+    if impl == "polyphase":
+        monkeypatch.setenv("LDM3D_UPSAMPLE", "polyphase")
+    else:
+        monkeypatch.delenv("LDM3D_UPSAMPLE", raising=False)
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (2, 5, 6, 7, 12))
     up = Upsample3D(out_channels=9)
