@@ -95,7 +95,8 @@ def recommend_settings(dev: dict, host: dict) -> dict:
             "inference/serving: --batch 8 maximizes MXU utilization (~2x vol/s vs batch 2)",
         ] + ([
             f"multi-chip: a --batch divisible by {n} samples data-parallel over all "
-            f"{n} chips; --zero shards optimizer memory 1/{n} at no cost",
+            f"{n} chips; --zero shards optimizer memory 1/{n} at no cost; --fsdp "
+            f"also shards the params/EMA when the training state itself won't fit",
         ] if n > 1 else []),
     }
 

@@ -72,13 +72,11 @@ def test_cli_resume_continues_epochs(tmp_path):
     from ldm3d_tpu.cli.train_diffusion import main as train_diff
     from ldm3d_tpu.configs import preset_path
 
+    from scaffolds import write_env_json
+
     env = tmp_path / "env.json"
-    env.write_text(json.dumps({
-        "model_dir": str(tmp_path / "ckpts"), "output_dir": str(tmp_path / "out"),
-        "tfevent_path": str(tmp_path / "runs"), "resume_ckpt": False,
-        "npz_dir_train": "", "npz_dir_val": "", "npz_dir": "",
-        "val_fraction": 0.25, "seed": 0, "synthetic_data": True, "synthetic_num": 48,
-    }))
+    write_env_json(env, tmp_path / "ckpts", tmp_path,
+                   synthetic_data=True, synthetic_num=48)
     cfg = preset_path("config_micro_cpu.json")
     argv = ["-c", cfg, "-e", str(env), "--synthetic-data"]
 
@@ -175,3 +173,59 @@ def test_save_never_leaves_missing_checkpoint(tmp_path):
         assert mgr.load_meta("last")["epoch"] == epoch
     _, ok = mgr.try_restore("last", full)
     assert ok
+
+def test_fsdp_sharded_state_roundtrip(tmp_path, eight_devices):
+    """An FSDP-sharded train state (params + moments physically 1/N per
+    device) must checkpoint and restore exactly: save from the sharded
+    state, restore replicated (the CLI resume path), re-shard, and continue
+    stepping with values identical to an unsharded run."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ldm3d_tpu.parallel import MeshSpec, create_mesh, shard_train_state_fsdp
+
+    mesh = create_mesh(MeshSpec(data=8), devices=eight_devices)
+
+    def make_state():
+        params = {"w": jnp.arange(48 * 64, dtype=jnp.float32).reshape(48, 64) / 100.0,
+                  "b": jnp.zeros((64,))}
+        tx = make_optimizer(build_lr_schedule(None, 1e-3, 1, 1))
+        return TrainState.create(lambda v, x: x @ v["params"]["w"] + v["params"]["b"],
+                                 params, tx)
+
+    @jax.jit
+    def step(state):
+        grads = jax.tree.map(jnp.ones_like, state.params)
+        return state.apply_gradients(grads)
+
+    with mesh:
+        fs = step(shard_train_state_fsdp(make_state(), mesh))
+    # precondition: the state being saved really is sharded
+    assert fs.params["w"].addressable_shards[0].data.size == fs.params["w"].size // 8
+
+    mgr = CheckpointManager(str(tmp_path), StageArtifacts.DIFFUSION)
+    full = {"params": fs.params, "opt_state": fs.opt_state, "step": fs.step}
+    mgr.save_best_and_last(full, is_best=False, meta={"epoch": 1})
+    mgr.wait()
+
+    # restore replicated onto the mesh (what the trainers do before re-sharding)
+    fresh = make_state()
+    template = {"params": fresh.params, "opt_state": fresh.opt_state, "step": fresh.step}
+    restored, ok = mgr.try_restore("last", template,
+                                   sharding=NamedSharding(mesh, P()))
+    assert ok
+
+    ref = step(make_state())  # the same single step, unsharded
+    np.testing.assert_allclose(np.asarray(restored["params"]["w"]),
+                               np.asarray(ref.params["w"]), atol=1e-7)
+    for r, s in zip(jax.tree_util.tree_leaves(restored["opt_state"]),
+                    jax.tree_util.tree_leaves(ref.opt_state)):
+        np.testing.assert_allclose(np.asarray(r), np.asarray(s), atol=1e-7)
+
+    # resume: re-shard the restored state and take another identical step
+    with mesh:
+        resumed = step(shard_train_state_fsdp(
+            fresh.replace(params=restored["params"], opt_state=restored["opt_state"],
+                          step=restored["step"]), mesh))
+    ref2 = step(ref)
+    np.testing.assert_allclose(np.asarray(resumed.params["w"]),
+                               np.asarray(ref2.params["w"]), atol=1e-6)

@@ -15,40 +15,18 @@ import pytest
 def uncond_setup(tmp_path_factory):
     """Tiny UNCONDITIONAL two-stage checkpoints (in_channels == latent), so
     the CLI needs no NPZ conditioning data."""
-    import jax
-    import jax.numpy as jnp
-
-    from ldm3d_tpu.ckpt import CheckpointManager, StageArtifacts
-    from ldm3d_tpu.configs import ConfigResolver, load_json, preset_path
+    from scaffolds import make_two_stage_checkpoints
 
     root = tmp_path_factory.mktemp("cli_inference")
-    cfg = load_json(preset_path("config_tiny_cpu.json"))
-    cfg["diffusion_def"]["in_channels"] = "@latent_channels"  # unconditional
-    cfg_path = root / "config.json"
-    cfg_path.write_text(json.dumps(cfg))
-
-    r = ConfigResolver(cfg)
-    rng = jax.random.PRNGKey(0)
-    ae = r.instantiate("autoencoder_def")
-    ae_params = ae.init({"params": rng, "sample": rng}, jnp.zeros((1, 32, 32, 32, 1)))["params"]
-    model_dir = root / "ckpts"
-    CheckpointManager(str(model_dir), StageArtifacts.AUTOENCODER).save(
-        "best", {"params": ae_params}, meta={})
-    unet = r.instantiate("diffusion_def")
-    u_params = unet.init(rng, jnp.zeros((1, 8, 8, 8, unet.in_channels)),
-                         jnp.zeros((1,), jnp.int32))["params"]
-    CheckpointManager(str(model_dir), StageArtifacts.DIFFUSION).save(
-        "best", {"params": u_params}, meta={"scale_factor": 1.0})
-    return str(cfg_path), str(model_dir), root
+    cfg_path, model_dir = make_two_stage_checkpoints(root, conditional=False)
+    return cfg_path, model_dir, root
 
 
 def _make_env(root, model_dir, out_dir):
-    env_path = root / (out_dir.name + "_env.json")
-    env_path.write_text(json.dumps({
-        "model_dir": model_dir, "output_dir": str(out_dir), "seed": 7,
-        "npz_dir_train": "", "npz_dir_val": "", "npz_dir": "",
-    }))
-    return str(env_path)
+    from scaffolds import write_env_json
+
+    return write_env_json(root / (out_dir.name + "_env.json"), model_dir, root,
+                          output_dir=str(out_dir), seed=7)
 
 
 def _read_vol(path):

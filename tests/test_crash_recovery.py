@@ -22,13 +22,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_sigkill_then_resume(tmp_path):
+    from scaffolds import write_env_json
+
     env_file = tmp_path / "env.json"
-    env_file.write_text(json.dumps({
-        "model_dir": str(tmp_path / "ckpts"), "output_dir": str(tmp_path / "out"),
-        "tfevent_path": str(tmp_path / "runs"), "resume_ckpt": False,
-        "npz_dir_train": "", "npz_dir_val": "", "npz_dir": "",
-        "val_fraction": 0.25, "seed": 0, "synthetic_data": True, "synthetic_num": 16,
-    }))
+    write_env_json(env_file, tmp_path / "ckpts", tmp_path,
+                   synthetic_data=True, synthetic_num=16)
     cfg = preset_path("config_micro_cpu.json")
     argv = [sys.executable, "-m", "ldm3d_tpu.cli.train_autoencoder",
             "-c", cfg, "-e", str(env_file), "--synthetic-data",

@@ -57,13 +57,11 @@ def test_trainer_preempt_saves_resumable_last(tmp_path, monkeypatch):
 
     monkeypatch.setattr(ta, "GracefulShutdown", FakeShutdown)
 
+    from scaffolds import write_env_json
+
     env = tmp_path / "env.json"
-    env.write_text(json.dumps({
-        "model_dir": str(tmp_path / "ckpts"), "output_dir": str(tmp_path / "out"),
-        "tfevent_path": str(tmp_path / "runs"), "resume_ckpt": False,
-        "npz_dir_train": "", "npz_dir_val": "", "npz_dir": "",
-        "val_fraction": 0.25, "seed": 0, "synthetic_data": True, "synthetic_num": 32,
-    }))
+    write_env_json(env, tmp_path / "ckpts", tmp_path,
+                   synthetic_data=True, synthetic_num=32)
     cfg = preset_path("config_micro_cpu.json")
     argv = ["-c", cfg, "-e", str(env), "--synthetic-data", "--max-epochs", "2"]
     # exits 75 (EX_TEMPFAIL) so wrappers don't mistake preemption for success

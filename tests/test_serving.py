@@ -140,35 +140,11 @@ def test_score_contract():
 def real_api(tmp_path_factory):
     """Real two-stage pipeline from init-params checkpoints (no training):
     exercises the non-dummy load path the reference never implemented."""
-    import jax
-    import jax.numpy as jnp
-
-    from ldm3d_tpu.ckpt import CheckpointManager, StageArtifacts
-    from ldm3d_tpu.configs import ConfigResolver, load_json, preset_path
+    from scaffolds import make_two_stage_checkpoints, write_env_json
 
     root = tmp_path_factory.mktemp("serving_real")
-    model_dir = root / "ckpts"
-    cfg_path = preset_path("config_tiny_cpu.json")
-    cfg = load_json(cfg_path)
-    r = ConfigResolver(cfg)
-    rng = jax.random.PRNGKey(0)
-    ae = r.instantiate("autoencoder_def")
-    ae_params = ae.init({"params": rng, "sample": rng}, jnp.zeros((1, 32, 32, 32, 1)))["params"]
-    CheckpointManager(str(model_dir), StageArtifacts.AUTOENCODER).save(
-        "best", {"params": ae_params}, meta={})
-    unet = r.instantiate("diffusion_def")
-    u_params = unet.init(rng, jnp.zeros((1, 8, 8, 8, unet.in_channels)),
-                         jnp.zeros((1,), jnp.int32))["params"]
-    CheckpointManager(str(model_dir), StageArtifacts.DIFFUSION).save(
-        "best", {"params": u_params}, meta={"scale_factor": 1.0})
-
-    env = root / "env.json"
-    env.write_text(json.dumps({
-        "model_dir": str(model_dir), "output_dir": str(root / "out"),
-        "tfevent_path": str(root / "runs"), "resume_ckpt": False,
-        "npz_dir_train": "", "npz_dir_val": "", "npz_dir": "",
-        "val_fraction": 0.25, "seed": 0,
-    }))
+    cfg_path, model_dir = make_two_stage_checkpoints(root, conditional=True)
+    env = write_env_json(root / "env.json", model_dir, root)
     server = ModelServer(cfg_path, str(env), sampler="ddim", steps=2)
     server.load_model()
     assert not server.is_dummy, "real pipeline failed to load"
