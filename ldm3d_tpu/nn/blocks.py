@@ -373,19 +373,30 @@ def _upsample_conv_fused(x: jax.Array, kernel: jax.Array, bias: jax.Array,
     clean. ``LDM3D_UPSAMPLE=polyphase`` restores the old form everywhere if
     a future backend regresses.
 
-    Depth-sharded (``spatial_axis``) runs stay on the polyphase form: its
-    1-deep pre-upsample halo semantics are identical, and the current
-    XLA:CPU backend SIGABRTs compiling the lhs-dilated conv's backward
-    inside shard_map (the 8-device virtual-mesh test/dryrun environment),
-    so the dilated form is not shippable there.
+    Depth-sharded (``spatial_axis``) runs stay on the polyphase form by
+    default: its 1-deep pre-upsample halo semantics are identical, and the
+    current XLA:CPU backend SIGABRTs compiling the lhs-dilated conv's
+    backward inside the spatial train step's shard_map (the 8-device
+    virtual-mesh test/dryrun environment), so the dilated form is not
+    shippable there. ``LDM3D_UPSAMPLE=dilated`` forces it everywhere —
+    probe-only (tools/probe_kernels.py re-checks the crash on new XLA):
+    the sharded dilated form runs depth-VALID over the same 1-deep
+    pre-upsample halo, local output rows 2g0..2g0+2d-1 = the unsharded
+    rows (boundary shards get the zero halo = the (2,2) zero pad).
     """
-    if (spatial_axis is not None
-            or os.environ.get("LDM3D_UPSAMPLE", "").lower() == "polyphase"):
+    impl = os.environ.get("LDM3D_UPSAMPLE", "").lower()
+    if impl != "dilated" and (spatial_axis is not None or impl == "polyphase"):
         return _upsample_conv_polyphase(x, kernel, bias, dtype, spatial_axis)
     wk = _combined_4tap_kernel(kernel).astype(dtype)
+    x = x.astype(dtype)
+    if spatial_axis is not None:
+        x = halo_exchange(x, spatial_axis, lo=1, hi=1, axis=1)
+        depth_pad = (0, 0)
+    else:
+        depth_pad = (2, 2)
     y = jax.lax.conv_general_dilated(
-        x.astype(dtype), wk, window_strides=(1, 1, 1),
-        padding=((2, 2), (2, 2), (2, 2)),
+        x, wk, window_strides=(1, 1, 1),
+        padding=(depth_pad, (2, 2), (2, 2)),
         lhs_dilation=(2, 2, 2),
         dimension_numbers=_CONV_DN,
     )

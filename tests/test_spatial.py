@@ -124,6 +124,20 @@ def test_upsample_sharded_matches(mesh8):
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=2e-5)
 
 
+def test_upsample_sharded_dilated_matches(mesh8, monkeypatch):
+    """The probe-only LDM3D_UPSAMPLE=dilated spatial path (1-deep
+    pre-upsample halo + depth-VALID lhs-dilated conv) is exact vs the
+    unsharded dilated forward — so if tools/probe_kernels.py ever reports
+    the spatial backward fixed, the switch is a one-line dispatch change."""
+    monkeypatch.setenv("LDM3D_UPSAMPLE", "dilated")
+    x = jax.random.normal(RNG, (1, 8, 4, 4, 6), jnp.float32)
+    up = Upsample3D(6)
+    params = up.init(RNG, x)["params"]
+    ref = up.apply({"params": params}, x)
+    out = _sharded_apply(mesh8, up.clone(spatial_axis="spatial"), params, x)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=2e-5)
+
+
 def test_autoencoder_sharded_matches(mesh2x4, tiny):
     # Everything is jit-wrapped: that is the production usage, and one big
     # program per call hits the persistent compile cache, where eager mode
