@@ -22,6 +22,7 @@ Downsample as used by ``monai.networks.nets.AutoencoderKL`` and
 from __future__ import annotations
 
 import os
+from functools import partial
 from typing import Any, Optional
 
 import jax
@@ -162,13 +163,116 @@ def _conv3(
     )
 
 
+def _gn_dot(t: jax.Array) -> jax.Array:
+    """Voxel-axis sum of ``t (B, V, C)`` -> ``(B, C)`` as a dot against a
+    ones vector: XLA:TPU emits serial kLoop fusions for plain jnp.sum
+    reduces of this shape (profiled ~9 GB/s on v5e); a dot streams through
+    the MXU pipeline at memory speed, with fp32 accumulation even for bf16
+    operands."""
+    ones = jnp.ones((t.shape[1],), t.dtype)
+    return jax.lax.dot_general(t, ones, dimension_numbers=(((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _gn_stats(xr: jax.Array, g: int, eps: float, spatial_axis: Optional[str]):
+    """fp32 (mean, inv-std) per (batch, channel), group-combined.
+
+    Reduce to PER-CHANNEL sums first: the voxel axis reduces while C stays
+    minor-most, so the pass keeps all 128 lanes busy. Reducing straight to
+    (B, groups) — the naive formulation — makes XLA reduce over the minor
+    axis with a 32-wide output and ran ~20x slower than HBM speed-of-light
+    (profiled on v5e: GroupNorm was 55% of a UNet step). The (B, C) ->
+    (B, G) group combine is negligible.
+    """
+    b, _, c = xr.shape
+    xf = xr.astype(jnp.float32)
+    s1 = _gn_dot(xf).reshape(b, g, c // g).sum(-1)       # (B, G), tiny
+    s2 = _gn_dot(xf * xf).reshape(b, g, c // g).sum(-1)
+    count = jnp.float32(xr.shape[1] * (c // g))
+    if spatial_axis is not None:
+        s1 = jax.lax.psum(s1, spatial_axis)
+        s2 = jax.lax.psum(s2, spatial_axis)
+        count = count * jax.lax.axis_size(spatial_axis)
+    mean = s1 / count
+    var = jnp.maximum(s2 / count - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + jnp.float32(eps))
+    inv_c = jnp.repeat(inv, c // g, axis=-1)    # (B, C)
+    mean_c = jnp.repeat(mean, c // g, axis=-1)  # (B, C)
+    return mean_c, inv_c
+
+
+def _gn_affine_fwd(x, scale, bias, g, eps):
+    b, c = x.shape[0], x.shape[-1]
+    xr = x.reshape(b, -1, c)
+    mean_c, inv_c = _gn_stats(xr, g, eps, None)
+    a_c = inv_c * scale[None, :]
+    b_c = bias[None, :] - mean_c * a_c
+    # one fused multiply-add pass in the COMPUTE dtype: materializing the
+    # fp32 copy of the volume (the old formulation) doubled the pass bytes
+    # and left full-tensor convert ops all over the backward trace
+    y = xr * a_c[:, None, :].astype(x.dtype) + b_c[:, None, :].astype(x.dtype)
+    return y.reshape(x.shape), (x, scale, mean_c, inv_c)
+
+
+def _gn_affine_bwd(g, eps, res, dy):
+    """GroupNorm backward with every voxel reduction riding the MXU dot.
+
+    Autodiff of the forward leaves the adjoints of the broadcast mean/inv
+    as plain reduces, which XLA:TPU lowers to serial kLoop fusions — a
+    stage-1 trace showed 105 ms/step of them (of 450 ms). Closed form:
+    with dxhat = dy*gamma and group sums S1 = sum(dxhat), S2 =
+    sum(dxhat*xhat) over the group's voxels x channels (count N):
+        dx = inv*(dxhat - S1/N - xhat*S2/N)
+           = (inv*gamma)*dy + (-inv^2*S2/N)*x + (-inv*S1/N + mean*inv^2*S2/N)
+    i.e. ONE fused dy/x multiply-add pass with per-(batch, channel)
+    coefficients; S1/S2 come from the same per-channel dot trick as the
+    forward statistics (their operands fuse into the dot stream, nothing
+    f32 materializes). dgamma = sum_b sum_v dy*xhat, dbeta = sum_b sum_v dy.
+    """
+    x, scale, mean_c, inv_c = res
+    b, c = x.shape[0], x.shape[-1]
+    xr = x.reshape(b, -1, c)
+    dyr = dy.reshape(b, -1, c)
+    n = jnp.float32(xr.shape[1] * (c // g))
+    dyf = dyr.astype(jnp.float32)
+    xhat = (xr.astype(jnp.float32) - mean_c[:, None, :]) * inv_c[:, None, :]
+    sum_dy_c = _gn_dot(dyf)           # (B, C)
+    sum_dyx_c = _gn_dot(dyf * xhat)   # (B, C) — fused into the dot stream
+    dscale = sum_dyx_c.sum(0)
+    dbias = sum_dy_c.sum(0)
+    gam = scale[None, :]
+    s1 = (sum_dy_c * gam).reshape(b, g, c // g).sum(-1)
+    s2 = (sum_dyx_c * gam).reshape(b, g, c // g).sum(-1)
+    s1_c = jnp.repeat(s1, c // g, axis=-1)  # (B, C)
+    s2_c = jnp.repeat(s2, c // g, axis=-1)
+    a1 = inv_c * gam
+    a2 = -(inv_c * inv_c) * s2_c / n
+    a3 = -inv_c * s1_c / n + mean_c * (inv_c * inv_c) * s2_c / n
+    od = x.dtype
+    dx = (dyr * a1[:, None, :].astype(od) + xr * a2[:, None, :].astype(od)
+          + a3[:, None, :].astype(od))
+    return dx.reshape(x.shape), dscale, dbias
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _gn_affine(x, scale, bias, g, eps):
+    y, _ = _gn_affine_fwd(x, scale, bias, g, eps)
+    return y
+
+
+_gn_affine.defvjp(_gn_affine_fwd, _gn_affine_bwd)
+
+
 class GroupNorm32(nn.Module):
     """GroupNorm with fp32 statistics regardless of compute dtype.
 
-    With ``spatial_axis`` set the moments are psum-reduced across depth
-    shards, replacing the reference's SyncBatchNorm concern (GroupNorm there
-    never needed cross-device sync because activations were never sharded;
-    here they are, so the sync is one small fp32 psum per norm).
+    Single-device path uses a custom VJP (:func:`_gn_affine_bwd`) so the
+    backward's voxel reductions ride the MXU dot pipeline like the forward
+    statistics do. With ``spatial_axis`` set the moments are psum-reduced
+    across depth shards (autodiff backward — the psum adjoints compose),
+    replacing the reference's SyncBatchNorm concern (GroupNorm there never
+    needed cross-device sync because activations were never sharded; here
+    they are, so the sync is one small fp32 psum per norm).
     """
 
     num_groups: int = 32
@@ -184,43 +288,18 @@ class GroupNorm32(nn.Module):
             raise ValueError(f"channels {c} not divisible by {g} groups")
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        orig_dtype = x.dtype
+        if self.spatial_axis is None:
+            return _gn_affine(x, scale, bias, g, self.epsilon)
+        # depth-sharded: stats psum across shards; autodiff handles the
+        # backward (the custom-VJP closed form would double-count the
+        # cross-shard sums against the outer gradient psum)
         b = x.shape[0]
-        # Reduce to PER-CHANNEL sums first: the voxel axis reduces while C
-        # stays minor-most, so the pass keeps all 128 lanes busy. Reducing
-        # straight to (B, groups) — the naive formulation — makes XLA reduce
-        # over the minor axis with a 32-wide output and ran ~20x slower than
-        # HBM speed-of-light (profiled on v5e: GroupNorm was 55% of a UNet
-        # step). The (B, C) -> (B, G) group combine is negligible.
-        xf = x.astype(jnp.float32).reshape(b, -1, c)
-        # the voxel-axis sums as dot_general against a ones vector: XLA:TPU
-        # emits serial kLoop fusions for plain jnp.sum reduces of this shape
-        # (profiled ~9 GB/s on v5e); a dot streams through the MXU pipeline
-        # at memory speed, and its autodiff is another dot
-        ones = jnp.ones((xf.shape[1],), jnp.float32)
-        dot = lambda t: jax.lax.dot_general(  # noqa: E731
-            t, ones, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        s1c = dot(xf)        # (B, C)
-        s2c = dot(xf * xf)   # (B, C)
-        s1 = s1c.reshape(b, g, c // g).sum(-1)  # (B, G), tiny
-        s2 = s2c.reshape(b, g, c // g).sum(-1)
-        count = jnp.float32(xf.shape[1] * (c // g))
-        if self.spatial_axis is not None:
-            s1 = jax.lax.psum(s1, self.spatial_axis)
-            s2 = jax.lax.psum(s2, self.spatial_axis)
-            count = count * jax.lax.axis_size(self.spatial_axis)
-        mean = s1 / count
-        var = jnp.maximum(s2 / count - mean * mean, 0.0)
-        inv = jax.lax.rsqrt(var + self.epsilon)
-        # fold everything into one per-channel affine: y = x*A + B, a single
-        # fused multiply-add pass over the volume
-        inv_c = jnp.repeat(inv, c // g, axis=-1)    # (B, C)
-        mean_c = jnp.repeat(mean, c // g, axis=-1)  # (B, C)
+        xr = x.reshape(b, -1, c)
+        mean_c, inv_c = _gn_stats(xr, g, self.epsilon, self.spatial_axis)
         a_c = inv_c * scale[None, :]
         b_c = bias[None, :] - mean_c * a_c
-        y = xf * a_c[:, None, :] + b_c[:, None, :]
-        return y.reshape(x.shape).astype(orig_dtype)
+        y = xr * a_c[:, None, :].astype(x.dtype) + b_c[:, None, :].astype(x.dtype)
+        return y.reshape(x.shape)
 
 
 class ResBlock3D(nn.Module):

@@ -205,3 +205,58 @@ def test_conv3d_small_out_factorized_matches_direct():
                           jax.tree_util.tree_leaves(g_ref)):
             np.testing.assert_allclose(np.asarray(vf), np.asarray(vr),
                                        rtol=1e-5, atol=1e-3)
+
+
+def test_groupnorm_custom_vjp_matches_autodiff():
+    """GroupNorm32's closed-form backward (_gn_affine_bwd: MXU-dot
+    reductions) must match plain autodiff of the same math — dx, dscale,
+    dbias — in fp32 to rounding, for uneven group content and a
+    non-trivial upstream cotangent."""
+    from ldm3d_tpu.nn.blocks import _gn_affine
+
+    g, eps = 4, 1e-6
+    rng = jax.random.PRNGKey(11)
+    x = jax.random.normal(rng, (2, 5, 6, 7, 8), jnp.float32) * 3.0 + 0.7
+    scale = jax.random.normal(jax.random.PRNGKey(12), (8,), jnp.float32)
+    bias = jax.random.normal(jax.random.PRNGKey(13), (8,), jnp.float32)
+    ct = jax.random.normal(jax.random.PRNGKey(14), x.shape, jnp.float32)
+
+    def ref(x, scale, bias):
+        b, c = x.shape[0], x.shape[-1]
+        xf = x.reshape(b, -1, c).astype(jnp.float32)
+        grouped = xf.reshape(b, xf.shape[1], g, c // g)
+        mean = grouped.mean(axis=(1, 3))
+        var = grouped.var(axis=(1, 3))
+        inv = jax.lax.rsqrt(var + eps)
+        mean_c = jnp.repeat(mean, c // g, -1)[:, None, :]
+        inv_c = jnp.repeat(inv, c // g, -1)[:, None, :]
+        y = (xf - mean_c) * inv_c * scale[None, None, :] + bias[None, None, :]
+        return y.reshape(x.shape)
+
+    def loss_custom(x, s, b):
+        return jnp.sum(_gn_affine(x, s, b, g, eps) * ct)
+
+    def loss_ref(x, s, b):
+        return jnp.sum(ref(x, s, b) * ct)
+
+    out_c = _gn_affine(x, scale, bias, g, eps)
+    out_r = ref(x, scale, bias)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_r), atol=1e-4)
+
+    gc = jax.grad(loss_custom, argnums=(0, 1, 2))(x, scale, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, scale, bias)
+    for a, b_ in zip(gc, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4)
+
+    # bf16 path: outputs and grads stay finite and close to the fp32 ones
+    xb = x.astype(jnp.bfloat16)
+    out_b = _gn_affine(xb, scale, bias, g, eps)
+    np.testing.assert_allclose(np.asarray(out_b, dtype=np.float32),
+                               np.asarray(out_r), atol=0.1)
+    gb = jax.grad(lambda x, s, b: jnp.sum(
+        _gn_affine(x, s, b, g, eps).astype(jnp.float32) * ct),
+        argnums=(0, 1, 2))(xb, scale, bias)
+    for a, b_ in zip(gb, gr):
+        np.testing.assert_allclose(np.asarray(a, dtype=np.float32),
+                                   np.asarray(b_), rtol=0.1, atol=0.15)
