@@ -21,18 +21,24 @@ __all__ = ["PatchDiscriminator3D"]
 
 
 class _InstanceNorm(nn.Module):
-    """Per-sample, per-channel normalization over spatial dims (fp32 stats)."""
+    """Per-sample, per-channel normalization over spatial dims (fp32 stats).
+
+    Instance norm is group norm with ``groups == channels`` and identity
+    affine, so it rides :func:`~ldm3d_tpu.nn.blocks._gn_affine` — fp32
+    statistics, compute-dtype passes, and the closed-form backward whose
+    reductions stream through the MXU dot pipeline (the naive
+    ``jnp.mean``/``jnp.var`` formulation left serial kLoop reduce fusions
+    in every discriminator fwd+bwd of the stage-1 step)."""
 
     epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        orig = x.dtype
-        x32 = x.astype(jnp.float32)
-        axes = tuple(range(1, x.ndim - 1))
-        mean = jnp.mean(x32, axis=axes, keepdims=True)
-        var = jnp.var(x32, axis=axes, keepdims=True)
-        return ((x32 - mean) * jax.lax.rsqrt(var + self.epsilon)).astype(orig)
+        from ldm3d_tpu.nn.blocks import _gn_affine
+
+        c = x.shape[-1]
+        return _gn_affine(x, jnp.ones((c,), jnp.float32),
+                          jnp.zeros((c,), jnp.float32), c, self.epsilon)
 
 
 class PatchDiscriminator3D(nn.Module):

@@ -200,14 +200,18 @@ def _bwd_blocks(n: int, kv_len: int, d: int, block_q: int, block_k: int) -> tupl
     """Backward-kernel block sizes, capped by head_dim to fit scoped VMEM.
 
     The dQ/dKV kernels hold fp32 (block_q x block_k) P/dS tiles plus
-    (block x d) operand/accumulator tiles on the kernel stack; at head_dim
-    256 (the VAE's single-head attention blocks) the forward's 512-token
-    blocks overflow Mosaic's 16 MB scoped-vmem limit in the BACKWARD only
-    (measured: 18.3 MB at (8, 4096 tokens, d=256) — stage-1 batch 8).
-    Capping block area inversely to d keeps the stack bounded while leaving
-    the flagship d=64 paths untouched (cap 512 = the default).
+    (block x d) operand/accumulator tiles on the kernel stack; capping the
+    block area inversely to d keeps the stack bounded while leaving the
+    flagship d=64 paths untouched (cap 512 = the default). History: an
+    earlier Mosaic overflowed its 16 MB scoped-vmem limit at d=256 with
+    512-token blocks (18.3 MB measured), which forced area 32768 (cap 128
+    at d=256); the 2026-08 backend compiles and runs the full 512 blocks,
+    and the bigger tiles measure 15.7 -> 9.1 ms per fwd+bwd at the VAE's
+    (8, 4096, d=256) attention — so the budget is 131072 (cap 512 at
+    d=256). If a future Mosaic regresses, compilation fails loudly; drop
+    the area back.
     """
-    cap = max(8, 32768 // max(d, 1))
+    cap = max(8, 131072 // max(d, 1))
     if block_q > cap:
         block_q = _pick_block(n, cap) or block_q
     if block_k > cap:

@@ -184,12 +184,15 @@ def test_bwd_blocks_head_dim_cap():
 
     # d=64: cap 512 == default -> unchanged
     assert _bwd_blocks(13824, 13824, 64, 432, 432) == (432, 432)
-    # d=256: cap 128 -> picked divisors of n that are multiples of 8
-    bq, bk = _bwd_blocks(4096, 4096, 256, 512, 512)
+    # d=256: area budget 131072 -> cap 512, defaults kept (the 2026-08
+    # backend fits the full blocks; measured 15.7 -> 9.1 ms fwd+bwd)
+    assert _bwd_blocks(4096, 4096, 256, 512, 512) == (512, 512)
+    # d=1024: cap 128 -> picked divisors of n that are multiples of 8
+    bq, bk = _bwd_blocks(4096, 4096, 1024, 512, 512)
     assert bq <= 128 and bk <= 128
     assert 4096 % bq == 0 and 4096 % bk == 0 and bq % 8 == 0 and bk % 8 == 0
     # no valid divisor under the cap -> falls back to the caller's block
-    assert _bwd_blocks(9, 9, 4096, 8, 8) == (8, 8)
+    assert _bwd_blocks(9, 9, 32768, 8, 8) == (8, 8)
 
 
 def test_flash_forward_streamed_path_matches(monkeypatch):
