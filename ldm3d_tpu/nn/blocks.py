@@ -163,17 +163,6 @@ def _conv3(
     )
 
 
-def _gn_dot(t: jax.Array) -> jax.Array:
-    """Voxel-axis sum of ``t (B, V, C)`` -> ``(B, C)`` as a dot against a
-    ones vector: XLA:TPU emits serial kLoop fusions for plain jnp.sum
-    reduces of this shape (profiled ~9 GB/s on v5e); a dot streams through
-    the MXU pipeline at memory speed, with fp32 accumulation even for bf16
-    operands."""
-    ones = jnp.ones((t.shape[1],), t.dtype)
-    return jax.lax.dot_general(t, ones, dimension_numbers=(((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-
-
 def _gn_stats(xr: jax.Array, g: int, eps: float, spatial_axis: Optional[str]):
     """fp32 (mean, inv-std) per (batch, channel), group-combined.
 
@@ -185,9 +174,16 @@ def _gn_stats(xr: jax.Array, g: int, eps: float, spatial_axis: Optional[str]):
     (B, G) group combine is negligible.
     """
     b, _, c = xr.shape
-    xf = xr.astype(jnp.float32)
-    s1 = _gn_dot(xf).reshape(b, g, c // g).sum(-1)       # (B, G), tiny
-    s2 = _gn_dot(xf * xf).reshape(b, g, c // g).sum(-1)
+    # MXU-dot voxel sums (ops/groupnorm.py) — measured ~HBM speed-of-light
+    # for the two-read formulation; LDM3D_GN=pallas swaps in the probed
+    # (slower, kept for re-probing) Pallas streamed kernels. The
+    # depth-sharded path pins the XLA form: its psum adjoints must stay
+    # traceable wherever autodiff composes with the outer gradient psum.
+    from ldm3d_tpu.ops.groupnorm import gn_sums
+
+    s1c, s2c = gn_sums(xr, use_pallas=None if spatial_axis is None else False)
+    s1 = s1c.reshape(b, g, c // g).sum(-1)       # (B, G), tiny
+    s2 = s2c.reshape(b, g, c // g).sum(-1)
     count = jnp.float32(xr.shape[1] * (c // g))
     if spatial_axis is not None:
         s1 = jax.lax.psum(s1, spatial_axis)
@@ -234,10 +230,11 @@ def _gn_affine_bwd(g, eps, res, dy):
     xr = x.reshape(b, -1, c)
     dyr = dy.reshape(b, -1, c)
     n = jnp.float32(xr.shape[1] * (c // g))
-    dyf = dyr.astype(jnp.float32)
-    xhat = (xr.astype(jnp.float32) - mean_c[:, None, :]) * inv_c[:, None, :]
-    sum_dy_c = _gn_dot(dyf)           # (B, C)
-    sum_dyx_c = _gn_dot(dyf * xhat)   # (B, C) — fused into the dot stream
+    # both reductions as MXU dots (ops/groupnorm.py; LDM3D_GN=pallas
+    # re-probes the streamed-kernel alternative)
+    from ldm3d_tpu.ops.groupnorm import gn_bwd_sums
+
+    sum_dy_c, sum_dyx_c = gn_bwd_sums(dyr, xr, mean_c, inv_c)  # (B, C) each
     dscale = sum_dyx_c.sum(0)
     dbias = sum_dy_c.sum(0)
     gam = scale[None, :]

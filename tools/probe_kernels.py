@@ -23,6 +23,10 @@ Each probe prints a PASS/ADOPT/REJECT-style line with measurements. History
   path through lax (2026-08: 0.6-0.84x of bf16) → rejected.
 * ``flash`` — Pallas flash attention vs XLA O(n^2) at the UNet's 12^3
   attention shape. Flash won at every probe so far.
+* ``gn`` — Pallas streamed GroupNorm voxel sums vs the XLA
+  dot-against-ones default. Rejected 2026-08 (XLA near speed-of-light,
+  kernel VPU-bound); if it ever wins, flip ``LDM3D_GN=pallas`` on / the
+  default in ``ops/groupnorm._use_pallas``.
 
 Probes that can crash a TPU worker are safe to run here: each potentially-
 crashy shape runs in its own subprocess, and a worker fault recovers in
@@ -243,11 +247,60 @@ def probe_flash() -> None:
     print(f"  flash {tf:.2f} ms vs XLA O(n^2) {tx:.2f} ms: {verdict}")
 
 
+def probe_gn() -> None:
+    """Pallas streamed GroupNorm sums vs the XLA dot-against-ones default.
+
+    Rejected 2026-08: the XLA dot runs (8, 64^3, 64) at ~630 GB/s over its
+    two reads (near HBM speed-of-light) while the kernel is VPU-bound at
+    2.4 ms; a stage-1 step A/B regressed 351 -> 427 ms. NOTE the n=50
+    chain: 10-step chains carry a ~2.5 ms/step readback floor that once
+    inflated these very measurements (docs/PERFORMANCE.md). The noop body
+    isolates the sums cost from the chain's own carry pass."""
+    import jax
+    import jax.numpy as jnp
+
+    from ldm3d_tpu.ops.groupnorm import _pick_block_v, _sums_impl
+
+    def mk_body(sums):
+        def body(x):
+            s1, s2 = sums(x)
+            return x * (1 + 1e-12 * (jnp.sum(s1) + jnp.sum(s2))).astype(x.dtype)
+        return body
+
+    def xla_dot(x):
+        _, v, _ = x.shape
+        xf = x.astype(jnp.float32)
+        ones = jnp.ones((v,), jnp.float32)
+        dot = lambda t: jax.lax.dot_general(  # noqa: E731
+            t, ones, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        return dot(xf), dot(xf * xf)
+
+    def pallas(x):
+        _, v, c = x.shape
+        s1, s2 = _sums_impl(x, _pick_block_v(v, c, x.dtype.itemsize))
+        return s1[:, 0, :], s2[:, 0, :]
+
+    for shape in [(8, 64 ** 3, 64), (8, 32 ** 3, 128)]:
+        b, v, c = shape
+        x0 = jax.random.normal(jax.random.PRNGKey(SEED_BASE + v + c), shape,
+                               jnp.bfloat16)
+        tn = _bench_chain(lambda x: x * jnp.bfloat16(1.0001), x0, n=50)
+        tx = _bench_chain(mk_body(xla_dot), x0, n=50)
+        tp = _bench_chain(mk_body(pallas), x0, n=50)
+        gb = b * v * c * 2 / 1e9
+        verdict = ("ADOPTABLE — flip ops/groupnorm._use_pallas's default"
+                   if tp < tx * 0.9 else "still slower — keep the XLA dot")
+        print(f"  gn sums {shape}: xla net {tx - tn:.3f} ms "
+              f"({2 * gb / max(tx - tn, 1e-9) * 1e3:.0f} GB/s over 2 reads), "
+              f"pallas net {tp - tn:.3f} ms: {verdict}")
+
+
 PROBES = {
     "upsample": probe_upsample,
     "upsample_spatial_bwd": probe_upsample_spatial_bwd,
     "int8": probe_int8,
     "flash": probe_flash,
+    "gn": probe_gn,
 }
 
 
