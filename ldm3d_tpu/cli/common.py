@@ -238,12 +238,13 @@ def load_two_stage(args, mesh, dt, rng, use_ema: bool = False):
 
 
 def make_sampling_scheduler(name: str, steps: int | None, sched_cfg: dict):
-    """ddpm (full-loop parity) / ddim (fast) / dpm (DPM-Solver++ 2M).
+    """ddpm (full-loop parity) / ddim (fast) / dpm (DPM-Solver++ 2M) /
+    dpm3 (DPM-Solver++ 3M, third-order).
 
-    ``steps=None`` uses each sampler's default: ddim/dpm 50, ddpm the FULL
-    training schedule (reference parity). An explicit ``steps`` is honored by
-    every sampler — for ddpm by subsampling the schedule exactly like MONAI's
-    ``DDPMScheduler.set_timesteps`` (strided ancestral steps)."""
+    ``steps=None`` uses each sampler's default: ddim/dpm/dpm3 50, ddpm the
+    FULL training schedule (reference parity). An explicit ``steps`` is
+    honored by every sampler — for ddpm by subsampling the schedule exactly
+    like MONAI's ``DDPMScheduler.set_timesteps`` (strided ancestral steps)."""
     from ldm3d_tpu.diffusion import DDIMScheduler, DDPMScheduler, DPMSolverPPScheduler
 
     common = dict(num_train_timesteps=sched_cfg["num_train_timesteps"],
@@ -252,8 +253,9 @@ def make_sampling_scheduler(name: str, steps: int | None, sched_cfg: dict):
                   beta_end=sched_cfg["beta_end"], prediction_type=sched_cfg["prediction_type"])
     if steps is None:
         steps = default_sampler_steps(name, sched_cfg)
-    if name == "dpm":
-        return DPMSolverPPScheduler.create(num_inference_steps=steps, **common)
+    if name in ("dpm", "dpm3"):
+        return DPMSolverPPScheduler.create(
+            num_inference_steps=steps, solver_order=3 if name == "dpm3" else 2, **common)
     if name == "ddim":
         return DDIMScheduler.create(num_inference_steps=steps, **common)
     if name == "ddpm":

@@ -142,9 +142,10 @@ def main(argv=None):
     parser = build_parser("TPU latent diffusion inference")
     parser.add_argument("-n", "--num", type=int, default=1,
                         help="number of generation calls (total volumes = num x batch)")
-    parser.add_argument("--sampler", choices=("ddpm", "ddim", "dpm"), default="ddpm",
+    parser.add_argument("--sampler", choices=("ddpm", "ddim", "dpm", "dpm3"), default="ddpm",
                         help="ddpm = full-loop reference parity; ddim = fast path; "
-                             "dpm = DPM-Solver++ 2M (fewer steps at equal quality)")
+                             "dpm = DPM-Solver++ 2M (fewer steps at equal quality); "
+                             "dpm3 = DPM-Solver++ 3M (third-order; use >=20 steps)")
     parser.add_argument("--steps", type=int, default=None,
                         help="inference steps (default: 50 for ddim/dpm; full schedule "
                              "for ddpm — an explicit value subsamples ddpm's schedule "

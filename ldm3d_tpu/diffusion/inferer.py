@@ -92,16 +92,19 @@ def sample_latents(
         return pred_u + guidance_scale * (pred - pred_u)
 
     if getattr(scheduler, "multistep", False):
-        # second-order multistep (DPM-Solver++ 2M): carry the previous x0
+        # multistep (DPM-Solver++ 2M/3M): carry the last two x0 predictions
+        # (the zeros inits never contribute: c2[0] = c3[0] = c3[1] = 0)
         def body_ms(carry, scan_in):
-            x, x0_prev = carry
+            x, x0_prev, x0_prev2 = carry
             t, i = scan_in
             pred = model_pred(x, jnp.full((batch,), t, dtype=jnp.int32))
-            x_next, x0 = scheduler.step_multistep(pred, i, t, x, x0_prev)
-            return (x_next, x0), None
+            x_next, x0 = scheduler.step_multistep(pred, i, t, x, x0_prev, x0_prev2)
+            return (x_next, x0, x0_prev), None
 
         idx = jnp.arange(timesteps.shape[0], dtype=jnp.int32)
-        (final, _), _ = jax.lax.scan(body_ms, (noise, jnp.zeros_like(noise)), (timesteps, idx))
+        (final, _, _), _ = jax.lax.scan(
+            body_ms, (noise, jnp.zeros_like(noise), jnp.zeros_like(noise)),
+            (timesteps, idx))
         return final
 
     def body(x, scan_in):

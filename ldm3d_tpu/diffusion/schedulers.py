@@ -244,26 +244,35 @@ class DDIMScheduler:
 
 @struct.dataclass
 class DPMSolverPPScheduler:
-    """DPM-Solver++ (2M): deterministic second-order multistep ODE solver.
+    """DPM-Solver++ (2M/3M): deterministic multistep ODE solver, order 2 or 3.
 
     A modern fast sampler beyond the reference's capability set (the
     reference has only the 1000-step DDPM loop; we add DDIM and this) —
     typically matches DDIM quality at 2-4x fewer steps. Data-prediction
-    formulation (Lu et al. 2022, "DPM-Solver++"), second-order multistep with
-    first-order first/final steps.
+    formulation (Lu et al. 2022, "DPM-Solver++"), multistep with lower-order
+    warm-up (step 0 first-order, step 1 second-order) and a first-order
+    final step for terminal stability. Order 3 is measurably more accurate
+    at >=20 steps but UNSTABLE below ~15 (the known multistep-order trade,
+    quantified in ``tests/test_schedulers.py::test_dpm3_gaussian_oracle_beats_2m``)
+    — order 2 remains the fast-sampling default.
 
     All update coefficients are precomputed per step index, so the reverse
-    loop scans with a ``(x, x0_prev)`` carry and no control flow:
+    loop scans with a ``(x, x0_prev, x0_prev2)`` carry and no control flow:
 
-        x_{i+1} = c_x[i] * x_i + c_d[i] * x0_i + c2[i] * (x0_i - x0_{i-1})
+        x_{i+1} = c_x[i]*x_i + c_d[i]*x0_i
+                  + c2[i]*(x0_i - x0_{i-1}) + c3[i]*(x0_{i-1} - x0_{i-2})
 
     with alpha = sqrt(alpha_bar), sigma = sqrt(1 - alpha_bar),
     lambda = log(alpha/sigma), h_i = lambda_{i+1} - lambda_i:
-      c_x = sigma_{i+1}/sigma_i,  c_d = alpha_{i+1} * (1 - e^{-h_i}),
-      c2  = 0.5 * c_d * h_i/h_{i-1}   (0 on the first and final steps).
-    The terminal target is alpha_bar = 1 (x collapses onto the predicted x0:
-    c_x = 0, c_d = 1), which stays finite because e^{-h} is formed as a
-    sigma/alpha ratio product, never from h itself.
+      c_x = sigma_{i+1}/sigma_i,  c_d = alpha_{i+1} * (1 - e^{-h_i}).
+    Order 2 (``solver_order=2``, default): c2 = 0.5*c_d*h_i/h_{i-1}, c3 = 0
+    — the 2M update. Order 3 folds the 3M difference operators D1/D2
+    (with r0 = h_{i-1}/h_i, r1 = h_{i-2}/h_i, phi1 = 1-e^{-h}:
+    D1-coeff p1 = alpha*(1 - phi1/h), D2-coeff p2 = alpha*(0.5 - (h-phi1)/h^2))
+    into per-step scalars on the two x0 differences; step 1 keeps its 2M
+    coefficient. The terminal target is alpha_bar = 1 (x collapses onto the
+    predicted x0: c_x = 0, c_d = 1), which stays finite because e^{-h} is
+    formed as a sigma/alpha ratio product, never from h itself.
     """
 
     betas: jnp.ndarray
@@ -271,12 +280,14 @@ class DPMSolverPPScheduler:
     c_x: jnp.ndarray
     c_d: jnp.ndarray
     c2: jnp.ndarray
+    c3: jnp.ndarray
     num_train_timesteps: int = struct.field(pytree_node=False, default=1000)
     num_inference_steps: int = struct.field(pytree_node=False, default=20)
     prediction_type: str = struct.field(pytree_node=False, default="epsilon")
     clip_sample: bool = struct.field(pytree_node=False, default=True)
     clip_range: float = struct.field(pytree_node=False, default=1.0)
     multistep: bool = struct.field(pytree_node=False, default=True)
+    solver_order: int = struct.field(pytree_node=False, default=2)
 
     @classmethod
     def create(
@@ -289,11 +300,14 @@ class DPMSolverPPScheduler:
         prediction_type: str = "epsilon",
         clip_sample: bool = True,
         clip_range: float = 1.0,
+        solver_order: int = 2,
     ) -> "DPMSolverPPScheduler":
         if not (1 <= num_inference_steps <= num_train_timesteps):
             raise ValueError(
                 f"num_inference_steps must be in [1, {num_train_timesteps}], "
                 f"got {num_inference_steps}")
+        if solver_order not in (2, 3):
+            raise ValueError(f"solver_order must be 2 or 3, got {solver_order}")
         betas = make_betas(num_train_timesteps, schedule, beta_start, beta_end)
         a_bar = jnp.cumprod(1.0 - betas)
         stride = num_train_timesteps // num_inference_steps
@@ -305,25 +319,42 @@ class DPMSolverPPScheduler:
         c_x = sigma[1:] / jnp.clip(sigma[:-1], 1e-12)
         exp_neg_h = (sigma[1:] * alpha[:-1]) / jnp.clip(sigma[:-1] * alpha[1:], 1e-12)
         c_d = alpha[1:] * (1.0 - exp_neg_h)
-        # second-order coefficient: finite h values only (not the terminal step)
+        # difference-term coefficients: finite h values only (not the terminal step)
         lam = jnp.log(jnp.clip(alpha[:-1], 1e-12)) - jnp.log(jnp.clip(sigma[:-1], 1e-12))
         h = lam[1:] - lam[:-1]  # h_i for i in [0, N-2]
         n = num_inference_steps
         c2 = jnp.zeros((n,), jnp.float32)
+        c3 = jnp.zeros((n,), jnp.float32)
         if n > 2:
             ratio = h[1:] / jnp.clip(h[:-1], 1e-12)  # h_i / h_{i-1}, i in [1, N-2]
             c2 = c2.at[1 : n - 1].set(0.5 * c_d[1 : n - 1] * ratio)
+        if solver_order == 3 and n > 3:
+            # steps i in [2, N-2]: full 3M update (step 1 keeps its 2M c2)
+            i = jnp.arange(2, n - 1)
+            h_i, h_p, h_pp = h[i], h[i - 1], h[i - 2]
+            r0 = h_p / jnp.clip(h_i, 1e-12)
+            r1 = h_pp / jnp.clip(h_i, 1e-12)
+            u, v = 1.0 / jnp.clip(r0, 1e-12), 1.0 / jnp.clip(r1, 1e-12)
+            w = r0 / jnp.clip(r0 + r1, 1e-12)
+            phi1 = 1.0 - exp_neg_h[i]
+            a_next = alpha[i + 1]
+            p1 = a_next * (1.0 - phi1 / h_i)
+            p2 = a_next * (0.5 - (h_i - phi1) / (h_i * h_i))
+            c2 = c2.at[i].set(p1 * (1.0 + w) * u + p2 * u / (r0 + r1))
+            c3 = c3.at[i].set(-(p1 * w * v + p2 * v / (r0 + r1)))
         return cls(
             betas=betas,
             alphas_cumprod=a_bar,
             c_x=c_x,
             c_d=c_d,
             c2=c2,
+            c3=c3,
             num_train_timesteps=num_train_timesteps,
             num_inference_steps=num_inference_steps,
             prediction_type=prediction_type,
             clip_sample=clip_sample,
             clip_range=clip_range,
+            solver_order=solver_order,
         )
 
     @property
@@ -337,10 +368,11 @@ class DPMSolverPPScheduler:
 
     def step_multistep(
         self, model_output: jax.Array, i: jax.Array, t: jax.Array,
-        x_t: jax.Array, x0_prev: jax.Array,
+        x_t: jax.Array, x0_prev: jax.Array, x0_prev2: jax.Array | None = None,
     ) -> tuple[jax.Array, jax.Array]:
-        """One 2M update at step index ``i`` (timestep ``t``); returns
-        ``(x_next, x0_current)`` — the caller carries x0 across steps."""
+        """One 2M/3M update at step index ``i`` (timestep ``t``); returns
+        ``(x_next, x0_current)`` — the caller carries the last two x0
+        predictions across steps (``x0_prev2`` may be omitted at order 2)."""
         x32 = x_t.astype(jnp.float32)
         pred = model_output.astype(jnp.float32)
         a_t = jnp.take(self.alphas_cumprod, t)
@@ -352,4 +384,8 @@ class DPMSolverPPScheduler:
             + jnp.take(self.c_d, i) * x0
             + jnp.take(self.c2, i) * (x0 - x0_prev)
         )
+        if self.solver_order >= 3:
+            if x0_prev2 is None:
+                raise ValueError("solver_order=3 requires the x0_prev2 carry")
+            x_next = x_next + jnp.take(self.c3, i) * (x0_prev - x0_prev2)
         return x_next.astype(x_t.dtype), x0.astype(x_t.dtype)

@@ -340,7 +340,7 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("-c", "--config-file", default=None)
     p.add_argument("-e", "--environment-file", default=None)
-    p.add_argument("--sampler", choices=("ddpm", "ddim", "dpm"), default="ddim")
+    p.add_argument("--sampler", choices=("ddpm", "ddim", "dpm", "dpm3"), default="ddim")
     p.add_argument("--steps", type=int, default=None,
                    help="inference steps (default: 50 for ddim/dpm, full schedule for "
                         "ddpm; an explicit value subsamples ddpm MONAI set_timesteps-style)")

@@ -232,3 +232,91 @@ def test_add_noise_bf16_low_timesteps_inject_noise():
         assert abs(got - expected) < 3e-4, (type(sched).__name__, got, expected)
     v = DDPMScheduler.create().velocity(x0, noise, t)
     assert float(np.asarray(v, np.float32).max()) > 0.99  # sqrt(abar_0) ~ 1
+
+
+def test_dpm3_tables_finite_and_warmup_zeros():
+    """3M coefficient tables: finite everywhere; lower-order warm-up
+    (c2[0] = c3[0] = c3[1] = 0) and first-order terminal step
+    (c_x[-1] = 0, c_d[-1] = 1, c2[-1] = c3[-1] = 0)."""
+    from ldm3d_tpu.diffusion import DPMSolverPPScheduler
+
+    s = DPMSolverPPScheduler.create(num_inference_steps=20, solver_order=3)
+    for name in ("c_x", "c_d", "c2", "c3"):
+        assert np.isfinite(np.asarray(getattr(s, name))).all(), name
+    assert abs(float(s.c_x[-1])) < 1e-6
+    assert abs(float(s.c_d[-1]) - 1.0) < 1e-6
+    for name, idx in (("c2", 0), ("c2", -1), ("c3", 0), ("c3", 1), ("c3", -1)):
+        assert abs(float(getattr(s, name)[idx])) < 1e-12, (name, idx)
+    # interior steps genuinely use the third-order correction
+    assert float(np.abs(np.asarray(s.c3[2:-1])).min()) > 0
+    # order 2 keeps a zero c3 table (the update term is exactly absent)
+    s2 = DPMSolverPPScheduler.create(num_inference_steps=20, solver_order=2)
+    assert float(np.abs(np.asarray(s2.c3)).max()) == 0.0
+
+
+def test_dpm3_point_mass_exactness():
+    """With an exact epsilon oracle for a point mass, the 3M solver (like 2M
+    and DDIM) must land on x0* from any noise level — the difference terms
+    vanish, so this pins shapes/carries rather than order."""
+    from ldm3d_tpu.diffusion import DPMSolverPPScheduler, inferer
+
+    rng = jax.random.PRNGKey(0)
+    x0_star = jax.random.uniform(rng, (2, 4, 4, 4, 3), jnp.float32) * 0.8 - 0.4
+    sched = DPMSolverPPScheduler.create(num_inference_steps=8,
+                                        num_train_timesteps=64, solver_order=3)
+    a_bar = sched.alphas_cumprod
+
+    def exact_eps(x, t):
+        a = jnp.take(a_bar, t[0])
+        return (x - jnp.sqrt(a) * x0_star) / jnp.sqrt(1 - a)
+
+    t0 = int(np.asarray(sched.timesteps)[0])
+    a0 = float(a_bar[t0])
+    noise = (np.sqrt(a0) * x0_star
+             + np.sqrt(1 - a0) * jax.random.normal(jax.random.PRNGKey(1), x0_star.shape))
+    out = inferer.sample_latents(exact_eps, sched, jnp.asarray(noise), rng)
+    assert float(jnp.abs(out - x0_star).max()) < 1e-4
+
+
+def test_dpm3_gaussian_oracle_beats_2m():
+    """Linear-Gaussian oracle: for data ~ N(0, s^2 I) the exact epsilon
+    predictor is linear, eps(x, t) = sigma_t * x / (alpha_t^2 s^2 + sigma_t^2),
+    and the probability-flow ODE has the closed-form solution
+    x(t) = const * sqrt(alpha_t^2 s^2 + sigma_t^2) — so the terminal sample is
+    x_init * s / sqrt(alpha_0^2 s^2 + sigma_0^2) exactly. Unlike the
+    point-mass oracle this has a CURVED x0 trajectory, so solver order shows:
+    at 20+ steps the third-order solver must beat the second-order one at
+    equal steps (measured on this oracle: 0.179 vs 0.280 at 20 steps, 0.010
+    vs 0.147 at 40), and both must converge with more steps. Below ~15 steps
+    3M is genuinely UNSTABLE (0.77 vs 2M's 0.34 at 10 steps here) — the
+    known multistep-order trade, which is why dpm (2M) stays the fast-
+    sampling default and dpm3 documents a >=20-step recommendation.
+    clip_sample off keeps the oracle linear."""
+    from ldm3d_tpu.diffusion import DPMSolverPPScheduler, inferer
+
+    s_data = 0.5
+    x_init = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 4, 4, 3), jnp.float32)
+
+    def run(order, steps):
+        sched = DPMSolverPPScheduler.create(
+            num_inference_steps=steps, num_train_timesteps=1000,
+            solver_order=order, clip_sample=False)
+        a_bar = sched.alphas_cumprod
+
+        def oracle(x, t):
+            a = jnp.take(a_bar, t[0])
+            sig2 = 1.0 - a
+            return jnp.sqrt(sig2) * x / (a * s_data**2 + sig2)
+
+        t0 = int(np.asarray(sched.timesteps)[0])
+        a0 = float(a_bar[t0])
+        exact = np.asarray(x_init) * s_data / np.sqrt(a0 * s_data**2 + (1.0 - a0))
+        out = inferer.sample_latents(oracle, sched, x_init, jax.random.PRNGKey(3))
+        return float(np.max(np.abs(np.asarray(out) - exact)))
+
+    err2_20, err3_20 = run(2, 20), run(3, 20)
+    assert err3_20 < err2_20, (err2_20, err3_20)
+    err2_40, err3_40 = run(2, 40), run(3, 40)
+    assert err3_40 < err2_40 * 0.25, (err2_40, err3_40)
+    # convergence in steps for both orders
+    assert err2_40 < err2_20 and err3_40 < err3_20
