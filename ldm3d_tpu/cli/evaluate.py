@@ -37,7 +37,7 @@ def main(argv=None):
     parser = build_parser("TPU latent diffusion model evaluation")
     parser.add_argument("-n", "--num", type=int, default=8,
                         help="max validation pairs to evaluate")
-    parser.add_argument("--sampler", choices=("ddpm", "ddim", "dpm"), default="ddim")
+    parser.add_argument("--sampler", choices=("ddpm", "ddim", "dpm", "dpm3"), default="ddim")
     parser.add_argument("--steps", type=int, default=None,
                         help="inference steps (50 for ddim/dpm; full schedule for ddpm)")
     parser.add_argument("--batch", type=int, default=1, help="volumes per compiled sample call")
