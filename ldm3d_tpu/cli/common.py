@@ -250,7 +250,8 @@ def make_sampling_scheduler(name: str, steps: int | None, sched_cfg: dict):
     common = dict(num_train_timesteps=sched_cfg["num_train_timesteps"],
                   schedule=sched_cfg.get("schedule", "scaled_linear_beta"),
                   beta_start=sched_cfg["beta_start"],
-                  beta_end=sched_cfg["beta_end"], prediction_type=sched_cfg["prediction_type"])
+                  beta_end=sched_cfg["beta_end"], prediction_type=sched_cfg["prediction_type"],
+                  timestep_spacing=sched_cfg.get("timestep_spacing", "leading"))
     if steps is None:
         steps = default_sampler_steps(name, sched_cfg)
     if name in ("dpm", "dpm3"):

@@ -1,4 +1,4 @@
-from ldm3d_tpu.diffusion.schedulers import DDIMScheduler, DDPMScheduler, DPMSolverPPScheduler, make_betas
+from ldm3d_tpu.diffusion.schedulers import DDIMScheduler, DDPMScheduler, DPMSolverPPScheduler, make_betas, make_timestep_grid
 from ldm3d_tpu.diffusion import inferer
 
-__all__ = ["DDPMScheduler", "DDIMScheduler", "DPMSolverPPScheduler", "make_betas", "inferer"]
+__all__ = ["DDPMScheduler", "DDIMScheduler", "DPMSolverPPScheduler", "make_betas", "make_timestep_grid", "inferer"]

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-__all__ = ["DDPMScheduler", "DDIMScheduler", "DPMSolverPPScheduler", "make_betas"]
+__all__ = ["DDPMScheduler", "DDIMScheduler", "DPMSolverPPScheduler", "make_betas", "make_timestep_grid"]
 
 Schedule = Literal["linear_beta", "scaled_linear_beta", "cosine"]
 Prediction = Literal["epsilon", "sample", "v_prediction"]
@@ -39,6 +39,28 @@ def make_betas(num_train_timesteps: int, schedule: str, beta_start: float, beta_
         betas = 1.0 - alphas_bar[1:] / alphas_bar[:-1]
         return jnp.clip(betas, 0.0, 0.999)
     raise ValueError(f"unknown beta schedule {schedule!r}")
+
+
+def make_timestep_grid(num_train_timesteps: int, n: int, spacing: str) -> jnp.ndarray:
+    """Descending inference timesteps for an ``n``-step subsampled schedule.
+
+    ``"leading"`` (default, MONAI ``set_timesteps`` parity): multiples of the
+    stride, ending at t=0 — the FIRST step starts at ``(n-1)*stride`` (e.g.
+    950 for 50 steps of a 1000-step schedule), so the highest-noise band
+    [951, 999] is never visited. ``"trailing"`` anchors the grid at
+    ``num_train_timesteps - 1`` instead, covering the band where the initial
+    N(0,1) sample actually lives (Lin et al. 2024, "Common Diffusion Noise
+    Schedules and Sample Steps are Flawed") at the cost of ending one stride
+    short of t=0 (the final update still lands on the terminal
+    alpha_bar = 1 state in every sampler here). Both spacings are uniform
+    with the same stride, so per-step previous-state math is unchanged.
+    """
+    stride = num_train_timesteps // n
+    if spacing == "leading":
+        return jnp.arange(n - 1, -1, -1, dtype=jnp.int32) * stride
+    if spacing == "trailing":
+        return (num_train_timesteps - 1) - jnp.arange(n, dtype=jnp.int32) * stride
+    raise ValueError(f"timestep_spacing must be 'leading' or 'trailing', got {spacing!r}")
 
 
 def _noise_coeffs(alphas_cumprod: jax.Array, t: jax.Array, like: jax.Array):
@@ -90,6 +112,7 @@ class DDPMScheduler:
     prediction_type: str = struct.field(pytree_node=False, default="epsilon")
     clip_sample: bool = struct.field(pytree_node=False, default=True)
     clip_range: float = struct.field(pytree_node=False, default=1.0)
+    timestep_spacing: str = struct.field(pytree_node=False, default="leading")
 
     @classmethod
     def create(
@@ -102,6 +125,7 @@ class DDPMScheduler:
         prediction_type: str = "epsilon",
         clip_sample: bool = True,
         clip_range: float = 1.0,
+        timestep_spacing: str = "leading",
     ) -> "DDPMScheduler":
         if num_inference_steps is not None and not (1 <= num_inference_steps <= num_train_timesteps):
             raise ValueError(
@@ -109,6 +133,8 @@ class DDPMScheduler:
                 f"got {num_inference_steps}")
         betas = make_betas(num_train_timesteps, schedule, beta_start, beta_end)
         alphas_cumprod = jnp.cumprod(1.0 - betas)
+        make_timestep_grid(num_train_timesteps, num_inference_steps or num_train_timesteps,
+                           timestep_spacing)  # validates the spacing name eagerly
         return cls(
             betas=betas,
             alphas_cumprod=alphas_cumprod,
@@ -117,6 +143,7 @@ class DDPMScheduler:
             prediction_type=prediction_type,
             clip_sample=clip_sample,
             clip_range=clip_range,
+            timestep_spacing=timestep_spacing,
         )
 
     @property
@@ -129,7 +156,7 @@ class DDPMScheduler:
         """Descending timesteps for the reverse loop (full schedule by
         default; strided when ``num_inference_steps`` subsamples)."""
         n = self.num_inference_steps or self.num_train_timesteps
-        return jnp.arange(n - 1, -1, -1, dtype=jnp.int32) * self._stride
+        return make_timestep_grid(self.num_train_timesteps, n, self.timestep_spacing)
 
     def add_noise(self, x0: jax.Array, noise: jax.Array, t: jax.Array) -> jax.Array:
         """q(x_t | x_0): supports per-sample timesteps ``t`` of shape (B,)."""
@@ -181,6 +208,7 @@ class DDIMScheduler:
     clip_sample: bool = struct.field(pytree_node=False, default=True)
     clip_range: float = struct.field(pytree_node=False, default=1.0)
     eta: float = struct.field(pytree_node=False, default=0.0)
+    timestep_spacing: str = struct.field(pytree_node=False, default="leading")
 
     @classmethod
     def create(
@@ -194,12 +222,14 @@ class DDIMScheduler:
         clip_sample: bool = True,
         clip_range: float = 1.0,
         eta: float = 0.0,
+        timestep_spacing: str = "leading",
     ) -> "DDIMScheduler":
         if not (1 <= num_inference_steps <= num_train_timesteps):
             raise ValueError(
                 f"num_inference_steps must be in [1, {num_train_timesteps}], "
                 f"got {num_inference_steps}")
         betas = make_betas(num_train_timesteps, schedule, beta_start, beta_end)
+        make_timestep_grid(num_train_timesteps, num_inference_steps, timestep_spacing)
         return cls(
             betas=betas,
             alphas_cumprod=jnp.cumprod(1.0 - betas),
@@ -209,12 +239,13 @@ class DDIMScheduler:
             clip_sample=clip_sample,
             clip_range=clip_range,
             eta=eta,
+            timestep_spacing=timestep_spacing,
         )
 
     @property
     def timesteps(self) -> jnp.ndarray:
-        stride = self.num_train_timesteps // self.num_inference_steps
-        return (jnp.arange(self.num_inference_steps - 1, -1, -1, dtype=jnp.int32)) * stride
+        return make_timestep_grid(self.num_train_timesteps, self.num_inference_steps,
+                                  self.timestep_spacing)
 
     def add_noise(self, x0: jax.Array, noise: jax.Array, t: jax.Array) -> jax.Array:
         sqrt_a, sqrt_1ma = _noise_coeffs(self.alphas_cumprod, t, x0)
@@ -288,6 +319,7 @@ class DPMSolverPPScheduler:
     clip_range: float = struct.field(pytree_node=False, default=1.0)
     multistep: bool = struct.field(pytree_node=False, default=True)
     solver_order: int = struct.field(pytree_node=False, default=2)
+    timestep_spacing: str = struct.field(pytree_node=False, default="leading")
 
     @classmethod
     def create(
@@ -301,6 +333,7 @@ class DPMSolverPPScheduler:
         clip_sample: bool = True,
         clip_range: float = 1.0,
         solver_order: int = 2,
+        timestep_spacing: str = "leading",
     ) -> "DPMSolverPPScheduler":
         if not (1 <= num_inference_steps <= num_train_timesteps):
             raise ValueError(
@@ -310,8 +343,7 @@ class DPMSolverPPScheduler:
             raise ValueError(f"solver_order must be 2 or 3, got {solver_order}")
         betas = make_betas(num_train_timesteps, schedule, beta_start, beta_end)
         a_bar = jnp.cumprod(1.0 - betas)
-        stride = num_train_timesteps // num_inference_steps
-        ts = jnp.arange(num_inference_steps - 1, -1, -1, dtype=jnp.int32) * stride
+        ts = make_timestep_grid(num_train_timesteps, num_inference_steps, timestep_spacing)
         # grid of (alpha, sigma) at each visited state, plus the terminal x0 state
         a_grid = jnp.concatenate([jnp.take(a_bar, ts), jnp.ones((1,), jnp.float32)])
         alpha = jnp.sqrt(a_grid)
@@ -355,12 +387,13 @@ class DPMSolverPPScheduler:
             clip_sample=clip_sample,
             clip_range=clip_range,
             solver_order=solver_order,
+            timestep_spacing=timestep_spacing,
         )
 
     @property
     def timesteps(self) -> jnp.ndarray:
-        stride = self.num_train_timesteps // self.num_inference_steps
-        return jnp.arange(self.num_inference_steps - 1, -1, -1, dtype=jnp.int32) * stride
+        return make_timestep_grid(self.num_train_timesteps, self.num_inference_steps,
+                                  self.timestep_spacing)
 
     def add_noise(self, x0: jax.Array, noise: jax.Array, t: jax.Array) -> jax.Array:
         sqrt_a, sqrt_1ma = _noise_coeffs(self.alphas_cumprod, t, x0)

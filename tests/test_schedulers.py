@@ -320,3 +320,77 @@ def test_dpm3_gaussian_oracle_beats_2m():
     assert err3_40 < err2_40 * 0.25, (err2_40, err3_40)
     # convergence in steps for both orders
     assert err2_40 < err2_20 and err3_40 < err3_20
+
+
+def test_timestep_spacing_grids():
+    """leading = MONAI set_timesteps parity (multiples of the stride, ends at
+    0); trailing anchors at num_train-1 so the first step matches where the
+    initial N(0,1) sample lives. Full-schedule grids are identical for both."""
+    from ldm3d_tpu.diffusion import DDIMScheduler, make_timestep_grid
+
+    lead = np.asarray(make_timestep_grid(1000, 50, "leading"))
+    trail = np.asarray(make_timestep_grid(1000, 50, "trailing"))
+    assert lead[0] == 980 and lead[-1] == 0 and np.all(np.diff(lead) == -20)
+    assert trail[0] == 999 and trail[-1] == 19 and np.all(np.diff(trail) == -20)
+    np.testing.assert_array_equal(np.asarray(make_timestep_grid(16, 16, "leading")),
+                                  np.asarray(make_timestep_grid(16, 16, "trailing")))
+    try:
+        DDIMScheduler.create(num_inference_steps=8, timestep_spacing="typo")
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "timestep_spacing" in str(e)
+
+
+def test_trailing_spacing_samplers_still_exact():
+    """All three samplers with trailing spacing must still collapse onto x0*
+    under the exact point-mass oracle — including the final sub-stride jump
+    from t=stride-1 to the terminal alpha_bar=1 state."""
+    from ldm3d_tpu.diffusion import (DDIMScheduler, DDPMScheduler,
+                                     DPMSolverPPScheduler, inferer)
+
+    rng = jax.random.PRNGKey(0)
+    x0_star = jax.random.uniform(rng, (2, 4, 4, 4, 3), jnp.float32) * 0.8 - 0.4
+    for sched in (
+        DDIMScheduler.create(num_inference_steps=8, num_train_timesteps=64,
+                             timestep_spacing="trailing"),
+        DPMSolverPPScheduler.create(num_inference_steps=8, num_train_timesteps=64,
+                                    timestep_spacing="trailing"),
+        DPMSolverPPScheduler.create(num_inference_steps=8, num_train_timesteps=64,
+                                    solver_order=3, timestep_spacing="trailing"),
+        DDPMScheduler.create(num_inference_steps=8, num_train_timesteps=64,
+                             timestep_spacing="trailing"),
+    ):
+        a_bar = sched.alphas_cumprod
+
+        def exact_eps(x, t, a_bar=a_bar):
+            a = jnp.take(a_bar, t[0])
+            return (x - jnp.sqrt(a) * x0_star) / jnp.sqrt(1 - a)
+
+        ts = np.asarray(sched.timesteps)
+        assert ts[0] == 63, (type(sched).__name__, ts)
+        a0 = float(a_bar[int(ts[0])])
+        noise = (np.sqrt(a0) * x0_star
+                 + np.sqrt(1 - a0) * jax.random.normal(jax.random.PRNGKey(1), x0_star.shape))
+        out = inferer.sample_latents(exact_eps, sched, jnp.asarray(noise), rng)
+        tol = 1e-4 if getattr(sched, "eta", 1) == 0.0 or sched.__class__.__name__ != "DDPMScheduler" else 0.15
+        # DDPM is ancestral (injects noise mid-trajectory); the deterministic
+        # samplers must hit x0* to machine precision
+        if isinstance(sched, DDPMScheduler):
+            assert float(jnp.abs(out - x0_star).max()) < 0.35
+        else:
+            assert float(jnp.abs(out - x0_star).max()) < tol, type(sched).__name__
+
+
+def test_timestep_spacing_config_plumbing():
+    """NoiseScheduler.timestep_spacing flows from config through
+    make_sampling_scheduler into every sampler."""
+    from ldm3d_tpu.cli.common import make_sampling_scheduler
+
+    cfg = {"num_train_timesteps": 1000, "beta_start": 0.0015, "beta_end": 0.0195,
+           "prediction_type": "epsilon", "timestep_spacing": "trailing"}
+    for name in ("ddim", "dpm", "dpm3", "ddpm"):
+        s = make_sampling_scheduler(name, 50, cfg)
+        assert int(np.asarray(s.timesteps)[0]) == 999, name
+    # schema accepts the new key
+    from ldm3d_tpu.configs.schema import NOISE_SCHEDULER_SCHEMA
+    assert "timestep_spacing" in NOISE_SCHEDULER_SCHEMA
