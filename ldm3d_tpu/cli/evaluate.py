@@ -38,6 +38,9 @@ def main(argv=None):
     parser.add_argument("-n", "--num", type=int, default=8,
                         help="max validation pairs to evaluate")
     parser.add_argument("--sampler", choices=("ddpm", "ddim", "dpm", "dpm3"), default="ddim")
+    parser.add_argument("--timestep-spacing", choices=("leading", "trailing"), default=None,
+                        help="leading = MONAI parity (default); trailing covers the "
+                             "highest-noise band on few-step grids")
     parser.add_argument("--steps", type=int, default=None,
                         help="inference steps (50 for ddim/dpm; full schedule for ddpm)")
     parser.add_argument("--batch", type=int, default=1, help="volumes per compiled sample call")
@@ -63,7 +66,10 @@ def main(argv=None):
 
     ae, ae_params, unet, u_params, latent_shape, scale_factor = load_two_stage(
         args, mesh, dt, rng, use_ema=args.use_ema)
-    scheduler = make_sampling_scheduler(args.sampler, args.steps, ctx.scheduler_config())
+    sched_cfg = ctx.scheduler_config()
+    if getattr(args, "timestep_spacing", None):
+        sched_cfg["timestep_spacing"] = args.timestep_spacing
+    scheduler = make_sampling_scheduler(args.sampler, args.steps, sched_cfg)
 
     if mesh.shape.get("spatial", 1) > 1:
         # depth-sharded sampling + encoding, like cli.inference: the

@@ -146,6 +146,10 @@ def main(argv=None):
                         help="ddpm = full-loop reference parity; ddim = fast path; "
                              "dpm = DPM-Solver++ 2M (fewer steps at equal quality); "
                              "dpm3 = DPM-Solver++ 3M (third-order; use >=20 steps)")
+    parser.add_argument("--timestep-spacing", choices=("leading", "trailing"), default=None,
+                        help="inference timestep grid: leading = MONAI set_timesteps "
+                             "parity (default); trailing anchors at t_max so few-step "
+                             "grids cover the highest-noise band")
     parser.add_argument("--steps", type=int, default=None,
                         help="inference steps (default: 50 for ddim/dpm; full schedule "
                              "for ddpm — an explicit value subsamples ddpm's schedule "
@@ -180,7 +184,10 @@ def main(argv=None):
 
     ae, ae_params, unet, u_params, latent_shape, scale_factor = load_two_stage(
         args, mesh, dt, rng, use_ema=args.use_ema)
-    scheduler = make_sampling_scheduler(args.sampler, args.steps, ctx.scheduler_config())
+    sched_cfg = ctx.scheduler_config()
+    if getattr(args, "timestep_spacing", None):
+        sched_cfg["timestep_spacing"] = args.timestep_spacing
+    scheduler = make_sampling_scheduler(args.sampler, args.steps, sched_cfg)
 
     conditional = unet.in_channels > ae.latent_channels
     condition = None
