@@ -2,7 +2,8 @@
 
 Endpoints (parity with ``mlops/docker/api_server.py:296-390``):
   POST /generate      {"num_samples": N, "seed": S, "inference_steps": K,
-                       "guidance_scale": W, "output_format": "base64"|"nii"}
+                       "guidance_scale": W, "output_format": "base64"|"nii",
+                       "sampler": "ddpm"|"ddim"|"dpm"|"dpm3" (optional)}
                       -> base64 volumes (raw float32 or NIfTI-1 bytes)
   GET  /health        liveness/readiness payload
   GET  /metrics       Prometheus text format
@@ -130,6 +131,10 @@ class Api:
         output_format = str(body.get("output_format", "base64"))
         if output_format not in ("base64", "nii"):
             return 422, {"error": "output_format must be 'base64' or 'nii'"}
+        # beyond the reference schema: per-request sampler selection
+        sampler = body.get("sampler")
+        if sampler is not None and sampler not in ("ddpm", "ddim", "dpm", "dpm3"):
+            return 422, {"error": "sampler must be one of ddpm|ddim|dpm|dpm3"}
         # optional low-count conditioning volume for concat-conditional
         # models: {"condition": {"data": <base64 float32>, "shape": [D,H,W]}}
         condition_volume = None
@@ -149,7 +154,8 @@ class Api:
                                           condition_volume=condition_volume,
                                           inference_steps=steps,
                                           guidance_scale=guidance,
-                                          output_format=output_format)
+                                          output_format=output_format,
+                                          sampler=sampler)
         except ValueError as e:
             return 422, {"error": str(e)}
         except RuntimeError as e:

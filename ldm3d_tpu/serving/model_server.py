@@ -210,6 +210,7 @@ class ModelServer:
         self._latent_shape = (*latent, ae.latent_channels)
         cond_ch = unet.in_channels - ae.latent_channels
         sched_cfg = ctx.scheduler_config()
+        self._sched_cfg = sched_cfg  # per-request sampler overrides need it
         if self.steps is None:
             self.steps = default_sampler_steps(self.sampler, sched_cfg)
 
@@ -422,18 +423,21 @@ class ModelServer:
                  condition_volume: Optional[np.ndarray] = None,
                  inference_steps: Optional[int] = None,
                  guidance_scale: Optional[float] = None,
-                 output_format: str = "base64") -> dict[str, Any]:
+                 output_format: str = "base64",
+                 sampler: Optional[str] = None) -> dict[str, Any]:
         # shared read slot: a concurrent /model/reload waits for this request
         # to finish, and this request never sees a half-swapped pipeline
         with self._reload_gate.read():
             return self._generate(num_samples, seed, condition_volume,
-                                  inference_steps, guidance_scale, output_format)
+                                  inference_steps, guidance_scale, output_format,
+                                  sampler)
 
     def _generate(self, num_samples: int = 1, seed: Optional[int] = None,
                   condition_volume: Optional[np.ndarray] = None,
                   inference_steps: Optional[int] = None,
                   guidance_scale: Optional[float] = None,
-                  output_format: str = "base64") -> dict[str, Any]:
+                  output_format: str = "base64",
+                  sampler: Optional[str] = None) -> dict[str, Any]:
         """Sample ``num_samples`` volumes.
 
         For concat-conditional models (in_channels > latent_channels), pass
@@ -443,17 +447,31 @@ class ModelServer:
         conditioning latents are drawn from N(0,1) — only useful for smoke
         tests, and flagged as ``"conditioning": "random"`` in the response.
 
-        ``inference_steps`` / ``guidance_scale`` override the server defaults
-        per request (reference request schema,
-        ``mlops/docker/api_server.py:51-56``); compiled variants are cached.
-        ``output_format``: "base64" (raw float32 bytes) or "nii" (a complete
-        NIfTI-1 file, base64-encoded for the JSON envelope).
+        ``inference_steps`` / ``guidance_scale`` / ``sampler`` override the
+        server defaults per request (the first two are the reference request
+        schema, ``mlops/docker/api_server.py:51-56``; ``sampler`` goes
+        beyond it); compiled variants are cached. When ``sampler`` is
+        overridden without ``inference_steps``, that sampler's own default
+        step count applies (50 for ddim/dpm/dpm3, the full schedule for
+        ddpm), not the server sampler's. ``output_format``: "base64" (raw
+        float32 bytes) or "nii" (a complete NIfTI-1 file, base64-encoded for
+        the JSON envelope).
         """
         if not self.model_loaded:
             raise RuntimeError("model not loaded")
         if output_format not in ("base64", "nii"):
             raise ValueError(f"output_format must be base64|nii, got {output_format!r}")
-        steps = int(inference_steps) if inference_steps is not None else self.steps
+        if sampler is not None and sampler not in ("ddpm", "ddim", "dpm", "dpm3"):
+            raise ValueError(f"sampler must be ddpm|ddim|dpm|dpm3, got {sampler!r}")
+        sampler_name = sampler if sampler is not None else self.sampler
+        if inference_steps is not None:
+            steps = int(inference_steps)
+        elif sampler_name != self.sampler and not self.is_dummy:
+            from ldm3d_tpu.cli.common import default_sampler_steps
+
+            steps = default_sampler_steps(sampler_name, self._sched_cfg)
+        else:
+            steps = self.steps
         guidance = float(guidance_scale) if guidance_scale is not None else 1.0
         if guidance != 1.0 and not self.is_dummy and self._cond_shape is None:
             # CFG is a no-op without conditioning (inferer.sample_latents
@@ -463,7 +481,8 @@ class ModelServer:
             log.info("guidance_scale %.2f ignored: unconditional model "
                      "(classifier-free guidance needs a conditional UNet)", guidance)
             guidance = 1.0
-        is_default = steps == self.steps and guidance == 1.0
+        is_default = (sampler_name == self.sampler and steps == self.steps
+                      and guidance == 1.0)
         conditioning = "none"
         t0 = time.time()
         if self.is_dummy:
@@ -495,7 +514,7 @@ class ModelServer:
             elif self._cond_shape:
                 conditioning = "random"
             b = self.batch
-            run = self._run if is_default else self._get_run(self.sampler, steps, guidance)
+            run = self._run if is_default else self._get_run(sampler_name, steps, guidance)
             # the micro-batcher runs the default-config compiled program only;
             # custom steps/guidance requests take the direct path
             batcher = self._batcher if is_default else None
@@ -564,6 +583,7 @@ class ModelServer:
             "processing_time_ms": elapsed * 1000.0,
             "model_version": "dummy" if self.is_dummy else "ldm3d_tpu",
             "num_samples": num_samples,
+            "sampler": "dummy" if self.is_dummy else sampler_name,
             "inference_steps": steps,
             "guidance_scale": guidance,
             "output_format": output_format,

@@ -348,6 +348,30 @@ def test_per_request_validation(real_api):
     assert code == 422
 
 
+def test_per_request_sampler_override(real_api):
+    """'sampler' in POST /generate switches the solver per request (beyond
+    the reference schema): the variant compiles/caches under its own name,
+    the response echoes it, and — when inference_steps is omitted — the
+    OVERRIDING sampler's default step count applies, not the server
+    sampler's."""
+    srv = real_api.server
+    code, payload, _ = real_api.dispatch(
+        "POST", "/generate", {"num_samples": 1, "seed": 3, "sampler": "dpm"})
+    assert code == 200
+    assert payload["sampler"] == "dpm"
+    # dpm's own default on the tiny 16-timestep schedule = min(50, 16)
+    assert payload["inference_steps"] == 16
+    assert ("dpm", 16, 1.0) in srv._sampler_cache
+    arr = np.frombuffer(base64.b64decode(payload["samples"][0]["data"]), np.float32)
+    assert np.isfinite(arr).all()
+
+    # unknown sampler is the client's error
+    code, payload, _ = real_api.dispatch(
+        "POST", "/generate", {"num_samples": 1, "sampler": "plms"})
+    assert code == 422
+    assert "sampler" in payload["error"]
+
+
 def test_stdlib_http_roundtrip(api):
     """Real HTTP round-trips through the stdlib frontend (the path minimal
     images run): health, generate, metrics exposition, 404, bad JSON."""
