@@ -237,21 +237,31 @@ def load_two_stage(args, mesh, dt, rng, use_ema: bool = False):
     return ae, ae_params, unet, u_params, latent_shape, scale_factor
 
 
-def make_sampling_scheduler(name: str, steps: int | None, sched_cfg: dict):
+# the one sampler-name registry: CLIs, serving validation, and the
+# dispatcher below all share it (a new sampler is added HERE plus one
+# branch in make_sampling_scheduler)
+SAMPLERS = ("ddpm", "ddim", "dpm", "dpm3")
+
+
+def make_sampling_scheduler(name: str, steps: int | None, sched_cfg: dict,
+                            timestep_spacing: str | None = None):
     """ddpm (full-loop parity) / ddim (fast) / dpm (DPM-Solver++ 2M) /
     dpm3 (DPM-Solver++ 3M, third-order).
 
     ``steps=None`` uses each sampler's default: ddim/dpm/dpm3 50, ddpm the
     FULL training schedule (reference parity). An explicit ``steps`` is
     honored by every sampler — for ddpm by subsampling the schedule exactly
-    like MONAI's ``DDPMScheduler.set_timesteps`` (strided ancestral steps)."""
+    like MONAI's ``DDPMScheduler.set_timesteps`` (strided ancestral steps).
+    ``timestep_spacing`` overrides the config's ``NoiseScheduler`` value
+    (the ``--timestep-spacing`` CLI flag)."""
     from ldm3d_tpu.diffusion import DDIMScheduler, DDPMScheduler, DPMSolverPPScheduler
 
     common = dict(num_train_timesteps=sched_cfg["num_train_timesteps"],
                   schedule=sched_cfg.get("schedule", "scaled_linear_beta"),
                   beta_start=sched_cfg["beta_start"],
                   beta_end=sched_cfg["beta_end"], prediction_type=sched_cfg["prediction_type"],
-                  timestep_spacing=sched_cfg.get("timestep_spacing", "leading"))
+                  timestep_spacing=(timestep_spacing
+                                    or sched_cfg.get("timestep_spacing", "leading")))
     if steps is None:
         steps = default_sampler_steps(name, sched_cfg)
     if name in ("dpm", "dpm3"):

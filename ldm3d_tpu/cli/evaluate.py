@@ -37,7 +37,9 @@ def main(argv=None):
     parser = build_parser("TPU latent diffusion model evaluation")
     parser.add_argument("-n", "--num", type=int, default=8,
                         help="max validation pairs to evaluate")
-    parser.add_argument("--sampler", choices=("ddpm", "ddim", "dpm", "dpm3"), default="ddim")
+    from ldm3d_tpu.cli.common import SAMPLERS
+
+    parser.add_argument("--sampler", choices=SAMPLERS, default="ddim")
     parser.add_argument("--timestep-spacing", choices=("leading", "trailing"), default=None,
                         help="leading = MONAI parity (default); trailing covers the "
                              "highest-noise band on few-step grids")
@@ -66,10 +68,8 @@ def main(argv=None):
 
     ae, ae_params, unet, u_params, latent_shape, scale_factor = load_two_stage(
         args, mesh, dt, rng, use_ema=args.use_ema)
-    sched_cfg = ctx.scheduler_config()
-    if getattr(args, "timestep_spacing", None):
-        sched_cfg["timestep_spacing"] = args.timestep_spacing
-    scheduler = make_sampling_scheduler(args.sampler, args.steps, sched_cfg)
+    scheduler = make_sampling_scheduler(args.sampler, args.steps, ctx.scheduler_config(),
+                                        timestep_spacing=getattr(args, "timestep_spacing", None))
 
     if mesh.shape.get("spatial", 1) > 1:
         # depth-sharded sampling + encoding, like cli.inference: the

@@ -142,7 +142,9 @@ def main(argv=None):
     parser = build_parser("TPU latent diffusion inference")
     parser.add_argument("-n", "--num", type=int, default=1,
                         help="number of generation calls (total volumes = num x batch)")
-    parser.add_argument("--sampler", choices=("ddpm", "ddim", "dpm", "dpm3"), default="ddpm",
+    from ldm3d_tpu.cli.common import SAMPLERS
+
+    parser.add_argument("--sampler", choices=SAMPLERS, default="ddpm",
                         help="ddpm = full-loop reference parity; ddim = fast path; "
                              "dpm = DPM-Solver++ 2M (fewer steps at equal quality); "
                              "dpm3 = DPM-Solver++ 3M (third-order; use >=20 steps)")
@@ -184,10 +186,8 @@ def main(argv=None):
 
     ae, ae_params, unet, u_params, latent_shape, scale_factor = load_two_stage(
         args, mesh, dt, rng, use_ema=args.use_ema)
-    sched_cfg = ctx.scheduler_config()
-    if getattr(args, "timestep_spacing", None):
-        sched_cfg["timestep_spacing"] = args.timestep_spacing
-    scheduler = make_sampling_scheduler(args.sampler, args.steps, sched_cfg)
+    scheduler = make_sampling_scheduler(args.sampler, args.steps, ctx.scheduler_config(),
+                                        timestep_spacing=getattr(args, "timestep_spacing", None))
 
     conditional = unet.in_channels > ae.latent_channels
     condition = None

@@ -51,9 +51,16 @@ def make_timestep_grid(num_train_timesteps: int, n: int, spacing: str) -> jnp.nd
     ``num_train_timesteps - 1`` instead, covering the band where the initial
     N(0,1) sample actually lives (Lin et al. 2024, "Common Diffusion Noise
     Schedules and Sample Steps are Flawed") at the cost of ending one stride
-    short of t=0 (the final update still lands on the terminal
-    alpha_bar = 1 state in every sampler here). Both spacings are uniform
-    with the same stride, so per-step previous-state math is unchanged.
+    short of t=0. Both spacings are uniform with the same stride, so
+    per-step previous-state math is unchanged.
+
+    Terminal-state caveat: DDIM/DDPM detect the terminal jump by
+    ``t - stride < 0``, which on a trailing grid only holds when ``n``
+    divides ``num_train_timesteps`` (final t = (T mod n) - 1 + ... >= 0
+    otherwise, leaving residual noise at the last visited level) — their
+    ``create`` methods therefore REJECT non-divisible trailing configs.
+    DPM-Solver++ appends the terminal alpha_bar = 1 state explicitly and is
+    exact for any count.
     """
     stride = num_train_timesteps // n
     if spacing == "leading":
@@ -61,6 +68,19 @@ def make_timestep_grid(num_train_timesteps: int, n: int, spacing: str) -> jnp.nd
     if spacing == "trailing":
         return (num_train_timesteps - 1) - jnp.arange(n, dtype=jnp.int32) * stride
     raise ValueError(f"timestep_spacing must be 'leading' or 'trailing', got {spacing!r}")
+
+
+def _check_trailing_divisible(num_train_timesteps: int, n: int, spacing: str) -> None:
+    """DDIM/DDPM terminal detection (``t - stride < 0``) requires trailing
+    grids to divide the schedule evenly; reject the silent-residual-noise
+    configuration loudly (found in review: the final step of e.g. T=64, n=6
+    trailing stopped at t_prev=3, leaving x at the t=3 noise level)."""
+    if spacing == "trailing" and num_train_timesteps % n:
+        raise ValueError(
+            f"trailing timestep_spacing requires num_inference_steps to divide "
+            f"num_train_timesteps ({num_train_timesteps}); got {n} — the final "
+            f"DDIM/DDPM step would stop short of the terminal state. Use a "
+            f"divisor step count, or the dpm/dpm3 sampler (exact for any count).")
 
 
 def _noise_coeffs(alphas_cumprod: jax.Array, t: jax.Array, like: jax.Array):
@@ -135,6 +155,8 @@ class DDPMScheduler:
         alphas_cumprod = jnp.cumprod(1.0 - betas)
         make_timestep_grid(num_train_timesteps, num_inference_steps or num_train_timesteps,
                            timestep_spacing)  # validates the spacing name eagerly
+        _check_trailing_divisible(num_train_timesteps, num_inference_steps or num_train_timesteps,
+                                  timestep_spacing)
         return cls(
             betas=betas,
             alphas_cumprod=alphas_cumprod,
@@ -230,6 +252,7 @@ class DDIMScheduler:
                 f"got {num_inference_steps}")
         betas = make_betas(num_train_timesteps, schedule, beta_start, beta_end)
         make_timestep_grid(num_train_timesteps, num_inference_steps, timestep_spacing)
+        _check_trailing_divisible(num_train_timesteps, num_inference_steps, timestep_spacing)
         return cls(
             betas=betas,
             alphas_cumprod=jnp.cumprod(1.0 - betas),

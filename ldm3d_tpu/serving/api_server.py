@@ -132,9 +132,11 @@ class Api:
         if output_format not in ("base64", "nii"):
             return 422, {"error": "output_format must be 'base64' or 'nii'"}
         # beyond the reference schema: per-request sampler selection
+        from ldm3d_tpu.cli.common import SAMPLERS
+
         sampler = body.get("sampler")
-        if sampler is not None and sampler not in ("ddpm", "ddim", "dpm", "dpm3"):
-            return 422, {"error": "sampler must be one of ddpm|ddim|dpm|dpm3"}
+        if sampler is not None and sampler not in SAMPLERS:
+            return 422, {"error": f"sampler must be one of {'|'.join(SAMPLERS)}"}
         # optional low-count conditioning volume for concat-conditional
         # models: {"condition": {"data": <base64 float32>, "shape": [D,H,W]}}
         condition_volume = None
@@ -346,7 +348,9 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("-c", "--config-file", default=None)
     p.add_argument("-e", "--environment-file", default=None)
-    p.add_argument("--sampler", choices=("ddpm", "ddim", "dpm", "dpm3"), default="ddim")
+    from ldm3d_tpu.cli.common import SAMPLERS
+
+    p.add_argument("--sampler", choices=SAMPLERS, default="ddim")
     p.add_argument("--steps", type=int, default=None,
                    help="inference steps (default: 50 for ddim/dpm, full schedule for "
                         "ddpm; an explicit value subsamples ddpm MONAI set_timesteps-style)")

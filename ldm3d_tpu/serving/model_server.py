@@ -461,8 +461,10 @@ class ModelServer:
             raise RuntimeError("model not loaded")
         if output_format not in ("base64", "nii"):
             raise ValueError(f"output_format must be base64|nii, got {output_format!r}")
-        if sampler is not None and sampler not in ("ddpm", "ddim", "dpm", "dpm3"):
-            raise ValueError(f"sampler must be ddpm|ddim|dpm|dpm3, got {sampler!r}")
+        from ldm3d_tpu.cli.common import SAMPLERS
+
+        if sampler is not None and sampler not in SAMPLERS:
+            raise ValueError(f"sampler must be one of {'|'.join(SAMPLERS)}, got {sampler!r}")
         sampler_name = sampler if sampler is not None else self.sampler
         if inference_steps is not None:
             steps = int(inference_steps)

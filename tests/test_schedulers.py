@@ -372,13 +372,12 @@ def test_trailing_spacing_samplers_still_exact():
         noise = (np.sqrt(a0) * x0_star
                  + np.sqrt(1 - a0) * jax.random.normal(jax.random.PRNGKey(1), x0_star.shape))
         out = inferer.sample_latents(exact_eps, sched, jnp.asarray(noise), rng)
-        tol = 1e-4 if getattr(sched, "eta", 1) == 0.0 or sched.__class__.__name__ != "DDPMScheduler" else 0.15
         # DDPM is ancestral (injects noise mid-trajectory); the deterministic
         # samplers must hit x0* to machine precision
         if isinstance(sched, DDPMScheduler):
             assert float(jnp.abs(out - x0_star).max()) < 0.35
         else:
-            assert float(jnp.abs(out - x0_star).max()) < tol, type(sched).__name__
+            assert float(jnp.abs(out - x0_star).max()) < 1e-4, type(sched).__name__
 
 
 def test_timestep_spacing_config_plumbing():
@@ -394,3 +393,44 @@ def test_timestep_spacing_config_plumbing():
     # schema accepts the new key
     from ldm3d_tpu.configs.schema import NOISE_SCHEDULER_SCHEMA
     assert "timestep_spacing" in NOISE_SCHEDULER_SCHEMA
+
+
+def test_trailing_non_divisible_rejected_for_ddim_ddpm_exact_for_dpm():
+    """Found in review: on a trailing grid with T % n != 0, DDIM/DDPM's
+    terminal detection (t - stride < 0) never fires on the final step (e.g.
+    T=64 n=6: last t=13, t_prev=3), leaving the output at the t_prev noise
+    level — a silent quality bug. DDIM/DDPM therefore REJECT the config at
+    create(); DPM-Solver++ appends the terminal alpha_bar=1 state explicitly
+    and must stay exact for any count."""
+    import pytest
+
+    from ldm3d_tpu.diffusion import (DDIMScheduler, DDPMScheduler,
+                                     DPMSolverPPScheduler, inferer)
+
+    for cls in (DDIMScheduler, DDPMScheduler):
+        with pytest.raises(ValueError, match="trailing"):
+            cls.create(num_inference_steps=6, num_train_timesteps=64,
+                       timestep_spacing="trailing")
+    # divisible trailing stays allowed
+    DDIMScheduler.create(num_inference_steps=8, num_train_timesteps=64,
+                         timestep_spacing="trailing")
+
+    # DPM: exact on the point-mass oracle at a NON-divisible trailing count
+    rng = jax.random.PRNGKey(0)
+    x0_star = jax.random.uniform(rng, (2, 4, 4, 4, 3), jnp.float32) * 0.8 - 0.4
+    for order in (2, 3):
+        sched = DPMSolverPPScheduler.create(
+            num_inference_steps=6, num_train_timesteps=64,
+            solver_order=order, timestep_spacing="trailing")
+        a_bar = sched.alphas_cumprod
+
+        def exact_eps(x, t, a_bar=a_bar):
+            a = jnp.take(a_bar, t[0])
+            return (x - jnp.sqrt(a) * x0_star) / jnp.sqrt(1 - a)
+
+        t0 = int(np.asarray(sched.timesteps)[0])
+        a0 = float(a_bar[t0])
+        noise = (np.sqrt(a0) * x0_star
+                 + np.sqrt(1 - a0) * jax.random.normal(jax.random.PRNGKey(1), x0_star.shape))
+        out = inferer.sample_latents(exact_eps, sched, jnp.asarray(noise), rng)
+        assert float(jnp.abs(out - x0_star).max()) < 1e-4, order
