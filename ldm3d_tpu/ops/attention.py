@@ -52,7 +52,7 @@ def _flash_kernel_mono(q_ref, k_ref, v_ref, o_ref, lse_ref,
 
     Grid: (batch*heads, num_q_blocks). Refs are VMEM blocks:
       q_ref: (block_q, head_dim), k_ref/v_ref: (kv_len, head_dim),
-      o_ref: (block_q, head_dim), lse_ref: (block_q,) row logsumexp — the
+      o_ref: (block_q, head_dim), lse_ref: (block_q, 1) row logsumexp — the
       FlashAttention-2 residual the backward kernels need.
     """
     q = q_ref[0].astype(jnp.float32) * scale
@@ -235,7 +235,9 @@ def _flash_fwd_impl(
     q: jax.Array, k: jax.Array, v: jax.Array,
     block_q: int, block_k: int, interpret: bool = False,
 ):
-    """Forward kernel; returns ((b,n,h,d) output, (b*h, n) row logsumexp)."""
+    """Forward kernel; returns ((b,n,h,d) output, (b*h, n, 1) row logsumexp
+    — the trailing singleton keeps the block's last-two dims Mosaic-tileable
+    and is the shape the dQ/dKV BlockSpecs consume)."""
     b, n, h, d = q.shape
     kv_len = k.shape[1]
     scale = 1.0 / math.sqrt(d)

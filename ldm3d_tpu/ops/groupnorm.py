@@ -109,6 +109,22 @@ def _sums_impl(x, block_v: int, interpret: bool = False):
     )(x)
 
 
+def _resolve_block_v(use_pallas: bool | None, v: int, c: int, itemsize: int) -> int:
+    """Shared use_pallas None/True/False resolution for both sum paths
+    (0 = use the XLA dot fallback)."""
+    if use_pallas is None:
+        return _use_pallas(v, c, itemsize)
+    return _pick_block_v(v, c, itemsize) if use_pallas else 0
+
+
+def _dot_ones(t: jax.Array, v: int) -> jax.Array:
+    """fp32 voxel-axis reduction as a dot against ones (the measured-fastest
+    formulation — module docstring); shared by forward and backward sums."""
+    ones = jnp.ones((v,), jnp.float32)
+    return jax.lax.dot_general(t, ones, dimension_numbers=(((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def gn_sums(x, *, use_pallas: bool | None = None, interpret: bool = False):
     """``(sum_v x, sum_v x^2)`` per (batch, channel), fp32, for ``x (B, V, C)``.
 
@@ -117,18 +133,12 @@ def gn_sums(x, *, use_pallas: bool | None = None, interpret: bool = False):
     TPU when the voxel count has a usable block divisor.
     """
     b, v, c = x.shape
-    block_v = _pick_block_v(v, c, x.dtype.itemsize) if use_pallas else 0
-    if use_pallas is None:
-        block_v = _use_pallas(v, c, x.dtype.itemsize)
+    block_v = _resolve_block_v(use_pallas, v, c, x.dtype.itemsize)
     if block_v:
         s1, s2 = _sums_impl(x, block_v, interpret)
         return s1[:, 0, :], s2[:, 0, :]
     xf = x.astype(jnp.float32)
-    ones = jnp.ones((v,), jnp.float32)
-    dot = lambda t: jax.lax.dot_general(  # noqa: E731
-        t, ones, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    return dot(xf), dot(xf * xf)
+    return _dot_ones(xf, v), _dot_ones(xf * xf, v)
 
 
 def _bwd_sums_kernel(dy_ref, x_ref, mean_ref, inv_ref, s1_ref, s2_ref,
@@ -192,16 +202,10 @@ def gn_bwd_sums(dy, x, mean_c, inv_c, *, use_pallas: bool | None = None,
     ``dy``/``x``. Fallback mirrors :func:`gn_sums`.
     """
     b, v, c = x.shape
-    block_v = _pick_block_v(v, c, x.dtype.itemsize) if use_pallas else 0
-    if use_pallas is None:
-        block_v = _use_pallas(v, c, x.dtype.itemsize)
+    block_v = _resolve_block_v(use_pallas, v, c, x.dtype.itemsize)
     if block_v:
         s1, s2 = _bwd_sums_impl(dy, x, mean_c, inv_c, block_v, interpret)
         return s1[:, 0, :], s2[:, 0, :]
     dyf = dy.astype(jnp.float32)
     xhat = (x.astype(jnp.float32) - mean_c[:, None, :]) * inv_c[:, None, :]
-    ones = jnp.ones((v,), jnp.float32)
-    dot = lambda t: jax.lax.dot_general(  # noqa: E731
-        t, ones, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    return dot(dyf), dot(dyf * xhat)
+    return _dot_ones(dyf, v), _dot_ones(dyf * xhat, v)

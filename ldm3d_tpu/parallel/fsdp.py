@@ -57,9 +57,17 @@ def shard_train_state_fsdp(state, mesh: Mesh):
     params = jax.tree_util.tree_map(jax.device_put, state.params, param_sh)
     opt_state = jax.tree_util.tree_map(jax.device_put, state.opt_state, opt_sh)
     ema = state.ema_params
+    constrain_ema = None
     if ema is not None:
-        ema = jax.tree_util.tree_map(
-            jax.device_put, ema, fsdp_sharding_tree(ema, mesh))
+        ema_sh = fsdp_sharding_tree(ema, mesh)
+        ema = jax.tree_util.tree_map(jax.device_put, ema, ema_sh)
+
+        # the EMA update runs AFTER the (params, opt_state) constrain hook;
+        # without its own constraint the elementwise d*e + (1-d)*p output
+        # could propagate back to replicated — a full per-chip EMA copy,
+        # exactly the state FSDP exists to shard (found in review)
+        def constrain_ema(new_ema, ema_sh=ema_sh):
+            return jax.lax.with_sharding_constraint(new_ema, ema_sh)
 
     def constrain(new_params, new_opt_state):
         new_params = jax.lax.with_sharding_constraint(new_params, param_sh)
@@ -67,4 +75,4 @@ def shard_train_state_fsdp(state, mesh: Mesh):
         return new_params, new_opt_state
 
     return state.replace(params=params, opt_state=opt_state, ema_params=ema,
-                         constrain=constrain)
+                         constrain=constrain, constrain_ema=constrain_ema)

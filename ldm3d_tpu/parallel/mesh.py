@@ -11,9 +11,9 @@ no process-group timeout, and no barrier (synchronization is implicit in the
 compiled program). SyncBatchNorm is unnecessary: all norms here are
 GroupNorm/InstanceNorm, which carry no cross-device statistics.
 
-The mesh is named ('data', 'model') so later tensor/spatial-parallel axes can
-slot in without changing call sites; the reference supports only DP
-(SURVEY.md section 2.3), which maps to model=1.
+The mesh is named ('data', 'model', 'spatial') — batch, tensor-parallel
+channel, and activation-depth (context) axes; the reference supports only DP
+(SURVEY.md section 2.3), which maps to model=1, spatial=1.
 """
 
 from __future__ import annotations

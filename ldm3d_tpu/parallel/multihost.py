@@ -41,7 +41,13 @@ def init_multihost(coordinator_address: Optional[str] = None,
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
-    except RuntimeError as e:  # already initialized
+    except RuntimeError as e:
+        # Only the double-init case is benign. A swallowed rendezvous/
+        # coordinator failure would silently degrade a pod launch to N
+        # independent single-process runs (wrong global batch, clashing
+        # checkpoints) — re-raise anything else loudly (found in review).
+        if "already initialized" not in str(e).lower():
+            raise
         log.warning("jax.distributed already initialized: %s", e)
     pid, n = jax.process_index(), jax.process_count()
     log.info("multihost: process %d/%d, %d local / %d global devices",

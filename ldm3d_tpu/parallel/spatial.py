@@ -37,7 +37,9 @@ __all__ = [
     "halo_exchange",
     "spatial_sharding",
     "shard_volume",
+    "make_spatial_encoder",
     "make_spatial_sampler",
+    "validate_spatial_divisibility",
 ]
 
 SPATIAL_AXIS = "spatial"
@@ -107,8 +109,6 @@ def make_spatial_encoder(ae, mesh: Mesh):
     encode through THIS (not the unsharded model): the whole point of the
     spatial axis is volumes whose full-resolution activations don't fit one
     chip, and the encoder hits the same sizes as the decoder."""
-    from jax.sharding import NamedSharding
-
     ae_sp = ae.clone(spatial_axis=SPATIAL_AXIS)
     vol_spec = P("data", SPATIAL_AXIS)
 
@@ -127,7 +127,9 @@ def make_spatial_encoder(ae, mesh: Mesh):
     vol_sh = NamedSharding(mesh, vol_spec)
 
     def encoder(ae_params, x, rng):
-        return sharded(jax.device_put(ae_params, rep), jax.device_put(x, vol_sh),
+        ae_params = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, _keep_or_replicate(a, mesh)), ae_params)
+        return sharded(ae_params, jax.device_put(x, vol_sh),
                        jax.device_put(rng, rep))
 
     return encoder
@@ -179,12 +181,27 @@ def make_spatial_sampler(unet, ae, scheduler, mesh: Mesh, scale_factor=1.0,
     def sampler(u_params, ae_params, noise, rng, condition=None):
         # explicit placement: inputs may live on devices outside this mesh
         # (e.g. checkpoints restored onto all visible chips); device_put is a
-        # no-op when already placed correctly
-        u_params = jax.device_put(u_params, rep)
-        ae_params = jax.device_put(ae_params, rep)
+        # no-op when already placed correctly. Params keep an existing
+        # same-mesh sharding (tensor-parallel weights stay 'model'-sharded
+        # through the auto axis — blanket-replicating them here defeated
+        # TP x SP and re-materialized full weights per chip; found in review)
+        u_params = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, _keep_or_replicate(a, mesh)), u_params)
+        ae_params = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, _keep_or_replicate(a, mesh)), ae_params)
         noise = jax.device_put(noise, vol_sh)
         if condition is not None:
             condition = jax.device_put(condition, vol_sh)
         return sharded(u_params, ae_params, noise, jax.device_put(rng, rep), condition)
 
     return sampler
+
+
+def _keep_or_replicate(a, mesh: Mesh):
+    """An existing sharding on THIS mesh is preserved (TP weights); anything
+    else — single-device or uncommitted arrays — pins replicated-on-mesh
+    (same rule as ``zero.py``'s ``_param_sharding``)."""
+    sh = getattr(a, "sharding", None)
+    if isinstance(sh, NamedSharding) and sh.mesh == mesh:
+        return sh
+    return NamedSharding(mesh, P())

@@ -26,6 +26,10 @@ class TrainState:
     # optional hook pinning (params, opt_state) shardings through the update
     # (set by parallel.zero.shard_train_state_zero; None = let GSPMD propagate)
     constrain: Callable | None = struct.field(pytree_node=False, default=None)
+    # optional hook pinning the EMA layout too: the EMA update runs AFTER
+    # constrain, so without this an FSDP-sharded EMA could propagate back to
+    # replicated (full per-chip copy) through the elementwise update output
+    constrain_ema: Callable | None = struct.field(pytree_node=False, default=None)
 
     @classmethod
     def create(cls, apply_fn: Callable, params: Any, tx: optax.GradientTransformation,
@@ -47,5 +51,7 @@ class TrainState:
             new_ema = jax.tree_util.tree_map(
                 lambda e, p: d * e + (1.0 - d) * p.astype(e.dtype), self.ema_params, new_params
             )
+            if self.constrain_ema is not None:
+                new_ema = self.constrain_ema(new_ema)
         return self.replace(step=self.step + 1, params=new_params, opt_state=new_opt_state,
                             ema_params=new_ema)

@@ -94,6 +94,11 @@ def test_fsdp_state_parity_and_layout(mesh8):
         placed = shard_train_state_fsdp(make_state(), mesh8)
     e = placed.ema_params["w"]
     assert e.addressable_shards[0].data.size == e.size // 8
+    # the POST-step EMA stays physically sharded too: the constrain_ema hook
+    # pins it through apply_gradients (without it, propagation could hand
+    # back a replicated full-size EMA copy per chip — found in review)
+    e_post = fs.ema_params["w"]
+    assert e_post.addressable_shards[0].data.size == e_post.size // 8, e_post.sharding
     # the (64,) bias tiles the rule (>= 2N, divisible) so it shards too;
     # genuinely small leaves replicate (pinned by test_zero_spec_rules)
     b = fs.params["b"]

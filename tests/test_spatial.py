@@ -410,6 +410,18 @@ def test_spatial_sampler_composes_with_tensor_parallel(tiny, eight_devices):
 
     np.testing.assert_allclose(out_ref, out_tp, atol=2e-4)
 
+    # the sampler's param placement must PRESERVE the TP sharding — a
+    # blanket device_put to replicated defeated TP x SP and re-materialized
+    # full weights per chip (found in review)
+    from ldm3d_tpu.parallel.spatial import _keep_or_replicate
+
+    tp_leaves = [a for a in jax.tree_util.tree_leaves(u_tp)
+                 if "model" in tuple(getattr(a.sharding, "spec", ()) or ())]
+    assert tp_leaves, "expected at least one model-sharded UNet leaf"
+    for leaf in tp_leaves[:3]:
+        kept = _keep_or_replicate(leaf, mesh_tp)
+        assert "model" in tuple(kept.spec), kept
+
 
 def test_stage1_spatial_composes_with_tensor_parallel(tiny, eight_devices):
     """VAE-GAN spatial step with TP-sharded G+D states matches model=1."""
