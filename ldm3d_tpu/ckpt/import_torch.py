@@ -158,6 +158,20 @@ def autoencoder_manifest(ae_params) -> list[ManifestEntry]:
     def _side(side_key: str, level_prefix: str, resample: str):
         side = ae_params[side_key]
         out.extend(_module_entries(ae_params, (side_key, "conv_in")))
+
+        def _mid():
+            # nonlocal-attn mid stack (with_encoder/decoder_nonlocal_attn):
+            # MONAI's Encoder registers it AFTER the down levels, the Decoder
+            # right after conv_in — matching our execution order. Omitting it
+            # silently desynchronized the lockstep pairing for such
+            # checkpoints (found in review).
+            if "mid_res_1" in side:
+                out.extend(_resblock_entries(ae_params, (side_key, "mid_res_1"), with_time=False))
+                out.extend(_attn_entries(ae_params, (side_key, "mid_attn")))
+                out.extend(_resblock_entries(ae_params, (side_key, "mid_res_2"), with_time=False))
+
+        if level_prefix == "up":
+            _mid()
         for lvl in _level_indices(side, level_prefix):
             res_names = _sorted_children(side, rf"{level_prefix}_{lvl}_res_\d+")
             attn_names = _sorted_children(side, rf"{level_prefix}_{lvl}_attn_\d+")
@@ -170,6 +184,8 @@ def autoencoder_manifest(ae_params) -> list[ManifestEntry]:
             rs = f"{level_prefix}_{lvl}_{resample}"
             if rs in side:
                 out.extend(_module_entries(ae_params, (side_key, rs, "conv")))
+        if level_prefix == "down":
+            _mid()
         out.extend(_module_entries(ae_params, (side_key, "norm_out")))
         out.extend(_module_entries(ae_params, (side_key, "conv_out")))
 

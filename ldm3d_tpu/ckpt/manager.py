@@ -53,7 +53,23 @@ class CheckpointManager:
         # async save awaiting commit: (role, meta-or-None); swap + meta happen
         # at the next drain
         self._pending_commit: Optional[tuple[str, Optional[dict]]] = None
-        self._recover_interrupted_swaps()
+        # Multi-host: the orbax save itself is collective (every process
+        # participates), but the directory swaps / recovery / meta sidecars
+        # are plain filesystem renames against the SHARED model_dir — only
+        # process 0 may perform them, and the others must not race ahead
+        # (found in review: concurrent os.rename of the same paths crashed
+        # every host but one at the first checkpoint of a pod run).
+        self._is_lead = jax.process_index() == 0
+        if self._is_lead:
+            self._recover_interrupted_swaps()
+        self._sync("ckpt-recover")
+
+    def _sync(self, tag: str) -> None:
+        """Cross-host barrier around lead-only filesystem mutations."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"{self.root}:{tag}")
 
     def _recover_interrupted_swaps(self) -> None:
         """Finish (or roll back) a ``<role>.new``/``<role>.old`` swap cut short
@@ -125,24 +141,34 @@ class CheckpointManager:
         self._ckptr.save(self.path(role) + ".new", state, force=True)
         if block:
             self._ckptr.wait_until_finished()
-            self._swap_into_place(role)
-            if meta is not None:
-                self._write_meta(role, meta)
+            if self._is_lead:
+                self._swap_into_place(role)
+                if meta is not None:
+                    self._write_meta(role, meta)
+            self._sync(f"swap:{role}")
         else:
             self._pending_commit = (role, meta)
 
     def _write_meta(self, role: str, meta: dict) -> None:
-        with open(os.path.join(self.root, f"{role}_meta.json"), "w") as f:
+        # tmp + atomic rename: a truncate-write in place could be cut short
+        # by a hard kill, leaving corrupt JSON that crashes the next resume
+        # (found in review)
+        final = os.path.join(self.root, f"{role}_meta.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(meta, f)
+        os.replace(tmp, final)
 
     def _drain(self) -> None:
         self._ckptr.wait_until_finished()
         if self._pending_commit is not None:
             role, meta = self._pending_commit
             self._pending_commit = None
-            self._swap_into_place(role)
-            if meta is not None:
-                self._write_meta(role, meta)
+            if self._is_lead:
+                self._swap_into_place(role)
+                if meta is not None:
+                    self._write_meta(role, meta)
+            self._sync(f"drain:{role}")
 
     def wait(self) -> None:
         """Block until any in-flight async save has committed to disk (and
@@ -157,8 +183,15 @@ class CheckpointManager:
         # drains it first, so the deployment artifact is never half-written
         self.save("last", state, meta, block=block)
         if is_best:
-            best = {"params": state["params"]} if isinstance(state, dict) and "params" in state else state
-            self.save("best", best, meta)
+            if not (isinstance(state, dict) and "params" in state):
+                # silently writing the FULL state (opt moments + step) as the
+                # params-only 'best' artifact would fail far away, in stage
+                # 2's restore_params, with an opaque structure mismatch
+                raise TypeError(
+                    "save_best_and_last expects a dict with a 'params' key "
+                    f"(got {type(state).__name__}); pass the state as "
+                    "{'params': ..., ...} so 'best' stays params-only")
+            self.save("best", {"params": state["params"]}, meta)
 
     def restore_params(self, role: str, abstract_params: Any, sharding=None) -> Any:
         """Restore a params-only checkpoint (the ``best`` artifact).

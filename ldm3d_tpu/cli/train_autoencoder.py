@@ -220,7 +220,7 @@ def main(argv=None):
             adv_active = epoch > s1cfg.warmup_epochs
             accum: dict[str, list] = {}
             for step, batch in enumerate(train_loader.epoch(epoch)):
-                if stop.requested:
+                if stop.requested_global:
                     break
                 images = place_images(batch["image"])
                 rng, step_rng = jax.random.split(rng)
@@ -239,7 +239,7 @@ def main(argv=None):
                 if step % 50 == 0:
                     writer.add_scalar("grad_norm_autoencoder", metrics["g_grad_norm"], total_step)
 
-            if stop.requested:
+            if stop.requested_global:
                 # preemption: full resumable 'last' save; the interrupted
                 # epoch replays on restart (meta epoch = epoch - 1)
                 meta = {"epoch": epoch - 1, "best_val": best_val, "preempted": True}
@@ -298,7 +298,7 @@ def main(argv=None):
     stop.restore()
     profiler.stop()
     writer.close()
-    if stop.requested:
+    if stop.requested_global:
         # exit 75 (EX_TEMPFAIL): wrappers (train_ldm.sh, pipelines) must NOT
         # treat a preempted stage as success and move on; the Job restarts
         # with resume_ckpt and replays the interrupted epoch

@@ -127,7 +127,7 @@ def main(argv=None):
                          min_snr_gamma=args.min_snr_gamma)
     u_state = TrainState.create(unet.apply, u_vars["params"],
                                 make_diffusion_optimizer(schedule, grad_accum=args.grad_accum),
-                                ema_decay=args.ema_decay)
+                                ema_decay=args.ema_decay, ema_every=args.grad_accum)
 
     u_ckpt = CheckpointManager(args.model_dir, StageArtifacts.DIFFUSION)
     start_epoch = 0
@@ -233,7 +233,7 @@ def main(argv=None):
             epoch_iter = (cache.epoch(epoch) if args.cache_latents
                           else train_loader.epoch(epoch))
             for batch in epoch_iter:
-                if stop.requested:
+                if stop.requested_global:
                     break
                 sb = place_batch(batch if args.cache_latents
                                  else {"image": batch["image"], "label": batch["label"]})
@@ -242,7 +242,7 @@ def main(argv=None):
                 losses.append(metrics["diffusion_loss"])
                 total_step += 1
                 writer.add_scalar("train_diffusion_loss_iter", metrics["diffusion_loss"], total_step)
-            if stop.requested:
+            if stop.requested_global:
                 # preemption: full resumable 'last' save; the interrupted
                 # epoch replays on restart (meta epoch = epoch - 1)
                 full = {"params": u_state.params, "opt_state": u_state.opt_state, "step": u_state.step}
@@ -337,7 +337,7 @@ def main(argv=None):
     u_ckpt.wait()  # drain an in-flight async save before exit
     stop.restore()
     writer.close()
-    if stop.requested:
+    if stop.requested_global:
         # exit 75 (EX_TEMPFAIL): wrappers (train_ldm.sh, pipelines) must NOT
         # treat a preempted stage as success and move on; the Job restarts
         # with resume_ckpt and replays the interrupted epoch

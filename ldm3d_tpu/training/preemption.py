@@ -9,9 +9,14 @@ losing everything since the last validation save. Here the trainers poll
 resumable ``last`` checkpoint and exit 0 — the restarted Job continues the
 epoch schedule instead of redoing hours of work.
 
-Multi-host note: the flag is per-process; cluster schedulers deliver SIGTERM
-to every pod of the Job on preemption, so all hosts reach the collective
-orbax save together.
+Multi-host note: signal DELIVERY is per-process and not simultaneous, so the
+per-step check must be :attr:`GracefulShutdown.requested_global` — a
+cross-host agreement (allgather of the local flag). Checking the local flag
+alone lets host A break out of the loop at step N while host B has already
+dispatched step N's compiled program; B's devices then block in the step's
+psum waiting for A, A blocks in the collective orbax save waiting for B, and
+the pod deadlocks until the kill deadline without ever writing the
+checkpoint this mechanism exists for (found in review).
 """
 
 from __future__ import annotations
@@ -55,7 +60,25 @@ class GracefulShutdown:
 
     @property
     def requested(self) -> bool:
+        """Local-process flag (single-host loops, tests)."""
         return self._flag.is_set()
+
+    @property
+    def requested_global(self) -> bool:
+        """Cross-host agreement on the flag: True everywhere once ANY host
+        latched the signal. Every host must evaluate this at the same points
+        (the trainers check once per step boundary), keeping the underlying
+        allgather collective aligned; single-process runs short-circuit to
+        the local flag with no collective."""
+        import jax
+
+        if jax.process_count() == 1:
+            return self.requested
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(np.asarray(self._flag.is_set()))
+        return bool(np.any(flags))
 
     def trigger(self) -> None:
         """Set the flag programmatically (tests, cooperative shutdown)."""

@@ -70,11 +70,28 @@ def make_optimizer(lr_schedule, grad_clip: float = 0.5, weight_decay: float = 1e
     """
     tx = optax.chain(
         optax.clip_by_global_norm(grad_clip),
-        optax.adamw(lr_schedule, b1=0.5, b2=0.9, eps=1e-8, weight_decay=weight_decay),
+        optax.adamw(_accum_schedule(lr_schedule, grad_accum),
+                    b1=0.5, b2=0.9, eps=1e-8, weight_decay=weight_decay),
     )
     if grad_accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
     return tx
+
+
+def _accum_schedule(lr_schedule, grad_accum: int):
+    """Re-index an lr schedule for gradient accumulation.
+
+    Schedules are built over LOADER micro-steps (``steps_per_epoch`` from the
+    dataloader), but inside ``optax.MultiSteps`` the wrapped optimizer's
+    count advances only once per EMITTED update — so without re-indexing
+    every warm-up/milestone ran ``grad_accum``-times too slow while the TB
+    ``lr`` log (indexed by micro-step) showed the intended curve (found in
+    review). Multiplying the inner count by ``grad_accum`` restores
+    micro-step indexing exactly.
+    """
+    if grad_accum <= 1 or not callable(lr_schedule):
+        return lr_schedule
+    return lambda count: lr_schedule(count * grad_accum)
 
 
 def _recon_fn(name: str) -> Callable:

@@ -84,9 +84,11 @@ def _drop_condition(condition, rng, p: float):
 def make_diffusion_optimizer(lr_schedule, grad_clip: float = 1.0,
                              grad_accum: int = 1) -> optax.GradientTransformation:
     """Adam (not AdamW — reference ``train_diffusion.py:155``) with clip 1.0."""
+    from ldm3d_tpu.training.stage1 import _accum_schedule
+
     tx = optax.chain(
         optax.clip_by_global_norm(grad_clip),
-        optax.adam(lr_schedule),
+        optax.adam(_accum_schedule(lr_schedule, grad_accum)),
     )
     if grad_accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)

@@ -92,3 +92,43 @@ def test_multisteps_applies_the_average_gradient():
 
     np.testing.assert_allclose(np.asarray(acc.params["w"]),
                                np.asarray(plain.params["w"]), rtol=1e-6, atol=1e-7)
+
+
+def test_accum_schedule_reindexes_to_micro_steps():
+    """Inside optax.MultiSteps the wrapped optimizer's count advances once
+    per EMITTED update, but lr schedules are built over LOADER micro-steps —
+    without re-indexing every warm-up/milestone ran grad_accum-times too
+    slow (found in review). _accum_schedule multiplies the inner count back
+    to micro-step units."""
+    from ldm3d_tpu.training.stage1 import _accum_schedule
+
+    sched = lambda c: 0.1 * c  # noqa: E731
+    assert float(_accum_schedule(sched, 4)(10)) == float(sched(40))
+    assert _accum_schedule(sched, 1) is sched
+    assert _accum_schedule(0.5, 4) == 0.5  # constant lr passes through
+
+
+def test_ema_updates_once_per_emitted_step():
+    """Under MultiSteps(k), params change only on the k-th micro-step; the
+    EMA must decay exactly once per emitted update (ema_every=k), not k
+    times (which silently shortened the averaging horizon to decay^k —
+    found in review)."""
+    import optax
+
+    d = 0.5
+    params = {"w": jnp.ones((4,))}
+    tx = optax.MultiSteps(optax.sgd(0.1), every_k_schedule=2)
+    st = TrainState.create(lambda p, x: x, jax.tree.map(jnp.copy, params), tx,
+                           ema_decay=d, ema_every=2)
+    grads = {"w": jnp.ones((4,))}
+
+    p0 = np.asarray(st.params["w"])
+    st = st.apply_gradients(grads)  # micro-step 1: accumulate only
+    np.testing.assert_array_equal(np.asarray(st.params["w"]), p0)  # unchanged
+    np.testing.assert_array_equal(np.asarray(st.ema_params["w"]), p0)  # NOT decayed
+
+    st = st.apply_gradients(grads)  # micro-step 2: emit
+    p1 = np.asarray(st.params["w"])
+    assert not np.allclose(p1, p0)
+    expected_ema = d * p0 + (1 - d) * p1  # exactly ONE decay application
+    np.testing.assert_allclose(np.asarray(st.ema_params["w"]), expected_ema, rtol=1e-6)

@@ -125,3 +125,47 @@ def test_leftover_torch_tensors_rejected(tiny):
     items = _to_torch_items(manifest, ae_params) + [("extra.weight", np.zeros((4, 4)))]
     with pytest.raises(ImportMismatchError, match="unconsumed"):
         match_state_dict(manifest, items)
+
+
+def test_autoencoder_manifest_nonlocal_attn_mid_blocks():
+    """MONAI's with_encoder/decoder_nonlocal_attn mid stack (res-attn-res)
+    must appear in the manifest at its registration position: encoder AFTER
+    the down levels, decoder right after conv_in (found in review: the mid
+    blocks were omitted entirely, silently desynchronizing the lockstep
+    pairing for such checkpoints). Round-trip + full-coverage pinned too."""
+    from ldm3d_tpu.nn import AutoencoderKL
+
+    ae = AutoencoderKL(in_channels=1, latent_channels=3,
+                       channels=(4, 8), num_res_blocks=(1, 1),
+                       attention_levels=(False, True), norm_num_groups=2,
+                       with_encoder_nonlocal_attn=True,
+                       with_decoder_nonlocal_attn=True)
+    rng = jax.random.PRNGKey(0)
+    params = ae.init({"params": rng, "sample": rng}, jnp.zeros((1, 8, 8, 8, 1)))["params"]
+    manifest = autoencoder_manifest(params)
+
+    paths = [e.path for e in manifest]
+    # full coverage
+    all_paths = {tuple(p.key for p in path)
+                 for path, _ in jax.tree_util.tree_leaves_with_path(params)}
+    assert set(paths) == all_paths
+
+    def first(pred):
+        return next(i for i, p in enumerate(paths) if pred(p))
+
+    def last(pred):
+        return max(i for i, p in enumerate(paths) if pred(p))
+
+    # encoder: conv_in < levels < mid < norm_out
+    enc_mid = first(lambda p: p[0] == "encoder" and p[1] == "mid_res_1")
+    assert enc_mid > last(lambda p: p[0] == "encoder" and p[1].startswith("down_"))
+    assert enc_mid < first(lambda p: p[0] == "encoder" and p[1] == "norm_out")
+    # decoder: conv_in < mid < levels
+    dec_mid = first(lambda p: p[0] == "decoder" and p[1] == "mid_res_1")
+    assert dec_mid > first(lambda p: p[0] == "decoder" and p[1] == "conv_in")
+    assert dec_mid < first(lambda p: p[0] == "decoder" and p[1].startswith("up_"))
+
+    # round-trip through export + import
+    items = _to_torch_items(manifest, params)
+    rebuilt = assigned_to_tree(params, match_state_dict(manifest, items))
+    _trees_equal(params, rebuilt)

@@ -52,6 +52,10 @@ def test_trainer_preempt_saves_resumable_last(tmp_path, monkeypatch):
             self.calls += 1
             return self.calls > 3
 
+        # the trainers poll the cross-host agreement (single-process runs
+        # short-circuit to the local flag)
+        requested_global = requested
+
         def restore(self):
             pass
 
