@@ -69,6 +69,12 @@ class LatentCache:
         if num_hosts is None:
             num_hosts = jax.process_count()
             host_id = jax.process_index()
+        elif num_hosts > 1 and host_id is None:
+            # same trap as prepare_dataloader: defaulting the shard id to 0
+            # under an explicit num_hosts would cache the SAME shard on
+            # every host (found in review)
+            raise ValueError("host_id is required when num_hosts > 1 is "
+                             "passed explicitly")
         host_id = host_id or 0
         if batch_size % num_hosts:
             raise ValueError(f"global batch {batch_size} not divisible by {num_hosts} hosts")

@@ -22,7 +22,21 @@ __all__ = ["BatchLoader"]
 
 def _stack(samples: Sequence[dict]) -> dict:
     keys = samples[0].keys()
-    return {k: np.stack([s[k] for s in samples], axis=0) for k in keys}
+    out = {}
+    for k in keys:
+        arrs = [s[k] for s in samples]
+        shapes = {a.shape for a in arrs}
+        if len(shapes) > 1:
+            # crops clamp to each volume's size (MONAI RandSpatialCrop
+            # parity), so a dataset mixing volumes smaller than patch_size
+            # yields per-sample shapes — name the real cause instead of
+            # letting np.stack fail opaquely inside the prefetch worker
+            raise ValueError(
+                f"batch samples for '{k}' have mixed shapes {sorted(shapes)}: "
+                "some source volumes are smaller than patch_size (crops clamp "
+                "to the volume) — resample/pad the data or lower patch_size")
+        out[k] = np.stack(arrs, axis=0)
+    return out
 
 
 class BatchLoader:

@@ -31,13 +31,23 @@ _build_failed = False
 
 def _build() -> bool:
     os.makedirs(os.path.dirname(_LIB_PATH), exist_ok=True)
+    # compile to a per-pid temp name and atomically rename: writing the .so
+    # at its final path let a concurrent process CDLL a half-written file,
+    # and a g++ killed by the timeout left a truncated library that passed
+    # the exists() check forever after (found in review)
+    tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC_PATH,
-           "-o", _LIB_PATH, "-lz", "-lpthread"]
+           "-o", tmp, "-lz", "-lpthread"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB_PATH)
         return True
     except Exception as e:
         log.info("native loader build failed (%s); using numpy path", e)
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -56,7 +66,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if not os.path.exists(_LIB_PATH):
             _build_failed = True
             return None
-        lib = ctypes.CDLL(_LIB_PATH)
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError as e:
+            # corrupt/foreign-arch library: honor the documented contract
+            # (every caller falls back to the numpy path) instead of letting
+            # the OSError kill data loading (found in review)
+            log.warning("native loader failed to load (%s); using numpy path", e)
+            _build_failed = True
+            return None
         lib.npz_pair_dims.restype = ctypes.c_int
         lib.npz_pair_dims.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64)]
         lib.npz_load_pair.restype = ctypes.c_int
@@ -74,15 +92,33 @@ def available() -> bool:
     return get_lib() is not None
 
 
+# (path -> ((mtime_ns, size), dims)) — the dims probe parses the whole
+# archive, and load_pair needs it every sample of every epoch; caching by
+# stat signature halves the native path's IO (found in review) while a
+# swapped file still re-probes (and npz_load_pair independently validates
+# the expected shape before writing — the TOCTOU guard)
+_dims_cache: dict = {}
+
+
 def pair_dims(path: str) -> Optional[tuple[int, int, int, int]]:
     lib = get_lib()
     if lib is None:
         return None
+    try:
+        st = os.stat(path)
+        sig = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+    hit = _dims_cache.get(path)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
     dims = (ctypes.c_int64 * 4)()
     rc = lib.npz_pair_dims(path.encode(), dims)
     if rc != 0:
         return None
-    return tuple(int(d) for d in dims)
+    out = tuple(int(d) for d in dims)
+    _dims_cache[path] = (sig, out)
+    return out
 
 
 def load_pair(path: str) -> Optional[tuple[np.ndarray, np.ndarray]]:

@@ -39,6 +39,12 @@ def prepare_dataloader(
 
         num_hosts = jax.process_count()
         host_id = jax.process_index()
+    elif num_hosts > 1 and host_id is None:
+        # an explicit multi-host count with no shard id would silently map
+        # EVERY host to shard 0 — the same quarter of the data trained four
+        # times over on a 4-host pod (found in review); require the id
+        raise ValueError("host_id is required when num_hosts > 1 is passed "
+                         "explicitly (or omit both to use the jax topology)")
     host_id = host_id or 0
     npz_dir_train = getattr(args, "npz_dir_train", None) or None
     npz_dir_val = getattr(args, "npz_dir_val", None) or None
@@ -46,6 +52,14 @@ def prepare_dataloader(
     val_fraction = float(getattr(args, "val_fraction", 0.1))
     seed = int(getattr(args, "seed", 0))
 
+    if getattr(args, "synthetic_data", False) and (npz_dir_train or npz_dir_val) and not (
+            npz_dir_train and npz_dir_val) and not npz_dir:
+        # a half-specified real-data config would be silently discarded in
+        # favor of synthetic blobs (found in review) — surface it instead
+        raise ValueError(
+            "synthetic_data=true but a real-data directory is partially "
+            "configured (set BOTH npz_dir_train and npz_dir_val, or npz_dir, "
+            "or neither)")
     if not any((npz_dir_train and npz_dir_val, npz_dir)) and getattr(args, "synthetic_data", False):
         n = int(getattr(args, "synthetic_num", 16))
         shape = tuple(getattr(args, "synthetic_shape", None) or [max(64, p) for p in patch_size])
@@ -73,4 +87,11 @@ def prepare_dataloader(
             f"the global batch size {batch_size}; add data, raise synthetic_num, or lower "
             f"batch_size / device count (drop_last keeps compiled batch shapes uniform)"
         )
+    if num_hosts > 1 and len(val_ds) < num_hosts:
+        # fail at SETUP, not at the first validation pass epochs later
+        # (found in review: the train-side check above let a too-small val
+        # split through, and val_loader.epoch() raised mid-training)
+        raise ValueError(
+            f"validation set ({len(val_ds)} volumes) is smaller than the host "
+            f"count {num_hosts}; add validation data or raise val_fraction")
     return train_loader, val_loader

@@ -3,6 +3,8 @@ from ldm3d_tpu.losses.losses import (
     l2_loss,
     kl_loss,
     kl_loss_sum,
+    l1_loss_sum,
+    l2_loss_sum,
     lsgan_generator_loss,
     lsgan_discriminator_loss,
 )
@@ -12,6 +14,8 @@ __all__ = [
     "l2_loss",
     "kl_loss",
     "kl_loss_sum",
+    "l1_loss_sum",
+    "l2_loss_sum",
     "lsgan_generator_loss",
     "lsgan_discriminator_loss",
 ]

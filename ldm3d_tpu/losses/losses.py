@@ -20,6 +20,9 @@ __all__ = [
     "l1_loss",
     "l2_loss",
     "kl_loss",
+    "kl_loss_sum",
+    "l1_loss_sum",
+    "l2_loss_sum",
     "lsgan_generator_loss",
     "lsgan_discriminator_loss",
 ]
@@ -62,6 +65,18 @@ def kl_loss_sum(z_mu: jax.Array, z_sigma: jax.Array) -> jax.Array:
     mu = z_mu.astype(jnp.float32)
     sigma = jnp.maximum(z_sigma.astype(jnp.float32), 1e-8)
     return 0.5 * jnp.sum(mu**2 + sigma**2 - jnp.log(sigma**2 + 1e-8) - 1.0)
+
+
+def l1_loss_sum(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Shard-local fp32 L1 SUM (divide by the global count and psum —
+    the depth-sharded analog of :func:`l1_loss`, shared by the spatial
+    train and eval steps so their formulas cannot drift)."""
+    return jnp.sum(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
+
+
+def l2_loss_sum(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Shard-local fp32 squared-error SUM (see :func:`l1_loss_sum`)."""
+    return jnp.sum((a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2)
 
 
 def _lsq(logits: jax.Array, target: float) -> jax.Array:

@@ -31,7 +31,9 @@ from ldm3d_tpu.losses import (
     kl_loss,
     kl_loss_sum,
     l1_loss,
+    l1_loss_sum,
     l2_loss,
+    l2_loss_sum,
     lsgan_discriminator_loss,
     lsgan_generator_loss,
 )
@@ -183,7 +185,7 @@ def make_stage1_train_step_spatial(ae, disc, lpips_apply: Optional[Callable],
 
     from ldm3d_tpu.parallel.compat import shard_map_compat as _shard_map
 
-    recon_loss_fn = _recon_fn(cfg.recon_loss)
+    recon_sum_fn = l2_loss_sum if cfg.recon_loss == "l2" else l1_loss_sum
     ae_sp = ae.clone(spatial_axis=SPATIAL_AXIS)
     n_data = mesh.shape["data"]
     n_spatial = mesh.shape[SPATIAL_AXIS]
@@ -207,10 +209,7 @@ def make_stage1_train_step_spatial(ae, disc, lpips_apply: Optional[Callable],
         recon, z_mu, z_sigma = ae_sp.apply({"params": g_params}, images,
                                            rngs={"sample": rng_sample})
         # local recon sum / global count -> psum = global mean
-        if cfg.recon_loss == "l2":
-            rl_sum = jnp.sum((recon.astype(jnp.float32) - images.astype(jnp.float32)) ** 2)
-        else:
-            rl_sum = jnp.sum(jnp.abs(recon.astype(jnp.float32) - images.astype(jnp.float32)))
+        rl_sum = recon_sum_fn(recon, images)
         rl = rl_sum / (recon.size * n_dev)  # local size x device count = global count
         # KL: shard-local sum (same elementwise formula as losses.kl_loss,
         # so --spatial and unsharded runs agree) / global batch
@@ -299,6 +298,7 @@ def make_stage1_eval_step_spatial(ae, lpips_apply: Optional[Callable],
     from ldm3d_tpu.parallel.compat import shard_map_compat as _shard_map
     from ldm3d_tpu.parallel.spatial import SPATIAL_AXIS
 
+    recon_sum_fn = l2_loss_sum if cfg.recon_loss == "l2" else l1_loss_sum
     ae_sp = ae.clone(spatial_axis=SPATIAL_AXIS)
     n_data = mesh.shape["data"]
     n_spatial = mesh.shape[SPATIAL_AXIS]
@@ -317,10 +317,7 @@ def make_stage1_eval_step_spatial(ae, lpips_apply: Optional[Callable],
         recon, z_mu, z_sigma = ae_sp.apply({"params": g_params}, images,
                                            rngs={"sample": rng_sample})
         recon = jnp.clip(recon, 0.0, 1.0)
-        if cfg.recon_loss == "l2":
-            rl_sum = jnp.sum((recon.astype(jnp.float32) - images.astype(jnp.float32)) ** 2)
-        else:
-            rl_sum = jnp.sum(jnp.abs(recon.astype(jnp.float32) - images.astype(jnp.float32)))
+        rl_sum = recon_sum_fn(recon, images)
         rl = rl_sum / (recon.size * n_dev)
         kl = kl_loss_sum(z_mu, z_sigma) / (images.shape[0] * n_data)
 

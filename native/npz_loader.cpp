@@ -78,13 +78,18 @@ bool parse_zip(const Buffer& buf, std::vector<ZipEntry>& entries) {
             size_t rem = extra_len;
             while (rem >= 4) {
                 uint16_t id = rd16(x), sz = rd16(x + 2);
-                if (id == 0x0001 && sz >= 16 && rem >= 4 + sz) {
+                // a record whose declared size exceeds the remaining bytes is
+                // a corrupt/truncated extra field: bail instead of advancing
+                // (the old unsigned `rem -= 4 + sz` wrapped to ~SIZE_MAX and
+                // walked off the buffer — found in review)
+                if (static_cast<size_t>(4) + sz > rem) break;
+                if (id == 0x0001 && sz >= 16) {
                     e.uncomp_size = rd64(x + 4);
                     e.comp_size = rd64(x + 12);
                     break;
                 }
                 x += 4 + sz;
-                rem -= 4 + sz;
+                rem -= 4 + static_cast<size_t>(sz);
             }
         }
         e.data_offset = off + 30 + name_len + extra_len;
@@ -211,7 +216,11 @@ int load_pair_impl(const char* path, float* out, int64_t* dims /*[4]*/,
     NpyInfo info;
     if (!parse_npy(npy, npy_len, info)) return 5;
     if (info.fortran) return 6;
-    if (info.shape.size() < 4 || info.shape[0] < 2) return 7;
+    // exactly (N>=2, D, H, W): trailing dims (e.g. an explicit channel axis)
+    // would inflate pair_count past the caller's (2, D, H, W) buffer — the
+    // ndim>=4 check alone let them through to a heap overflow (found in
+    // review); such files take the numpy fallback path instead
+    if (info.shape.size() != 4 || info.shape[0] < 2) return 7;
     if (expect && (info.shape[1] != expect[1] || info.shape[2] != expect[2] ||
                    info.shape[3] != expect[3]))
         return 10;  // shape mismatch — reject before touching out
@@ -287,7 +296,7 @@ int npz_pair_dims(const char* path, int64_t* dims /*[4]*/) {
     }
     NpyInfo info;
     if (!parse_npy(npy, npy_len, info)) return 5;
-    if (info.shape.size() < 4) return 7;
+    if (info.shape.size() != 4) return 7;  // see load_pair_impl: exactly (N, D, H, W)
     for (int i = 0; i < 4; ++i) dims[i] = info.shape[i];
     dims[0] = 2;
     return 0;
