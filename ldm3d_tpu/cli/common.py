@@ -104,6 +104,15 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                         "axis (~1/N training-state memory; XLA all-gathers weights per use and "
                         "reduce-scatters grads). Supersedes --zero; composes with --tensor and "
                         "--spatial; see docs/SCALING.md")
+    p.add_argument("--pipeline", type=int, default=1,
+                   help="pipeline-parallel stage axis size (stage 2 only): run the UNet's "
+                        "uniform mid_depth bottleneck stack as a GPipe microbatch schedule "
+                        "over this many devices per replica; requires diffusion_def.mid_depth "
+                        "divisible by it (see docs/SCALING.md)")
+    p.add_argument("--pipeline-microbatches", type=int, default=0,
+                   help="microbatches per step for --pipeline (0 = one volume per microbatch); "
+                        "must divide the per-replica batch; more microbatches shrink the "
+                        "pipeline bubble (S-1)/(M+S-1)")
     return p
 
 
@@ -164,15 +173,22 @@ def setup(args) -> tuple:
         raise ValueError(f"requested {n} devices, only {len(devices)} visible")
     spatial = max(1, getattr(args, "spatial", 1))
     tensor = max(1, getattr(args, "tensor", 1))
+    stage = max(1, getattr(args, "pipeline", 1))
     # --spatial and --tensor compose: the spatial steps keep 'model' as an
     # auto (GSPMD) axis inside their shard_map, so TP-sharded weights flow
-    # through (docs/SCALING.md)
-    if n % (spatial * tensor):
-        raise ValueError(f"--spatial {spatial} x --tensor {tensor} does not divide {n} devices")
-    mesh = create_mesh(MeshSpec(data=n // (spatial * tensor), model=tensor, spatial=spatial),
+    # through (docs/SCALING.md). --pipeline composes with the data axis only.
+    if stage > 1 and (spatial > 1 or tensor > 1):
+        raise ValueError("--pipeline composes with the data axis only "
+                         "(not --spatial/--tensor); see docs/SCALING.md")
+    if n % (spatial * tensor * stage):
+        raise ValueError(f"--spatial {spatial} x --tensor {tensor} x --pipeline {stage} "
+                         f"does not divide {n} devices")
+    mesh = create_mesh(MeshSpec(data=n // (spatial * tensor * stage), model=tensor,
+                                spatial=spatial, stage=stage),
                        devices=devices[:n])
-    logging.info("mesh: %d data x %d tensor x %d spatial over %s",
-                 n // (spatial * tensor), tensor, spatial, devices[0].platform)
+    logging.info("mesh: %d data x %d tensor x %d spatial x %d stage over %s",
+                 n // (spatial * tensor * stage), tensor, spatial, stage,
+                 devices[0].platform)
     return args, mesh
 
 

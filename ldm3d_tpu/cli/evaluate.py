@@ -57,6 +57,9 @@ def main(argv=None):
                         help="report path (default: <model_dir>/evaluation_report.json)")
     args = parser.parse_args(argv)
     args, mesh = setup(args)
+    if mesh.shape.get("stage", 1) > 1:
+        raise ValueError("--pipeline is a training-time axis; sampling scales via "
+                         "the data axis (and --spatial for oversize volumes)")
     dt = model_dtype(args)
     ctx = TrainContext(args)
     rng = jax.random.PRNGKey(env_seed(args))

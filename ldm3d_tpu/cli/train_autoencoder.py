@@ -90,6 +90,10 @@ def main(argv=None):
     parser = build_parser("TPU VAE-GAN training (stage 1)")
     args = parser.parse_args(argv)
     args, mesh = setup(args)
+    if mesh.shape.get("stage", 1) > 1:
+        raise ValueError("--pipeline applies to stage 2 (the UNet's uniform mid_depth "
+                         "stack); the VAE-GAN has no uniform stack to pipeline — use "
+                         "--spatial/--tensor/--fsdp for stage 1 (docs/SCALING.md)")
     dt = model_dtype(args)
     world = mesh.shape["data"]
     train_cfg = args.autoencoder_train

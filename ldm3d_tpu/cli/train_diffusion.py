@@ -166,7 +166,31 @@ def main(argv=None):
         u_state = shard_train_state_zero(u_state, mesh)
         log.info("ZeRO-1: optimizer state sharded over %d data-parallel devices",
                  mesh.shape["data"])
-    if mesh.shape.get("spatial", 1) > 1:
+    if mesh.shape.get("stage", 1) > 1:
+        # dp x pp: the UNet's uniform mid_depth bottleneck stack runs as a
+        # GPipe microbatch schedule over the 'stage' axis (docs/SCALING.md)
+        from ldm3d_tpu.parallel import shard_train_state_pp
+        from ldm3d_tpu.training.stage2 import make_stage2_train_step_pp
+
+        if args.cache_latents or getattr(args, "fsdp", False) or getattr(args, "zero", False):
+            raise ValueError("--pipeline composes with the data axis only "
+                             "(not --cache-latents/--fsdp/--zero)")
+        per_replica = train_cfg["batch_size"]
+        num_mb = args.pipeline_microbatches or per_replica
+        if per_replica % num_mb:
+            raise ValueError(f"--pipeline-microbatches {num_mb} does not divide the "
+                             f"per-replica batch {per_replica}")
+        u_state = shard_train_state_pp(u_state, mesh)
+        train_step = make_stage2_train_step_pp(unet, ae, scheduler, s2cfg, mesh,
+                                               num_microbatches=num_mb)
+        eval_step = make_stage2_eval_step(unet, ae, scheduler, s2cfg)
+        log.info("pipeline parallel: mid_depth=%d stack over %d stages, %d microbatches "
+                 "(bubble %.0f%%)", unet.mid_depth, mesh.shape["stage"], num_mb,
+                 100.0 * (mesh.shape["stage"] - 1) / (num_mb + mesh.shape["stage"] - 1))
+
+        def place_batch(b):
+            return shard_batch(mesh, b)
+    elif mesh.shape.get("spatial", 1) > 1:
         # dp x sp: volume depth sharded over the spatial axis (docs/SCALING.md)
         from ldm3d_tpu.parallel import validate_spatial_divisibility
         from ldm3d_tpu.training.stage2 import make_stage2_train_step_spatial

@@ -25,6 +25,13 @@ from ldm3d_tpu.parallel.fsdp import (
     fsdp_sharding_tree,
     shard_train_state_fsdp,
 )
+from ldm3d_tpu.parallel.pipeline import (
+    STAGE_AXIS,
+    pipeline_apply,
+    pp_sharding_tree,
+    shard_train_state_pp,
+    split_microbatches,
+)
 from ldm3d_tpu.parallel.spatial import (
     SPATIAL_AXIS,
     halo_exchange,
@@ -60,4 +67,9 @@ __all__ = [
     "global_batch",
     "init_multihost",
     "is_multihost",
+    "STAGE_AXIS",
+    "pipeline_apply",
+    "pp_sharding_tree",
+    "shard_train_state_pp",
+    "split_microbatches",
 ]

@@ -34,24 +34,27 @@ class MeshSpec:
     data: int = -1  # -1: all remaining devices
     model: int = 1
     spatial: int = 1  # depth-sharding (context-parallel) axis, see parallel/spatial.py
+    stage: int = 1  # pipeline-parallel axis, see parallel/pipeline.py
 
-    def resolve(self, n_devices: int) -> tuple[int, int, int]:
+    def resolve(self, n_devices: int) -> tuple[int, int, int, int]:
         model = max(1, self.model)
         spatial = max(1, self.spatial)
-        data = self.data if self.data > 0 else n_devices // (model * spatial)
-        if data * model * spatial != n_devices:
-            raise ValueError(f"mesh {data}x{model}x{spatial} does not tile {n_devices} devices")
-        return data, model, spatial
+        stage = max(1, self.stage)
+        data = self.data if self.data > 0 else n_devices // (model * spatial * stage)
+        if data * model * spatial * stage != n_devices:
+            raise ValueError(
+                f"mesh {data}x{model}x{spatial}x{stage} does not tile {n_devices} devices")
+        return data, model, spatial, stage
 
 
 def create_mesh(spec: MeshSpec | None = None, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     spec = spec or MeshSpec()
-    data, model, spatial = spec.resolve(len(devices))
-    # spatial is the innermost (fastest-varying) axis so depth-neighbor
-    # ppermutes ride adjacent ICI links
-    arr = np.asarray(devices).reshape(data, model, spatial)
-    return Mesh(arr, axis_names=("data", "model", "spatial"))
+    data, model, spatial, stage = spec.resolve(len(devices))
+    # spatial/stage are the innermost (fastest-varying) axes so depth-neighbor
+    # halo exchanges and stage-neighbor pipeline hops ride adjacent ICI links
+    arr = np.asarray(devices).reshape(data, model, spatial, stage)
+    return Mesh(arr, axis_names=("data", "model", "spatial", "stage"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

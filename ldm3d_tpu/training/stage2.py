@@ -37,6 +37,7 @@ __all__ = [
     "make_stage2_train_step",
     "make_stage2_train_step_latents",
     "make_stage2_train_step_spatial",
+    "make_stage2_train_step_pp",
     "make_stage2_eval_step",
     "make_stage2_eval_step_spatial",
 ]
@@ -303,6 +304,121 @@ def make_stage2_train_step_spatial(unet, ae, scheduler, cfg: Stage2Config, mesh)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, ae_params, batch, scale_factor, rng):
+        loss, grads = grad_fn(state.params, ae_params, batch, scale_factor, rng)
+        state = state.apply_gradients(grads)
+        return state, {"diffusion_loss": loss, "grad_norm": optax.global_norm(grads)}
+
+    return train_step
+
+
+def make_stage2_train_step_pp(unet, ae, scheduler, cfg: Stage2Config, mesh,
+                              num_microbatches: int):
+    """LDM train step with the UNet's uniform bottleneck stack PIPELINED over
+    the mesh's ``stage`` axis (dp x pp composition).
+
+    Requires ``unet.mid_depth > 0`` with ``mid_depth % n_stages == 0`` (the
+    stack was built by ``nn.scan``, so its params carry the leading layer axis
+    :mod:`ldm3d_tpu.parallel.pipeline` shards). Layout: batch on ``data``;
+    each data row's S stage devices cooperate on the SAME data shard — the
+    shallow down/up paths run stage-replicated, the deep mid stack runs as a
+    GPipe schedule over ``num_microbatches`` microbatches
+    (:func:`ldm3d_tpu.parallel.pipeline.pipeline_spmd`). Gradients: psum over
+    ``data`` for the stack (each stage owns its layers), psum over
+    ``data + stage`` for the replicated remainder; the loss is divided by the
+    stage count so the double psum yields the exact global mean — grad parity
+    with the unsharded step is pinned in ``tests/test_pipeline.py``.
+
+    RNG discipline mirrors the spatial step: every key folds in only the data
+    index, so a row's stage devices draw identical posteriors/noise/timesteps.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ldm3d_tpu.nn.diffusion_unet import MidBlock3D
+    from ldm3d_tpu.parallel.compat import shard_map_compat as _shard_map
+    from ldm3d_tpu.parallel.pipeline import (
+        STAGE_AXIS,
+        chunked_stage_fn,
+        merge_microbatches,
+        pipeline_spmd,
+        split_microbatches,
+    )
+
+    n_stages = mesh.shape[STAGE_AXIS]
+    n_data = mesh.shape["data"]
+    if unet.mid_depth <= 0 or unet.mid_depth % n_stages != 0:
+        raise ValueError(
+            f"pipeline training needs mid_depth > 0 divisible by the stage axis "
+            f"({n_stages}); got mid_depth={unet.mid_depth}")
+
+    mid_block = MidBlock3D(
+        out_channels=unet.channels[-1], num_head_channels=unet.num_head_channels[-1],
+        num_groups=unet.norm_num_groups, norm_eps=unet.norm_eps, dtype=unet.dtype)
+    stage_fn = chunked_stage_fn(
+        lambda p, h, temb: mid_block.apply({"params": p}, h, temb)[0])
+
+    def encode(ae_params, x, rng):
+        return ae.apply({"params": ae_params}, x, method="encode_stage_2_inputs",
+                        rngs={"sample": rng})
+
+    def local_loss(params, ae_params, batch, scale_factor, rng):
+        di = jax.lax.axis_index("data")
+        rng_vol = jax.random.fold_in(rng, di)  # identical across a row's stages
+        rng_zl, rng_zi, rng_n, rng_t, rng_cd = jax.random.split(rng_vol, 5)
+        images, labels = batch["image"], batch["label"]
+        if cfg.clamp_inputs:
+            images = jnp.clip(images, 0.0, 1.0)
+            labels = jnp.clip(labels, 0.0, 1.0)
+        z_labels = jax.lax.stop_gradient(encode(ae_params, labels, rng_zl)) * scale_factor
+        condition = None
+        if cfg.conditional:
+            condition = jax.lax.stop_gradient(encode(ae_params, images, rng_zi))
+            if cfg.cond_dropout > 0:
+                condition = _drop_condition(condition, rng_cd, cfg.cond_dropout)
+        noise = jax.random.normal(rng_n, z_labels.shape, dtype=jnp.float32).astype(z_labels.dtype)
+        b = z_labels.shape[0]
+        timesteps = jax.random.randint(rng_t, (b,), 0, scheduler.num_train_timesteps)
+        model_in = inferer.noise_prediction_inputs(scheduler, z_labels, noise, timesteps, condition)
+
+        # staged UNet forward: replicated ends, pipelined bottleneck
+        apply = lambda method, *a: unet.apply({"params": params}, *a, method=method)
+        temb = apply("time_embedding", timesteps)
+        h, skips = apply("down", model_in, temb)
+        h = apply("mid_entry", h, temb)
+        h_mb = split_microbatches(h, num_microbatches)
+        temb_mb = split_microbatches(temb, num_microbatches)
+        h = merge_microbatches(pipeline_spmd(
+            stage_fn, params["mid_stack"], h_mb, temb_mb, n_stages=n_stages))
+        h = apply("mid_exit", h, temb)
+        pred = apply("up", h, skips, temb)
+
+        target = inferer.training_targets(scheduler, z_labels, noise, timesteps)
+        # local sum / (global elements * n_stages): the stage axis REPLICATES
+        # the row's loss, so the psum over (data, stage) of this is the exact
+        # global mean (see builder docstring)
+        global_count = pred.size * n_data * n_stages
+        return _stage2_mse(pred, target, timesteps, scheduler, cfg, reduce="sum") / global_count
+
+    def sharded_grads(params, ae_params, batch, scale_factor, rng):
+        loss, grads = jax.value_and_grad(local_loss)(params, ae_params, batch, scale_factor, rng)
+        loss = jax.lax.psum(loss, ("data", STAGE_AXIS))
+        out = {}
+        for k, v in grads.items():
+            axes = ("data",) if k == "mid_stack" else ("data", STAGE_AXIS)
+            out[k] = jax.tree_util.tree_map(lambda a: jax.lax.psum(a, axes), v)
+        return loss, out
+
+    def _param_specs(params):
+        return {k: (P(STAGE_AXIS) if k == "mid_stack" else P()) for k in params}
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, ae_params, batch, scale_factor, rng):
+        pspec = _param_specs(state.params)
+        grad_fn = _shard_map(
+            sharded_grads, mesh=mesh,
+            in_specs=(pspec, P(), P("data"), P(), P()),
+            out_specs=(P(), pspec),
+            check_vma=False,
+        )
         loss, grads = grad_fn(state.params, ae_params, batch, scale_factor, rng)
         state = state.apply_gradients(grads)
         return state, {"diffusion_loss": loss, "grad_norm": optax.global_norm(grads)}
