@@ -164,6 +164,10 @@ def main(argv=None):
                         help="classifier-free guidance scale (1.0 = off; train with --cond-dropout)")
     parser.add_argument("--use-ema", action="store_true",
                         help="sample with the EMA UNet weights (requires --ema-decay at train time)")
+    parser.add_argument("--use-distilled", action="store_true",
+                        help="sample the progressively-distilled student (cli.distill) on its "
+                             "few-step grid — overrides --sampler/--steps with the GridDDIM "
+                             "schedule stored in the 'distilled' checkpoint metadata")
     parser.add_argument("--fused-decode", action="store_true",
                         help="compile reverse loop + VAE decode as ONE XLA program "
                              "(one dispatch per batch; needs a compile service without "
@@ -175,6 +179,9 @@ def main(argv=None):
                              "overlap the next batch's reverse scan")
     args = parser.parse_args(argv)
     args, mesh = setup(args)
+    if mesh.shape.get("stage", 1) > 1:
+        raise ValueError("--pipeline is a training-time axis; sampling scales via "
+                         "the data axis (and --spatial for oversize volumes)")
     dt = model_dtype(args)
     ctx = TrainContext(args)
     rng = jax.random.PRNGKey(env_seed(args))
@@ -184,10 +191,37 @@ def main(argv=None):
     # models + checkpoints + scheduler (shared with cli.evaluate) --------------
     from ldm3d_tpu.cli.common import load_two_stage, make_sampling_scheduler
 
+    if args.use_distilled and args.use_ema:
+        raise ValueError("--use-distilled and --use-ema are mutually exclusive roles")
     ae, ae_params, unet, u_params, latent_shape, scale_factor = load_two_stage(
         args, mesh, dt, rng, use_ema=args.use_ema)
-    scheduler = make_sampling_scheduler(args.sampler, args.steps, ctx.scheduler_config(),
-                                        timestep_spacing=getattr(args, "timestep_spacing", None))
+    if args.use_distilled:
+        from ldm3d_tpu.ckpt import CheckpointManager, StageArtifacts
+        from ldm3d_tpu.diffusion import GridDDIMScheduler
+        from ldm3d_tpu.parallel import replicated_sharding
+
+        u_ckpt = CheckpointManager(args.model_dir, StageArtifacts.DIFFUSION)
+        if not u_ckpt.exists("distilled"):
+            raise FileNotFoundError("no 'distilled' checkpoint found; run "
+                                    "python -m ldm3d_tpu.cli.distill first")
+        u_params = u_ckpt.restore_params("distilled", u_params,
+                                         sharding=replicated_sharding(mesh))
+        dmeta = u_ckpt.load_meta("distilled")
+        sc = ctx.scheduler_config()
+        scheduler = GridDDIMScheduler.create(
+            timesteps=dmeta["timesteps"],
+            num_train_timesteps=sc["num_train_timesteps"],
+            schedule=sc.get("schedule", "scaled_linear_beta"),
+            beta_start=sc["beta_start"], beta_end=sc["beta_end"],
+            prediction_type=dmeta.get("prediction_type", sc["prediction_type"]))
+        scale_factor = float(dmeta.get("scale_factor", scale_factor))
+        if args.steps is not None or args.sampler != "ddpm":
+            log.info("--use-distilled overrides --sampler/--steps")
+        log.info("distilled sampler: %d steps on grid %s",
+                 len(dmeta["timesteps"]), dmeta["timesteps"])
+    else:
+        scheduler = make_sampling_scheduler(args.sampler, args.steps, ctx.scheduler_config(),
+                                            timestep_spacing=getattr(args, "timestep_spacing", None))
 
     conditional = unet.in_channels > ae.latent_channels
     condition = None

@@ -1,4 +1,13 @@
-from ldm3d_tpu.diffusion.schedulers import DDIMScheduler, DDPMScheduler, DPMSolverPPScheduler, make_betas, make_timestep_grid
+from ldm3d_tpu.diffusion.schedulers import (
+    DDIMScheduler,
+    DDPMScheduler,
+    DPMSolverPPScheduler,
+    GridDDIMScheduler,
+    distillation_grid,
+    make_betas,
+    make_timestep_grid,
+)
 from ldm3d_tpu.diffusion import inferer
 
-__all__ = ["DDPMScheduler", "DDIMScheduler", "DPMSolverPPScheduler", "make_betas", "make_timestep_grid", "inferer"]
+__all__ = ["DDPMScheduler", "DDIMScheduler", "DPMSolverPPScheduler", "GridDDIMScheduler",
+           "distillation_grid", "make_betas", "make_timestep_grid", "inferer"]

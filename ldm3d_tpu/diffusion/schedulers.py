@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-__all__ = ["DDPMScheduler", "DDIMScheduler", "DPMSolverPPScheduler", "make_betas", "make_timestep_grid"]
+__all__ = ["DDPMScheduler", "DDIMScheduler", "DPMSolverPPScheduler", "GridDDIMScheduler",
+           "make_betas", "make_timestep_grid", "distillation_grid"]
 
 Schedule = Literal["linear_beta", "scaled_linear_beta", "cosine"]
 Prediction = Literal["epsilon", "sample", "v_prediction"]
@@ -293,6 +294,116 @@ class DDIMScheduler:
         if self.eta > 0:
             z = jax.random.normal(rng, x_t.shape, dtype=jnp.float32)
             sample = sample + jnp.where(t_prev >= 0, sigma, 0.0) * z
+        return sample.astype(x_t.dtype)
+
+
+def distillation_grid(num_train_timesteps: int, n: int):
+    """N+1 descending boundary timesteps for an N-step distillation/sampling
+    grid: ``round(linspace(T-1, 0, N+1))``.
+
+    The visited timesteps are ``grid[:-1]``; the final jump goes to the
+    TERMINAL state (alpha_bar = 1, x collapses onto the predicted x0), so
+    ``grid[-1]`` is only a boundary marker. The linspace form is self-similar
+    under halving — ``distillation_grid(T, n)[::2] == distillation_grid(T,
+    n//2)`` — which is exactly the alignment progressive distillation needs
+    (each student step spans two consecutive teacher steps), and it supports
+    ANY n <= T, unlike stride grids which need divisibility.
+    """
+    import numpy as np
+
+    if not (1 <= n <= num_train_timesteps):
+        raise ValueError(f"grid steps must be in [1, {num_train_timesteps}], got {n}")
+    b = np.round(np.linspace(num_train_timesteps - 1, 0, n + 1)).astype(np.int32)
+    if len(np.unique(b)) != n + 1:
+        raise ValueError(f"{n}-step grid over {num_train_timesteps} timesteps "
+                         f"has duplicate entries; reduce the step count")
+    return b
+
+
+@struct.dataclass
+class GridDDIMScheduler:
+    """Deterministic DDIM over an EXPLICIT descending timestep grid.
+
+    Built for sampling progressively-distilled students
+    (:mod:`ldm3d_tpu.training.distill`), whose few-step grids
+    (``distillation_grid``) are not uniform strides — but general: any
+    strictly-descending timestep sequence works (e.g. Karras-style spacings).
+    The final step jumps to the terminal state (alpha_bar = 1). Compatible
+    with ``inferer.sample_latents``'s plain scheduler path: the successor
+    alpha_bar is looked up from a precomputed per-timestep table, so ``step``
+    keeps the ``(model_output, t, x_t, rng)`` signature.
+    """
+
+    betas: jnp.ndarray
+    alphas_cumprod: jnp.ndarray
+    grid: jnp.ndarray  # (N,) visited timesteps, descending
+    next_abar: jnp.ndarray  # (T,) alpha_bar of the successor state at each visited t
+    num_train_timesteps: int = struct.field(pytree_node=False, default=1000)
+    prediction_type: str = struct.field(pytree_node=False, default="epsilon")
+    clip_sample: bool = struct.field(pytree_node=False, default=True)
+    clip_range: float = struct.field(pytree_node=False, default=1.0)
+
+    @classmethod
+    def create(
+        cls,
+        timesteps,
+        num_train_timesteps: int = 1000,
+        schedule: str = "scaled_linear_beta",
+        beta_start: float = 0.0015,
+        beta_end: float = 0.0195,
+        prediction_type: str = "epsilon",
+        clip_sample: bool = True,
+        clip_range: float = 1.0,
+    ) -> "GridDDIMScheduler":
+        import numpy as np
+
+        ts = np.asarray(timesteps, dtype=np.int32)
+        if ts.ndim != 1 or len(ts) < 1:
+            raise ValueError("timesteps must be a 1-D sequence")
+        if np.any(np.diff(ts) >= 0):
+            raise ValueError("timesteps must be strictly descending")
+        if ts[0] >= num_train_timesteps or ts[-1] < 0:
+            raise ValueError(f"timesteps out of range [0, {num_train_timesteps})")
+        betas = make_betas(num_train_timesteps, schedule, beta_start, beta_end)
+        abar = jnp.cumprod(1.0 - betas)
+        # successor state per visited timestep; the last visited t -> terminal
+        succ = np.ones((num_train_timesteps,), np.float32)
+        abar_np = np.asarray(abar)
+        succ[ts[:-1]] = abar_np[ts[1:]]
+        return cls(
+            betas=betas,
+            alphas_cumprod=abar,
+            grid=jnp.asarray(ts),
+            next_abar=jnp.asarray(succ),
+            num_train_timesteps=num_train_timesteps,
+            prediction_type=prediction_type,
+            clip_sample=clip_sample,
+            clip_range=clip_range,
+        )
+
+    @property
+    def num_inference_steps(self) -> int:
+        return int(self.grid.shape[0])
+
+    @property
+    def timesteps(self) -> jnp.ndarray:
+        return self.grid
+
+    def add_noise(self, x0: jax.Array, noise: jax.Array, t: jax.Array) -> jax.Array:
+        sqrt_a, sqrt_1ma = _noise_coeffs(self.alphas_cumprod, t, x0)
+        return sqrt_a * x0 + sqrt_1ma * noise
+
+    def step(self, model_output: jax.Array, t: jax.Array, x_t: jax.Array, rng: jax.Array) -> jax.Array:
+        del rng  # deterministic (eta = 0)
+        x32 = x_t.astype(jnp.float32)
+        pred = model_output.astype(jnp.float32)
+        a_t = jnp.take(self.alphas_cumprod, t)
+        a_prev = jnp.take(self.next_abar, t)
+        x0, eps = _pred_x0_and_eps(pred, x32, a_t, self.prediction_type)
+        if self.clip_sample:
+            x0 = jnp.clip(x0, -self.clip_range, self.clip_range)
+            eps = (x32 - jnp.sqrt(a_t) * x0) / jnp.sqrt(1.0 - a_t)
+        sample = jnp.sqrt(a_prev) * x0 + jnp.sqrt(jnp.clip(1.0 - a_prev, 0.0)) * eps
         return sample.astype(x_t.dtype)
 
 

@@ -135,8 +135,8 @@ class Api:
         from ldm3d_tpu.cli.common import SAMPLERS
 
         sampler = body.get("sampler")
-        if sampler is not None and sampler not in SAMPLERS:
-            return 422, {"error": f"sampler must be one of {'|'.join(SAMPLERS)}"}
+        if sampler is not None and sampler not in SAMPLERS + ("distilled",):
+            return 422, {"error": f"sampler must be one of {'|'.join(SAMPLERS)}|distilled"}
         # optional low-count conditioning volume for concat-conditional
         # models: {"condition": {"data": <base64 float32>, "shape": [D,H,W]}}
         condition_volume = None
@@ -350,7 +350,9 @@ def main(argv=None):
     p.add_argument("-e", "--environment-file", default=None)
     from ldm3d_tpu.cli.common import SAMPLERS
 
-    p.add_argument("--sampler", choices=SAMPLERS, default="ddim")
+    p.add_argument("--sampler", choices=SAMPLERS + ("distilled",), default="ddim",
+                   help="'distilled' serves the progressively-distilled student "
+                        "(cli.distill) on its few-step GridDDIM schedule")
     p.add_argument("--steps", type=int, default=None,
                    help="inference steps (default: 50 for ddim/dpm, full schedule for "
                         "ddpm; an explicit value subsamples ddpm MONAI set_timesteps-style)")

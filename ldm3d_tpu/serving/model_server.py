@@ -211,6 +211,27 @@ class ModelServer:
         cond_ch = unet.in_channels - ae.latent_channels
         sched_cfg = ctx.scheduler_config()
         self._sched_cfg = sched_cfg  # per-request sampler overrides need it
+        distilled_sched = None
+        if self.sampler == "distilled":
+            # serve the progressively-distilled student (cli.distill): its
+            # weights + few-step GridDDIM schedule from the 'distilled' role
+            from ldm3d_tpu.diffusion import GridDDIMScheduler
+
+            if not u_ckpt.exists("distilled"):
+                raise FileNotFoundError("no 'distilled' checkpoint found; run "
+                                        "ldm3d-distill first")
+            u_params = u_ckpt.restore_params("distilled", u_vars["params"])
+            dmeta = u_ckpt.load_meta("distilled")
+            scale_factor = float(dmeta.get("scale_factor", scale_factor))
+            distilled_sched = GridDDIMScheduler.create(
+                timesteps=dmeta["timesteps"],
+                num_train_timesteps=sched_cfg["num_train_timesteps"],
+                schedule=sched_cfg.get("schedule", "scaled_linear_beta"),
+                beta_start=sched_cfg["beta_start"], beta_end=sched_cfg["beta_end"],
+                prediction_type=dmeta.get("prediction_type", sched_cfg["prediction_type"]))
+            self.steps = int(dmeta["num_steps"])
+            log.info("serving distilled student: %d-step grid %s",
+                     self.steps, dmeta["timesteps"])
         if self.steps is None:
             self.steps = default_sampler_steps(self.sampler, sched_cfg)
 
@@ -251,7 +272,8 @@ class ModelServer:
                 return encode_fn_sp(params, x, rng_key)
 
             def build_run(sampler_name: str, steps: int, guidance: float):
-                scheduler = make_sampling_scheduler(sampler_name, steps, sched_cfg)
+                scheduler = (distilled_sched if sampler_name == "distilled"
+                             else make_sampling_scheduler(sampler_name, steps, sched_cfg))
                 sampler = make_spatial_sampler(unet, ae, scheduler, mesh,
                                                scale_factor=scale_factor,
                                                guidance_scale=guidance)
@@ -281,7 +303,8 @@ class ModelServer:
                          self.batch, n_shards)
 
             def build_run(sampler_name: str, steps: int, guidance: float):
-                scheduler = make_sampling_scheduler(sampler_name, steps, sched_cfg)
+                scheduler = (distilled_sched if sampler_name == "distilled"
+                             else make_sampling_scheduler(sampler_name, steps, sched_cfg))
 
                 # scan as its own compiled program, params as explicit jit
                 # args (closing over weights would inline them as constants)
@@ -463,7 +486,20 @@ class ModelServer:
             raise ValueError(f"output_format must be base64|nii, got {output_format!r}")
         from ldm3d_tpu.cli.common import SAMPLERS
 
-        if sampler is not None and sampler not in SAMPLERS:
+        if self.sampler == "distilled" and not self.is_dummy:
+            # the distilled student's weights and few-step grid are a unit:
+            # other samplers/step counts would run foreign grids on distilled
+            # weights — reject instead of silently degrading
+            if sampler not in (None, "distilled"):
+                raise ValueError("server is running the distilled student; "
+                                 "per-request sampler overrides are unavailable")
+            if inference_steps is not None and int(inference_steps) != self.steps:
+                raise ValueError(f"the distilled student has a fixed "
+                                 f"{self.steps}-step grid")
+        elif sampler == "distilled":
+            raise ValueError("start the server with sampler='distilled' to serve "
+                             "the distilled student")
+        elif sampler is not None and sampler not in SAMPLERS:
             raise ValueError(f"sampler must be one of {'|'.join(SAMPLERS)}, got {sampler!r}")
         sampler_name = sampler if sampler is not None else self.sampler
         if inference_steps is not None:

@@ -7,6 +7,11 @@ from ldm3d_tpu.training.stage1 import (
     make_stage1_eval_step,
     make_stage1_train_step,
 )
+from ldm3d_tpu.training.distill import (
+    DistillConfig,
+    make_distillation_step,
+    student_timesteps,
+)
 from ldm3d_tpu.training.stage2 import (
     Stage2Config,
     compute_scale_factor,
@@ -31,4 +36,7 @@ __all__ = [
     "make_stage2_train_step",
     "make_stage2_train_step_latents",
     "make_stage2_eval_step",
+    "DistillConfig",
+    "make_distillation_step",
+    "student_timesteps",
 ]
