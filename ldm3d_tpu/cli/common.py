@@ -253,6 +253,32 @@ def load_two_stage(args, mesh, dt, rng, use_ema: bool = False):
     return ae, ae_params, unet, u_params, latent_shape, scale_factor
 
 
+def load_distilled(model_dir, template_params, sched_cfg: dict, sharding=None):
+    """Restore the progressively-distilled student (``cli.distill``) and its
+    few-step GridDDIM schedule from the 'distilled' checkpoint role.
+
+    The ONE place that knows the distilled-checkpoint meta contract
+    (timesteps / prediction_type / scale_factor) — the inference CLI and the
+    model server both load through here. Returns ``(params, scheduler,
+    meta)``; read ``meta['scale_factor']`` for the latent scale."""
+    from ldm3d_tpu.ckpt import CheckpointManager, StageArtifacts
+    from ldm3d_tpu.diffusion import GridDDIMScheduler
+
+    u_ckpt = CheckpointManager(model_dir, StageArtifacts.DIFFUSION)
+    if not u_ckpt.exists("distilled"):
+        raise FileNotFoundError("no 'distilled' checkpoint found; run "
+                                "ldm3d-distill first")
+    params = u_ckpt.restore_params("distilled", template_params, sharding=sharding)
+    meta = u_ckpt.load_meta("distilled")
+    scheduler = GridDDIMScheduler.create(
+        timesteps=meta["timesteps"],
+        num_train_timesteps=sched_cfg["num_train_timesteps"],
+        schedule=sched_cfg.get("schedule", "scaled_linear_beta"),
+        beta_start=sched_cfg["beta_start"], beta_end=sched_cfg["beta_end"],
+        prediction_type=meta.get("prediction_type", sched_cfg["prediction_type"]))
+    return params, scheduler, meta
+
+
 # the one sampler-name registry: CLIs, serving validation, and the
 # dispatcher below all share it (a new sampler is added HERE plus one
 # branch in make_sampling_scheduler)

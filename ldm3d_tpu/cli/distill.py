@@ -70,6 +70,9 @@ def main(argv=None):
                              "v_prediction is better behaved at very few steps")
     parser.add_argument("--unconditional", action="store_true",
                         help="distill without concat conditioning")
+    parser.add_argument("--use-ema", action="store_true",
+                        help="distill from the EMA teacher weights (what --use-ema serves "
+                             "at inference; requires --ema-decay at stage-2 train time)")
     args = parser.parse_args(argv)
     args, mesh = setup(args)
     if mesh.shape.get("stage", 1) > 1 or mesh.shape.get("spatial", 1) > 1 \
@@ -96,7 +99,9 @@ def main(argv=None):
         size_divisible=size_divisible)
 
     # trained artifacts: frozen VAE + teacher UNet + its scale factor
-    ae, ae_params, unet, teacher_params, _, scale_factor = load_two_stage(args, mesh, dt, rng)
+    # (--use-ema distills the weights the user actually serves)
+    ae, ae_params, unet, teacher_params, _, scale_factor = load_two_stage(
+        args, mesh, dt, rng, use_ema=args.use_ema)
 
     sched_cfg = ctx.scheduler_config()
     scheduler = DDPMScheduler.create(
@@ -132,6 +137,7 @@ def main(argv=None):
             t0, seen, losses = time.time(), 0, []
             epoch = 0
             while seen < args.steps_per_round:
+                seen_before = seen
                 for batch in train_loader.epoch(epoch):
                     if seen >= args.steps_per_round:
                         break
@@ -139,9 +145,16 @@ def main(argv=None):
                     rng, srng = jax.random.split(rng)
                     student, metrics = step(student, teacher_params, ae_params, sb,
                                             jnp.float32(scale_factor), srng)
-                    losses.append(float(metrics["distill_loss"]))
+                    # keep the loss LAZY: a float() here would block host
+                    # dispatch on every step (async-dispatch overlap lost)
+                    losses.append(metrics["distill_loss"])
                     seen += 1
+                if seen == seen_before:
+                    raise RuntimeError(
+                        "train loader yielded no batches this epoch — dataset "
+                        "smaller than the global batch? (would loop forever)")
                 epoch += 1
+            losses = [float(np.asarray(x)) for x in losses]
             losses_final = float(np.mean(losses[-10:])) if losses else float("nan")
             log.info("round %d: %d-step teacher -> %d-step student, %d steps, "
                      "loss %.5f -> %.5f (%.1fs)", r, n_teacher, n_teacher // 2,
@@ -158,6 +171,7 @@ def main(argv=None):
             "rounds": int(args.rounds),
             "scale_factor": float(scale_factor),
             "prediction_type": args.student_prediction or scheduler.prediction_type,
+            "teacher_role": "ema" if args.use_ema else "best",
             "final_loss": losses_final,
         })
     log.info("saved %d-step distilled sampler (grid %s) to %s",

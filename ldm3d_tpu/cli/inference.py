@@ -196,24 +196,17 @@ def main(argv=None):
     ae, ae_params, unet, u_params, latent_shape, scale_factor = load_two_stage(
         args, mesh, dt, rng, use_ema=args.use_ema)
     if args.use_distilled:
-        from ldm3d_tpu.ckpt import CheckpointManager, StageArtifacts
-        from ldm3d_tpu.diffusion import GridDDIMScheduler
+        from ldm3d_tpu.cli.common import load_distilled
         from ldm3d_tpu.parallel import replicated_sharding
 
-        u_ckpt = CheckpointManager(args.model_dir, StageArtifacts.DIFFUSION)
-        if not u_ckpt.exists("distilled"):
-            raise FileNotFoundError("no 'distilled' checkpoint found; run "
-                                    "python -m ldm3d_tpu.cli.distill first")
-        u_params = u_ckpt.restore_params("distilled", u_params,
-                                         sharding=replicated_sharding(mesh))
-        dmeta = u_ckpt.load_meta("distilled")
-        sc = ctx.scheduler_config()
-        scheduler = GridDDIMScheduler.create(
-            timesteps=dmeta["timesteps"],
-            num_train_timesteps=sc["num_train_timesteps"],
-            schedule=sc.get("schedule", "scaled_linear_beta"),
-            beta_start=sc["beta_start"], beta_end=sc["beta_end"],
-            prediction_type=dmeta.get("prediction_type", sc["prediction_type"]))
+        if args.guidance != 1.0:
+            # the student was distilled from the UNGUIDED teacher: its
+            # weights and grid are a unit (same rule the server enforces)
+            raise ValueError("--guidance is unavailable with --use-distilled: "
+                             "the student was distilled without guidance")
+        u_params, scheduler, dmeta = load_distilled(
+            args.model_dir, u_params, ctx.scheduler_config(),
+            sharding=replicated_sharding(mesh))
         scale_factor = float(dmeta.get("scale_factor", scale_factor))
         if args.steps is not None or args.sampler != "ddpm":
             log.info("--use-distilled overrides --sampler/--steps")

@@ -204,10 +204,23 @@ def pp_sharding_tree(params, mesh: Mesh, stack_key: str = "mid_stack"):
 
 
 def shard_train_state_pp(state, mesh: Mesh, stack_key: str = "mid_stack"):
-    """Place a TrainState for pipeline training: the uniform stack's params
-    AND optimizer moments live sharded over ``stage`` (1/S per device);
-    everything else replicated. Compose after this with FSDP/TP placement of
-    the non-stack leaves if desired."""
+    """Place a TrainState for pipeline training: the uniform stack's params,
+    optimizer moments, AND the EMA copy (when enabled) live sharded over
+    ``stage`` (1/S per device); everything else replicated. A constraint hook
+    pins the EMA layout through ``apply_gradients`` — without it the
+    elementwise ``d*ema + (1-d)*params`` could propagate back to replicated,
+    a full per-device stack copy, exactly the memory the 1/S split exists to
+    save (same hazard the FSDP path pins, parallel/fsdp.py)."""
     place = lambda tree: jax.tree_util.tree_map(
         jax.device_put, tree, pp_sharding_tree(tree, mesh, stack_key))
-    return state.replace(params=place(state.params), opt_state=place(state.opt_state))
+    ema = state.ema_params
+    constrain_ema = None
+    if ema is not None:
+        ema_sh = pp_sharding_tree(ema, mesh, stack_key)
+        ema = jax.tree_util.tree_map(jax.device_put, ema, ema_sh)
+
+        def constrain_ema(new_ema, ema_sh=ema_sh):
+            return jax.lax.with_sharding_constraint(new_ema, ema_sh)
+
+    return state.replace(params=place(state.params), opt_state=place(state.opt_state),
+                         ema_params=ema, constrain_ema=constrain_ema)

@@ -215,20 +215,12 @@ class ModelServer:
         if self.sampler == "distilled":
             # serve the progressively-distilled student (cli.distill): its
             # weights + few-step GridDDIM schedule from the 'distilled' role
-            from ldm3d_tpu.diffusion import GridDDIMScheduler
+            # (cli.common.load_distilled owns the checkpoint-meta contract)
+            from ldm3d_tpu.cli.common import load_distilled
 
-            if not u_ckpt.exists("distilled"):
-                raise FileNotFoundError("no 'distilled' checkpoint found; run "
-                                        "ldm3d-distill first")
-            u_params = u_ckpt.restore_params("distilled", u_vars["params"])
-            dmeta = u_ckpt.load_meta("distilled")
+            u_params, distilled_sched, dmeta = load_distilled(
+                args.model_dir, u_vars["params"], sched_cfg)
             scale_factor = float(dmeta.get("scale_factor", scale_factor))
-            distilled_sched = GridDDIMScheduler.create(
-                timesteps=dmeta["timesteps"],
-                num_train_timesteps=sched_cfg["num_train_timesteps"],
-                schedule=sched_cfg.get("schedule", "scaled_linear_beta"),
-                beta_start=sched_cfg["beta_start"], beta_end=sched_cfg["beta_end"],
-                prediction_type=dmeta.get("prediction_type", sched_cfg["prediction_type"]))
             self.steps = int(dmeta["num_steps"])
             log.info("serving distilled student: %d-step grid %s",
                      self.steps, dmeta["timesteps"])
@@ -496,6 +488,9 @@ class ModelServer:
             if inference_steps is not None and int(inference_steps) != self.steps:
                 raise ValueError(f"the distilled student has a fixed "
                                  f"{self.steps}-step grid")
+            if guidance_scale is not None and float(guidance_scale) != 1.0:
+                raise ValueError("guidance is unavailable on the distilled "
+                                 "student (it was distilled without guidance)")
         elif sampler == "distilled":
             raise ValueError("start the server with sampler='distilled' to serve "
                              "the distilled student")

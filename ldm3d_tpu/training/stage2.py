@@ -350,7 +350,14 @@ def make_stage2_train_step_pp(unet, ae, scheduler, cfg: Stage2Config, mesh,
             f"pipeline training needs mid_depth > 0 divisible by the stage axis "
             f"({n_stages}); got mid_depth={unet.mid_depth}")
 
-    mid_block = MidBlock3D(
+    # honor the model's remat contract for exactly the deep stack PP targets
+    # (the UNet's own mid_stack_apply remats MidBlock3D when unet.remat —
+    # without this the pipelined bottleneck stores every tick's activations
+    # for all microbatches, defeating --remat at the sizes it exists for)
+    from flax import linen as nn
+
+    Mid = nn.remat(MidBlock3D) if unet.remat else MidBlock3D
+    mid_block = Mid(
         out_channels=unet.channels[-1], num_head_channels=unet.num_head_channels[-1],
         num_groups=unet.norm_num_groups, norm_eps=unet.norm_eps, dtype=unet.dtype)
     stage_fn = chunked_stage_fn(

@@ -154,6 +154,11 @@ def test_cli_distill_then_sample(distilled_setup):
     assert meta["num_steps"] == 2 and len(meta["timesteps"]) == 2
     np.testing.assert_array_equal(meta["timesteps"], student_timesteps(16, 4))
 
+    # CFG is rejected on the distilled student (distilled unguided)
+    with pytest.raises(ValueError, match="guidance"):
+        infer_main(["-c", cfg, "-e", env, "-n", "1", "--batch", "1",
+                    "--use-distilled", "--guidance", "3.0"])
+
     written = infer_main(["-c", cfg, "-e", env, "-n", "1", "--batch", "1",
                           "--use-distilled"])
     assert len(written) == 1
@@ -188,6 +193,9 @@ def test_serving_distilled_student(distilled_setup):
         srv.generate(1, seed=0, sampler="ddim")
     with pytest.raises(ValueError, match="fixed"):
         srv.generate(1, seed=0, inference_steps=50)
+    # the student was distilled WITHOUT guidance: weights + grid are a unit
+    with pytest.raises(ValueError, match="guidance"):
+        srv.generate(1, seed=0, guidance_scale=7.5)
 
     # a standard server refuses a distilled per-request override (the
     # student's weights are not loaded there)

@@ -233,6 +233,50 @@ def test_stage2_pp_step_matches_reference(eight_devices):
         m.addressable_shards[0].data.shape[0] == 4 // n_stage for m in moment)
 
 
+def test_pp_state_shards_ema_and_remat_step_runs(eight_devices):
+    """--pipeline with --ema-decay keeps the stack's EMA sharded 1/S through
+    a remat'd train step (the fsdp-style constrain_ema hazard, found in
+    review: propagation could hand back a replicated full-size EMA)."""
+    from ldm3d_tpu.diffusion import DDPMScheduler
+    from ldm3d_tpu.training import (
+        Stage2Config,
+        TrainState,
+        build_lr_schedule,
+        make_diffusion_optimizer,
+    )
+    from ldm3d_tpu.training.stage2 import make_stage2_train_step_pp
+
+    n_stage = 4
+    mesh = create_mesh(MeshSpec(data=2, stage=n_stage), devices=eight_devices)
+    cfg = load_json(preset_path("config_tiny_cpu.json"))
+    r = ConfigResolver(cfg)
+    ae = r.instantiate("autoencoder_def")
+    unet = r.instantiate("diffusion_def").clone(mid_depth=4, remat=True)
+    sched = DDPMScheduler.create(num_train_timesteps=16)
+
+    vol = (4, 16, 16, 16, 1)
+    x = jax.random.uniform(RNG, vol, jnp.float32)
+    ae_vars = ae.init({"params": RNG, "sample": RNG}, x[:1])
+    latent = tuple(s // ae.downsample_factor for s in vol[1:4])
+    u_params = unet.init(RNG, jnp.zeros((1, *latent, unet.in_channels)),
+                         jnp.zeros((1,), jnp.int32))["params"]
+    state = TrainState.create(
+        unet.apply, u_params,
+        make_diffusion_optimizer(build_lr_schedule("multistep", 1e-3, 1, 1)),
+        ema_decay=0.99)
+
+    step = make_stage2_train_step_pp(unet, ae, sched, Stage2Config(), mesh,
+                                     num_microbatches=2)
+    with mesh:
+        state = shard_train_state_pp(state, mesh)
+        batch = shard_batch(mesh, {"image": x, "label": x})
+        state, metrics = step(state, ae_vars["params"], batch, jnp.float32(1.0),
+                              jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["diffusion_loss"]))
+    e = state.ema_params["mid_stack"]["res"]["conv1"]["kernel"]
+    assert e.addressable_shards[0].data.shape[0] == 4 // n_stage, e.sharding
+
+
 def test_pp_step_rejects_bad_mid_depth(eight_devices):
     from ldm3d_tpu.diffusion import DDPMScheduler
     from ldm3d_tpu.training import Stage2Config
