@@ -70,6 +70,11 @@ def main(argv=None):
                              "v_prediction is better behaved at very few steps")
     parser.add_argument("--unconditional", action="store_true",
                         help="distill without concat conditioning")
+    parser.add_argument("--guidance-distill", type=float, default=1.0,
+                        help="bake classifier-free guidance at this weight into the student "
+                             "(guidance distillation, first round only): the sampled student "
+                             "then produces w-guided volumes with ONE UNet pass per step. "
+                             "Requires a conditional model trained with --cond-dropout")
     parser.add_argument("--use-ema", action="store_true",
                         help="distill from the EMA teacher weights (what --use-ema serves "
                              "at inference; requires --ema-decay at stage-2 train time)")
@@ -129,6 +134,9 @@ def main(argv=None):
                 teacher_steps=n_teacher,
                 conditional=not args.unconditional,
                 student_prediction_type=args.student_prediction,
+                # guided teacher on the FIRST round only: later rounds
+                # distill the already-guided student at 1.0
+                guidance_scale=args.guidance_distill if r == 0 else 1.0,
             )
             step = make_distillation_step(unet, ae, teacher_sched, cfg)
             student = TrainState.create(
@@ -172,6 +180,7 @@ def main(argv=None):
             "scale_factor": float(scale_factor),
             "prediction_type": args.student_prediction or scheduler.prediction_type,
             "teacher_role": "ema" if args.use_ema else "best",
+            "guidance_scale": float(args.guidance_distill),
             "final_loss": losses_final,
         })
     log.info("saved %d-step distilled sampler (grid %s) to %s",

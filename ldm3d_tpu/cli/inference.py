@@ -199,14 +199,17 @@ def main(argv=None):
         from ldm3d_tpu.cli.common import load_distilled
         from ldm3d_tpu.parallel import replicated_sharding
 
-        if args.guidance != 1.0:
-            # the student was distilled from the UNGUIDED teacher: its
-            # weights and grid are a unit (same rule the server enforces)
-            raise ValueError("--guidance is unavailable with --use-distilled: "
-                             "the student was distilled without guidance")
         u_params, scheduler, dmeta = load_distilled(
             args.model_dir, u_params, ctx.scheduler_config(),
             sharding=replicated_sharding(mesh))
+        if args.guidance != 1.0:
+            # the student's guidance level is fixed at distillation time
+            # (1.0, or --guidance-distill's baked weight) — same rule the
+            # server enforces
+            raise ValueError(
+                f"--guidance is unavailable with --use-distilled: the student "
+                f"bakes guidance w={float(dmeta.get('guidance_scale', 1.0))} in "
+                f"(re-run ldm3d-distill --guidance-distill to change it)")
         scale_factor = float(dmeta.get("scale_factor", scale_factor))
         if args.steps is not None or args.sampler != "ddpm":
             log.info("--use-distilled overrides --sampler/--steps")

@@ -490,7 +490,9 @@ class ModelServer:
                                  f"{self.steps}-step grid")
             if guidance_scale is not None and float(guidance_scale) != 1.0:
                 raise ValueError("guidance is unavailable on the distilled "
-                                 "student (it was distilled without guidance)")
+                                 "student: its guidance level was fixed at "
+                                 "distillation time (ldm3d-distill "
+                                 "--guidance-distill bakes a weight in)")
         elif sampler == "distilled":
             raise ValueError("start the server with sampler='distilled' to serve "
                              "the distilled student")

@@ -55,10 +55,20 @@ class DistillConfig:
     # scheduler). Few-step students are better behaved with "v_prediction"
     # (epsilon-parameterized x0 blows up as alpha -> 0 at high noise).
     student_prediction_type: str | None = None
+    # guidance distillation (Meng et al. 2023, "On Distillation of Guided
+    # Diffusion Models", fixed-w variant): the teacher's predictions run
+    # classifier-free guidance at this weight, so the student BAKES the
+    # guided distribution in — one UNet pass at sampling time where the
+    # guided teacher needed two per step. Needs `conditional`; apply on the
+    # FIRST halving round only (later rounds distill the already-guided
+    # student at 1.0).
+    guidance_scale: float = 1.0
 
     def __post_init__(self):
         if self.teacher_steps < 2 or self.teacher_steps % 2:
             raise ValueError(f"teacher_steps must be even and >= 2, got {self.teacher_steps}")
+        if self.guidance_scale != 1.0 and not self.conditional:
+            raise ValueError("guidance distillation needs a conditional model")
 
 
 def student_timesteps(num_train_timesteps: int, teacher_steps: int) -> np.ndarray:
@@ -132,9 +142,21 @@ def make_distillation_step(unet, ae, scheduler, cfg: DistillConfig):
 
         def teacher_pred(z, tt):
             zin = z.astype(unet.dtype)
-            if condition is not None:
-                zin = jnp.concatenate([zin, condition.astype(zin.dtype)], axis=-1)
-            return unet.apply({"params": teacher_params}, zin, tt).astype(jnp.float32)
+            if condition is None:
+                return unet.apply({"params": teacher_params}, zin, tt).astype(jnp.float32)
+            cond_in = jnp.concatenate([zin, condition.astype(zin.dtype)], axis=-1)
+            if cfg.guidance_scale == 1.0:
+                return unet.apply({"params": teacher_params}, cond_in, tt).astype(jnp.float32)
+            # guidance distillation: the teacher IS the guided model —
+            # batched CFG (one 2B call, like inferer.sample_latents)
+            b = zin.shape[0]
+            uncond_in = jnp.concatenate(
+                [zin, jnp.zeros_like(condition).astype(zin.dtype)], axis=-1)
+            both = unet.apply({"params": teacher_params},
+                              jnp.concatenate([cond_in, uncond_in], axis=0),
+                              jnp.concatenate([tt, tt], axis=0)).astype(jnp.float32)
+            pc, pu = both[:b], both[b:]
+            return pu + cfg.guidance_scale * (pc - pu)
 
         # teacher: two DDIM jumps t -> mid -> end on the fine grid
         x0_1, eps_1 = _pred_x0_and_eps(teacher_pred(x_t, t), x_t, a_t, teacher_pt)

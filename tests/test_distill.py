@@ -122,6 +122,48 @@ def test_distill_config_validation():
         DistillConfig(teacher_steps=5)
     with pytest.raises(ValueError, match="even"):
         DistillConfig(teacher_steps=0)
+    with pytest.raises(ValueError, match="conditional"):
+        DistillConfig(teacher_steps=4, conditional=False, guidance_scale=3.0)
+
+
+def test_guidance_distillation_runs_and_differs():
+    """guidance_scale routes the teacher through batched CFG: the distilled
+    target (and hence the loss) must differ from unguided distillation, and
+    the step stays finite."""
+    from ldm3d_tpu.configs import ConfigResolver, load_json, preset_path
+    from ldm3d_tpu.training import TrainState, make_diffusion_optimizer
+
+    cfg = load_json(preset_path("config_tiny_cpu.json"))
+    r = ConfigResolver(cfg)
+    ae = r.instantiate("autoencoder_def")
+    unet = r.instantiate("diffusion_def")
+    sched = DDPMScheduler.create(num_train_timesteps=16)
+
+    vol = (2, 16, 16, 16, 1)
+    x = jax.random.uniform(RNG, vol, jnp.float32)
+    batch = {"image": x, "label": x}
+    ae_vars = ae.init({"params": RNG, "sample": RNG}, x[:1])
+    latent = tuple(s // ae.downsample_factor for s in vol[1:4])
+    teacher = unet.init(RNG, jnp.zeros((1, *latent, unet.in_channels)),
+                        jnp.zeros((1,), jnp.int32))["params"]
+    # perturb away from init: the zero-initialized output conv makes a fresh
+    # UNet output exactly 0, where CFG is trivially a no-op
+    teacher = jax.tree_util.tree_map(
+        lambda a: a + 0.05 * jnp.sin(jnp.arange(a.size, dtype=jnp.float32)).reshape(a.shape),
+        teacher)
+
+    def one_loss(gw):
+        step = make_distillation_step(
+            unet, ae, sched, DistillConfig(teacher_steps=4, guidance_scale=gw))
+        state = TrainState.create(unet.apply, jax.tree_util.tree_map(jnp.array, teacher),
+                                  make_diffusion_optimizer(lambda _: 1e-3))
+        _, m = step(state, teacher, ae_vars["params"], batch, jnp.float32(1.0),
+                    jax.random.PRNGKey(5))
+        return float(m["distill_loss"])
+
+    unguided, guided = one_loss(1.0), one_loss(3.0)
+    assert np.isfinite(unguided) and np.isfinite(guided)
+    assert abs(unguided - guided) > 1e-6, (unguided, guided)
 
 
 @pytest.fixture(scope="module")
