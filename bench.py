@@ -299,6 +299,34 @@ def run_bench(models, BATCH: int):
     except Exception as e:  # noqa: BLE001 — secondary metric only
         _progress(f"dpm20 secondary skipped ({type(e).__name__})")
 
+    # secondary: 4-step GridDDIM sampling — the throughput a progressively-
+    # distilled student (cli.distill) runs at; the sampler's cost is weight-
+    # independent, so this measures the distillation capability's speed
+    # envelope on real hardware. Failures never affect the headline.
+    distilled4_vols_per_sec = None
+    try:
+        from ldm3d_tpu.diffusion import GridDDIMScheduler
+        from ldm3d_tpu.training.distill import student_timesteps
+
+        grid4 = GridDDIMScheduler.create(
+            timesteps=student_timesteps(DDPM_STEPS, 8),
+            num_train_timesteps=DDPM_STEPS)
+
+        @jax.jit
+        def scan_grid4(params, noise, r, c):
+            def unet_apply(z, t):
+                return unet.apply({"params": params}, z, t)
+            return inferer.sample_latents(unet_apply, grid4, noise, r, condition=c)
+
+        warm = decode_all(scan_grid4(u_params, noise, rng, condition))
+        assert np.isfinite(warm.astype(np.float32)).all(), "non-finite grid sample"
+        t0 = time.perf_counter()
+        decode_all(scan_grid4(u_params, noise, jax.random.PRNGKey(101), condition))
+        distilled4_vols_per_sec = BATCH / (time.perf_counter() - t0)
+        _progress(f"distilled 4-step secondary: {distilled4_vols_per_sec:.3f} volumes/sec/chip")
+    except Exception as e:  # noqa: BLE001 — secondary metric only
+        _progress(f"distilled 4-step secondary skipped ({type(e).__name__})")
+
     # secondary: stage-2 training throughput (cached-latents + remat, the
     # recommended single-chip training config — docs/PERFORMANCE.md); failures
     # here never affect the headline
@@ -424,6 +452,8 @@ def run_bench(models, BATCH: int):
         "ddpm1000_python_loop_seconds_per_volume": round(baseline_time / BATCH, 3),
         "dpm20_volumes_per_sec_chip": (round(dpm20_vols_per_sec, 4)
                                        if dpm20_vols_per_sec else None),
+        "distilled_4step_volumes_per_sec_chip": (round(distilled4_vols_per_sec, 4)
+                                                 if distilled4_vols_per_sec else None),
         "stage2_train_volumes_per_sec_chip": (round(train_vols_per_sec, 4)
                                               if train_vols_per_sec else None),
         "stage1_train_volumes_per_sec_chip": (round(s1_train_vols_per_sec, 4)

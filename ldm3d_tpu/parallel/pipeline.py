@@ -30,7 +30,7 @@ S-way split rides DCN-friendly point-to-point hops instead of all-gathers.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

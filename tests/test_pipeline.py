@@ -277,6 +277,34 @@ def test_pp_state_shards_ema_and_remat_step_runs(eight_devices):
     assert e.addressable_shards[0].data.shape[0] == 4 // n_stage, e.sharding
 
 
+def test_cli_train_diffusion_pipeline(tmp_path):
+    """End-to-end --pipeline run through the stage-2 trainer CLI: mid_depth
+    config, dp x pp mesh, sharded-state checkpointing, resume template —
+    the full integration the unit tests can't see."""
+    import json
+
+    from scaffolds import make_two_stage_checkpoints, write_env_json
+
+    from ldm3d_tpu.ckpt import CheckpointManager, StageArtifacts
+    from ldm3d_tpu.cli.train_diffusion import main as train_main
+    from ldm3d_tpu.configs import load_json, preset_path
+
+    _, model_dir = make_two_stage_checkpoints(tmp_path)
+    cfg = load_json(preset_path("config_tiny_cpu.json"))
+    cfg["diffusion_def"]["mid_depth"] = 2
+    cfg["diffusion_train"]["max_epochs"] = 1
+    cfg_path = tmp_path / "config_pp.json"
+    cfg_path.write_text(json.dumps(cfg))
+    env = write_env_json(tmp_path / "env.json", model_dir, tmp_path,
+                         synthetic_data=True, synthetic_num=16, seed=5)
+
+    best = train_main(["-c", str(cfg_path), "-e", env, "-g", "8",
+                       "--pipeline", "2", "--no-images", "--max-epochs", "1"])
+    assert np.isfinite(best)
+    ckpt = CheckpointManager(model_dir, StageArtifacts.DIFFUSION)
+    assert ckpt.exists("best") and ckpt.exists("last")
+
+
 def test_pp_step_rejects_bad_mid_depth(eight_devices):
     from ldm3d_tpu.diffusion import DDPMScheduler
     from ldm3d_tpu.training import Stage2Config
