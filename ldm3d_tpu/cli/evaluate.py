@@ -49,6 +49,10 @@ def main(argv=None):
     parser.add_argument("--guidance", type=float, default=1.0,
                         help="classifier-free guidance scale (1.0 = off)")
     parser.add_argument("--use-ema", action="store_true", help="evaluate the EMA UNet weights")
+    parser.add_argument("--use-distilled", action="store_true",
+                        help="evaluate the progressively-distilled student on its few-step "
+                             "grid (cli.distill) — quantifies the distillation quality trade "
+                             "with the same gate metrics")
     parser.add_argument("--threshold", type=float, default=0.8,
                         help="composite-score gate (reference CI uses 0.8)")
     parser.add_argument("--gate", action="store_true",
@@ -69,10 +73,27 @@ def main(argv=None):
     # models + checkpoints + scheduler (shared with cli.inference) ------------
     from ldm3d_tpu.cli.common import load_two_stage, make_sampling_scheduler
 
+    if args.use_distilled and args.use_ema:
+        raise ValueError("--use-distilled and --use-ema are mutually exclusive roles")
     ae, ae_params, unet, u_params, latent_shape, scale_factor = load_two_stage(
         args, mesh, dt, rng, use_ema=args.use_ema)
-    scheduler = make_sampling_scheduler(args.sampler, args.steps, ctx.scheduler_config(),
-                                        timestep_spacing=getattr(args, "timestep_spacing", None))
+    if args.use_distilled:
+        from ldm3d_tpu.cli.common import load_distilled
+        from ldm3d_tpu.parallel import replicated_sharding
+
+        u_params, scheduler, dmeta = load_distilled(
+            args.model_dir, u_params, ctx.scheduler_config(),
+            sharding=replicated_sharding(mesh))
+        scale_factor = float(dmeta.get("scale_factor", scale_factor))
+        if args.guidance != 1.0:
+            raise ValueError(
+                f"--guidance is unavailable with --use-distilled: the student bakes "
+                f"guidance w={float(dmeta.get('guidance_scale', 1.0))} in")
+        log.info("evaluating distilled student: %d steps on grid %s",
+                 len(dmeta["timesteps"]), dmeta["timesteps"])
+    else:
+        scheduler = make_sampling_scheduler(args.sampler, args.steps, ctx.scheduler_config(),
+                                            timestep_spacing=getattr(args, "timestep_spacing", None))
 
     if mesh.shape.get("spatial", 1) > 1:
         # depth-sharded sampling + encoding, like cli.inference: the

@@ -79,7 +79,7 @@ def test_monai_dialect_instantiation():
 
 def test_presets_resolve():
     for name in ("config_train_32g.json", "config_train_16g.json", "config_train_stable.json",
-                 "config_train_multigpu.json", "config_tiny_cpu.json"):
+                 "config_train_multigpu.json", "config_tiny_cpu.json", "config_train_pp.json"):
         cfg = load_json(preset_path(name))
         r = ConfigResolver(cfg)
         ae = r.instantiate("autoencoder_def")
@@ -127,7 +127,7 @@ def test_merge_validation_catches_missing(tmp_path):
 def test_schema_accepts_all_presets():
     from ldm3d_tpu.configs.schema import validate_config
     for name in ("config_train_32g.json", "config_train_16g.json", "config_train_stable.json",
-                 "config_train_multigpu.json", "config_tiny_cpu.json"):
+                 "config_train_multigpu.json", "config_tiny_cpu.json", "config_train_pp.json"):
         validate_config(load_json(preset_path(name)), source=name)
 
 

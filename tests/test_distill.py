@@ -215,6 +215,23 @@ def test_cli_distill_then_sample(distilled_setup):
     assert vol.shape == (32, 32, 32) and np.isfinite(vol).all()
 
 
+def test_evaluate_distilled(distilled_setup, tmp_path):
+    """cli.evaluate --use-distilled scores the student on its grid with the
+    same gate metrics (quantifies the distillation quality trade)."""
+    from ldm3d_tpu.cli.evaluate import main as eval_main
+
+    cfg, env, _ = distilled_setup
+    report_path = tmp_path / "report_distilled.json"
+    report = eval_main(["-c", cfg, "-e", env, "-g", "1", "--use-distilled",
+                        "-n", "2", "--batch", "1", "--report", str(report_path)])
+    assert report_path.exists()
+    assert np.isfinite(report.score)
+
+    with pytest.raises(ValueError, match="guidance"):
+        eval_main(["-c", cfg, "-e", env, "-g", "1", "--use-distilled",
+                   "--guidance", "2.0", "-n", "1", "--batch", "1"])
+
+
 def test_serving_distilled_student(distilled_setup):
     """ModelServer(sampler='distilled') serves the student on its grid and
     rejects incompatible per-request overrides."""
