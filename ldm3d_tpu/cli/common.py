@@ -253,6 +253,18 @@ def load_two_stage(args, mesh, dt, rng, use_ema: bool = False):
     return ae, ae_params, unet, u_params, latent_shape, scale_factor
 
 
+def load_distilled_meta(model_dir) -> dict:
+    """The 'distilled' checkpoint's metadata alone — for cheap pre-restore
+    validation (e.g. rejecting --guidance before paying the params load)."""
+    from ldm3d_tpu.ckpt import CheckpointManager, StageArtifacts
+
+    u_ckpt = CheckpointManager(model_dir, StageArtifacts.DIFFUSION)
+    if not u_ckpt.exists("distilled"):
+        raise FileNotFoundError("no 'distilled' checkpoint found; run "
+                                "ldm3d-distill first")
+    return u_ckpt.load_meta("distilled")
+
+
 def load_distilled(model_dir, template_params, sched_cfg: dict, sharding=None):
     """Restore the progressively-distilled student (``cli.distill``) and its
     few-step GridDDIM schedule from the 'distilled' checkpoint role.

@@ -93,6 +93,11 @@ def main(argv=None):
     if args.teacher_steps % (1 << args.rounds):
         raise ValueError(f"--teacher-steps {args.teacher_steps} must be divisible by "
                          f"2^rounds = {1 << args.rounds}")
+    if args.unconditional and args.guidance_distill != 1.0:
+        # fail BEFORE checkpoint restore / dataloader setup, with the other
+        # argument contracts (DistillConfig would raise it rounds later)
+        raise ValueError("--guidance-distill needs a conditional model "
+                         "(incompatible with --unconditional)")
 
     # data: same pairs/crops as stage 2 (conditions must match training)
     size_divisible = 2 ** (

@@ -78,17 +78,21 @@ def main(argv=None):
     ae, ae_params, unet, u_params, latent_shape, scale_factor = load_two_stage(
         args, mesh, dt, rng, use_ema=args.use_ema)
     if args.use_distilled:
-        from ldm3d_tpu.cli.common import load_distilled
+        from ldm3d_tpu.cli.common import load_distilled, load_distilled_meta
         from ldm3d_tpu.parallel import replicated_sharding
 
+        if args.guidance != 1.0:
+            # meta-only peek: fail BEFORE paying the params restore
+            baked = float(load_distilled_meta(args.model_dir).get("guidance_scale", 1.0))
+            raise ValueError(
+                f"--guidance is unavailable with --use-distilled: the student bakes "
+                f"guidance w={baked} in")
         u_params, scheduler, dmeta = load_distilled(
             args.model_dir, u_params, ctx.scheduler_config(),
             sharding=replicated_sharding(mesh))
         scale_factor = float(dmeta.get("scale_factor", scale_factor))
-        if args.guidance != 1.0:
-            raise ValueError(
-                f"--guidance is unavailable with --use-distilled: the student bakes "
-                f"guidance w={float(dmeta.get('guidance_scale', 1.0))} in")
+        if args.steps is not None or args.sampler != "ddim" or args.timestep_spacing:
+            log.info("--use-distilled overrides --sampler/--steps/--timestep-spacing")
         log.info("evaluating distilled student: %d steps on grid %s",
                  len(dmeta["timesteps"]), dmeta["timesteps"])
     else:

@@ -196,20 +196,21 @@ def main(argv=None):
     ae, ae_params, unet, u_params, latent_shape, scale_factor = load_two_stage(
         args, mesh, dt, rng, use_ema=args.use_ema)
     if args.use_distilled:
-        from ldm3d_tpu.cli.common import load_distilled
+        from ldm3d_tpu.cli.common import load_distilled, load_distilled_meta
         from ldm3d_tpu.parallel import replicated_sharding
 
-        u_params, scheduler, dmeta = load_distilled(
-            args.model_dir, u_params, ctx.scheduler_config(),
-            sharding=replicated_sharding(mesh))
         if args.guidance != 1.0:
             # the student's guidance level is fixed at distillation time
             # (1.0, or --guidance-distill's baked weight) — same rule the
-            # server enforces
+            # server enforces. Meta-only peek: fail BEFORE the params restore.
+            baked = float(load_distilled_meta(args.model_dir).get("guidance_scale", 1.0))
             raise ValueError(
                 f"--guidance is unavailable with --use-distilled: the student "
-                f"bakes guidance w={float(dmeta.get('guidance_scale', 1.0))} in "
+                f"bakes guidance w={baked} in "
                 f"(re-run ldm3d-distill --guidance-distill to change it)")
+        u_params, scheduler, dmeta = load_distilled(
+            args.model_dir, u_params, ctx.scheduler_config(),
+            sharding=replicated_sharding(mesh))
         scale_factor = float(dmeta.get("scale_factor", scale_factor))
         if args.steps is not None or args.sampler != "ddpm":
             log.info("--use-distilled overrides --sampler/--steps")

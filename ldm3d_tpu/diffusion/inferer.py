@@ -22,7 +22,37 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["noise_prediction_inputs", "training_targets", "sample_latents", "sample"]
+__all__ = ["noise_prediction_inputs", "training_targets", "guided_model_pred",
+           "sample_latents", "sample"]
+
+
+def guided_model_pred(
+    unet_apply: "Callable[[jax.Array, jax.Array], jax.Array]",
+    x: jax.Array,
+    t_b: jax.Array,
+    condition: "Optional[jax.Array]",
+    guidance_scale: float = 1.0,
+) -> jax.Array:
+    """Concat-conditioned model prediction with optional batched CFG.
+
+    The ONE owner of the conditioning/guidance convention (zero-latent null
+    condition; ``eps_u + w*(eps_c - eps_u)`` with the conditional and
+    unconditional branches as a single 2B-batch UNet call) — the sampler
+    below AND guidance distillation (:mod:`ldm3d_tpu.training.distill`) both
+    route through it, so a future change (e.g. a learned null embedding)
+    cannot silently diverge between sampling and distillation.
+    """
+    if condition is None:
+        return unet_apply(x, t_b)
+    cond_in = jnp.concatenate([x, condition.astype(x.dtype)], axis=-1)
+    if guidance_scale == 1.0:
+        return unet_apply(cond_in, t_b)
+    b = x.shape[0]
+    uncond_in = jnp.concatenate([x, jnp.zeros_like(condition).astype(x.dtype)], axis=-1)
+    both = unet_apply(jnp.concatenate([cond_in, uncond_in], axis=0),
+                      jnp.concatenate([t_b, t_b], axis=0))
+    pred, pred_u = both[:b], both[b:]
+    return pred_u + guidance_scale * (pred - pred_u)
 
 
 def noise_prediction_inputs(
@@ -74,22 +104,12 @@ def sample_latents(
     batch = noise.shape[0]
     timesteps = scheduler.timesteps
     step_rngs = jax.random.split(rng, timesteps.shape[0])
-    guided = condition is not None and guidance_scale != 1.0
 
     def model_pred(x, t_b):
-        if condition is None:
-            return unet_apply(x, t_b)
-        cond_in = jnp.concatenate([x, condition.astype(x.dtype)], axis=-1)
-        if not guided:
-            return unet_apply(cond_in, t_b)
-        # batched CFG: run the conditional and unconditional branches as ONE
+        # batched CFG: the conditional and unconditional branches run as ONE
         # 2B-batch UNet call (same FLOPs as two B calls, better MXU
         # utilization at the small batches typical of 96^3 volumes)
-        uncond_in = jnp.concatenate([x, jnp.zeros_like(condition).astype(x.dtype)], axis=-1)
-        both = unet_apply(jnp.concatenate([cond_in, uncond_in], axis=0),
-                          jnp.concatenate([t_b, t_b], axis=0))
-        pred, pred_u = both[:batch], both[batch:]
-        return pred_u + guidance_scale * (pred - pred_u)
+        return guided_model_pred(unet_apply, x, t_b, condition, guidance_scale)
 
     if getattr(scheduler, "multistep", False):
         # multistep (DPM-Solver++ 2M/3M): carry the last two x0 predictions

@@ -141,22 +141,16 @@ def make_distillation_step(unet, ae, scheduler, cfg: DistillConfig):
         x_t = jnp.sqrt(a_t) * z0 + jnp.sqrt(1.0 - a_t) * eps
 
         def teacher_pred(z, tt):
-            zin = z.astype(unet.dtype)
-            if condition is None:
-                return unet.apply({"params": teacher_params}, zin, tt).astype(jnp.float32)
-            cond_in = jnp.concatenate([zin, condition.astype(zin.dtype)], axis=-1)
-            if cfg.guidance_scale == 1.0:
-                return unet.apply({"params": teacher_params}, cond_in, tt).astype(jnp.float32)
-            # guidance distillation: the teacher IS the guided model —
-            # batched CFG (one 2B call, like inferer.sample_latents)
-            b = zin.shape[0]
-            uncond_in = jnp.concatenate(
-                [zin, jnp.zeros_like(condition).astype(zin.dtype)], axis=-1)
-            both = unet.apply({"params": teacher_params},
-                              jnp.concatenate([cond_in, uncond_in], axis=0),
-                              jnp.concatenate([tt, tt], axis=0)).astype(jnp.float32)
-            pc, pu = both[:b], both[b:]
-            return pu + cfg.guidance_scale * (pc - pu)
+            # guidance distillation: the teacher IS the guided model; the
+            # conditioning/CFG convention is owned by inferer.guided_model_pred
+            # so sampling and distillation can never silently diverge
+            from ldm3d_tpu.diffusion.inferer import guided_model_pred
+
+            def apply_fn(zz, t_):
+                return unet.apply({"params": teacher_params}, zz, t_)
+
+            return guided_model_pred(apply_fn, z.astype(unet.dtype), tt, condition,
+                                     cfg.guidance_scale).astype(jnp.float32)
 
         # teacher: two DDIM jumps t -> mid -> end on the fine grid
         x0_1, eps_1 = _pred_x0_and_eps(teacher_pred(x_t, t), x_t, a_t, teacher_pt)

@@ -302,7 +302,12 @@ def test_cli_train_diffusion_pipeline(tmp_path):
                        "--pipeline", "2", "--no-images", "--max-epochs", "1"])
     assert np.isfinite(best)
     ckpt = CheckpointManager(model_dir, StageArtifacts.DIFFUSION)
-    assert ckpt.exists("best") and ckpt.exists("last")
+    assert ckpt.exists("last")
+    # the scaffold pre-creates a 'best' with meta {scale_factor: 1.0} only —
+    # assert the TRAINER's validation overwrote it (val_loss/epoch present),
+    # not just that a file exists (vacuous otherwise, found in review)
+    meta = ckpt.load_meta("best")
+    assert "val_loss" in meta and meta["val_loss"] == best, meta
 
 
 def test_pp_step_rejects_bad_mid_depth(eight_devices):
