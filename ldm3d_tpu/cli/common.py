@@ -307,23 +307,38 @@ def make_sampling_scheduler(name: str, steps: int | None, sched_cfg: dict,
     honored by every sampler — for ddpm by subsampling the schedule exactly
     like MONAI's ``DDPMScheduler.set_timesteps`` (strided ancestral steps).
     ``timestep_spacing`` overrides the config's ``NoiseScheduler`` value
-    (the ``--timestep-spacing`` CLI flag)."""
-    from ldm3d_tpu.diffusion import DDIMScheduler, DDPMScheduler, DPMSolverPPScheduler
+    (the ``--timestep-spacing`` CLI flag). ``"karras"`` spacing (EDM
+    sigma-spaced grids) is available on ddim (via an explicit-grid DDIM) and
+    dpm/dpm3; the ancestral ddpm sampler's strided posterior math assumes a
+    uniform grid, so it rejects karras."""
+    from ldm3d_tpu.diffusion import (DDIMScheduler, DDPMScheduler, DPMSolverPPScheduler,
+                                     GridDDIMScheduler, karras_timestep_grid)
 
+    spacing = timestep_spacing or sched_cfg.get("timestep_spacing", "leading")
     common = dict(num_train_timesteps=sched_cfg["num_train_timesteps"],
                   schedule=sched_cfg.get("schedule", "scaled_linear_beta"),
                   beta_start=sched_cfg["beta_start"],
                   beta_end=sched_cfg["beta_end"], prediction_type=sched_cfg["prediction_type"],
-                  timestep_spacing=(timestep_spacing
-                                    or sched_cfg.get("timestep_spacing", "leading")))
+                  timestep_spacing=spacing)
     if steps is None:
         steps = default_sampler_steps(name, sched_cfg)
     if name in ("dpm", "dpm3"):
         return DPMSolverPPScheduler.create(
             num_inference_steps=steps, solver_order=3 if name == "dpm3" else 2, **common)
     if name == "ddim":
+        if spacing == "karras":
+            grid = karras_timestep_grid(
+                common["num_train_timesteps"], steps, common["schedule"],
+                common["beta_start"], common["beta_end"])
+            return GridDDIMScheduler.create(
+                grid, num_train_timesteps=common["num_train_timesteps"],
+                schedule=common["schedule"], beta_start=common["beta_start"],
+                beta_end=common["beta_end"], prediction_type=common["prediction_type"])
         return DDIMScheduler.create(num_inference_steps=steps, **common)
     if name == "ddpm":
+        if spacing == "karras":
+            raise ValueError("karras timestep_spacing is not available on the "
+                             "ancestral ddpm sampler; use ddim, dpm, or dpm3")
         n_train = sched_cfg["num_train_timesteps"]
         return DDPMScheduler.create(
             num_inference_steps=None if steps in (None, n_train) else steps, **common)

@@ -40,7 +40,7 @@ def main(argv=None):
     from ldm3d_tpu.cli.common import SAMPLERS
 
     parser.add_argument("--sampler", choices=SAMPLERS, default="ddim")
-    parser.add_argument("--timestep-spacing", choices=("leading", "trailing"), default=None,
+    parser.add_argument("--timestep-spacing", choices=("leading", "trailing", "karras"), default=None,
                         help="leading = MONAI parity (default); trailing covers the "
                              "highest-noise band on few-step grids")
     parser.add_argument("--steps", type=int, default=None,

@@ -148,7 +148,7 @@ def main(argv=None):
                         help="ddpm = full-loop reference parity; ddim = fast path; "
                              "dpm = DPM-Solver++ 2M (fewer steps at equal quality); "
                              "dpm3 = DPM-Solver++ 3M (third-order; use >=20 steps)")
-    parser.add_argument("--timestep-spacing", choices=("leading", "trailing"), default=None,
+    parser.add_argument("--timestep-spacing", choices=("leading", "trailing", "karras"), default=None,
                         help="inference timestep grid: leading = MONAI set_timesteps "
                              "parity (default); trailing anchors at t_max so few-step "
                              "grids cover the highest-noise band")

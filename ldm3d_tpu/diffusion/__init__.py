@@ -4,10 +4,12 @@ from ldm3d_tpu.diffusion.schedulers import (
     DPMSolverPPScheduler,
     GridDDIMScheduler,
     distillation_grid,
+    karras_timestep_grid,
     make_betas,
     make_timestep_grid,
 )
 from ldm3d_tpu.diffusion import inferer
 
 __all__ = ["DDPMScheduler", "DDIMScheduler", "DPMSolverPPScheduler", "GridDDIMScheduler",
-           "distillation_grid", "make_betas", "make_timestep_grid", "inferer"]
+           "distillation_grid", "karras_timestep_grid", "make_betas", "make_timestep_grid",
+           "inferer"]

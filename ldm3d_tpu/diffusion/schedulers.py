@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from flax import struct
 
 __all__ = ["DDPMScheduler", "DDIMScheduler", "DPMSolverPPScheduler", "GridDDIMScheduler",
-           "make_betas", "make_timestep_grid", "distillation_grid"]
+           "make_betas", "make_timestep_grid", "distillation_grid", "karras_timestep_grid"]
 
 Schedule = Literal["linear_beta", "scaled_linear_beta", "cosine"]
 Prediction = Literal["epsilon", "sample", "v_prediction"]
@@ -68,7 +68,52 @@ def make_timestep_grid(num_train_timesteps: int, n: int, spacing: str) -> jnp.nd
         return jnp.arange(n - 1, -1, -1, dtype=jnp.int32) * stride
     if spacing == "trailing":
         return (num_train_timesteps - 1) - jnp.arange(n, dtype=jnp.int32) * stride
-    raise ValueError(f"timestep_spacing must be 'leading' or 'trailing', got {spacing!r}")
+    raise ValueError(
+        f"timestep_spacing must be 'leading' or 'trailing', got {spacing!r}"
+        + (" ('karras' spacing is grid-based: available on the dpm/dpm3 "
+           "samplers and on ddim via make_sampling_scheduler/GridDDIMScheduler)"
+           if spacing == "karras" else ""))
+
+
+def karras_timestep_grid(
+    num_train_timesteps: int,
+    n: int,
+    schedule: str = "scaled_linear_beta",
+    beta_start: float = 0.0015,
+    beta_end: float = 0.0195,
+    rho: float = 7.0,
+):
+    """Descending timesteps whose noise levels follow the Karras et al. 2022
+    (EDM, arXiv:2206.00364) sigma spacing: sigma_i = (sigma_max^(1/rho) +
+    i/(n-1) * (sigma_min^(1/rho) - sigma_max^(1/rho)))^rho, mapped onto the
+    discrete VP schedule by nearest noise level sigma(t) = sqrt((1-abar_t)/
+    abar_t). rho=7 concentrates steps at LOW noise where discretization error
+    dominates sample detail. Anchored at both ends: grid[0] = T-1 (where the
+    initial N(0,1) sample lives — the property 'trailing' has and 'leading'
+    lacks) and grid[-1] = 0 (full denoise — the property 'leading' has and
+    'trailing' lacks). Raises when n is too large for the schedule to keep
+    the mapped timesteps distinct.
+    """
+    import numpy as np
+
+    if not (2 <= n <= num_train_timesteps):
+        raise ValueError(f"karras grid needs 2 <= steps <= {num_train_timesteps}, got {n}")
+    betas = np.asarray(make_betas(num_train_timesteps, schedule, beta_start, beta_end),
+                       np.float64)
+    abar = np.cumprod(1.0 - betas)
+    sig = np.sqrt((1.0 - abar) / abar)  # ascending in t
+    smin, smax = float(sig[0]), float(sig[-1])
+    frac = np.linspace(0.0, 1.0, n)
+    sigmas = (smax ** (1.0 / rho) + frac * (smin ** (1.0 / rho) - smax ** (1.0 / rho))) ** rho
+    # nearest discrete timestep per target sigma (sig is ascending)
+    hi = np.clip(np.searchsorted(sig, sigmas), 1, num_train_timesteps - 1)
+    ts = np.where(np.abs(sigmas - sig[hi - 1]) <= np.abs(sig[hi] - sigmas),
+                  hi - 1, hi).astype(np.int32)
+    if len(np.unique(ts)) != n:
+        raise ValueError(
+            f"{n}-step karras grid over {num_train_timesteps} timesteps maps "
+            f"multiple steps onto the same timestep; reduce the step count")
+    return ts
 
 
 def _check_trailing_divisible(num_train_timesteps: int, n: int, spacing: str) -> None:
@@ -446,6 +491,7 @@ class DPMSolverPPScheduler:
     c_d: jnp.ndarray
     c2: jnp.ndarray
     c3: jnp.ndarray
+    grid: jnp.ndarray  # (N,) visited timesteps, descending
     num_train_timesteps: int = struct.field(pytree_node=False, default=1000)
     num_inference_steps: int = struct.field(pytree_node=False, default=20)
     prediction_type: str = struct.field(pytree_node=False, default="epsilon")
@@ -477,7 +523,13 @@ class DPMSolverPPScheduler:
             raise ValueError(f"solver_order must be 2 or 3, got {solver_order}")
         betas = make_betas(num_train_timesteps, schedule, beta_start, beta_end)
         a_bar = jnp.cumprod(1.0 - betas)
-        ts = make_timestep_grid(num_train_timesteps, num_inference_steps, timestep_spacing)
+        if timestep_spacing == "karras":
+            # the per-step coefficients below derive from the grid's own
+            # lambda gaps (h_i), so non-uniform grids need no special casing
+            ts = jnp.asarray(karras_timestep_grid(
+                num_train_timesteps, num_inference_steps, schedule, beta_start, beta_end))
+        else:
+            ts = make_timestep_grid(num_train_timesteps, num_inference_steps, timestep_spacing)
         # grid of (alpha, sigma) at each visited state, plus the terminal x0 state
         a_grid = jnp.concatenate([jnp.take(a_bar, ts), jnp.ones((1,), jnp.float32)])
         alpha = jnp.sqrt(a_grid)
@@ -515,6 +567,7 @@ class DPMSolverPPScheduler:
             c_d=c_d,
             c2=c2,
             c3=c3,
+            grid=ts,
             num_train_timesteps=num_train_timesteps,
             num_inference_steps=num_inference_steps,
             prediction_type=prediction_type,
@@ -526,8 +579,7 @@ class DPMSolverPPScheduler:
 
     @property
     def timesteps(self) -> jnp.ndarray:
-        return make_timestep_grid(self.num_train_timesteps, self.num_inference_steps,
-                                  self.timestep_spacing)
+        return self.grid
 
     def add_noise(self, x0: jax.Array, noise: jax.Array, t: jax.Array) -> jax.Array:
         sqrt_a, sqrt_1ma = _noise_coeffs(self.alphas_cumprod, t, x0)

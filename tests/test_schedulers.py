@@ -1,5 +1,6 @@
 """Scheduler tests: closed-form checks + sampler-loop consistency."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -434,3 +435,92 @@ def test_trailing_non_divisible_rejected_for_ddim_ddpm_exact_for_dpm():
                  + np.sqrt(1 - a0) * jax.random.normal(jax.random.PRNGKey(1), x0_star.shape))
         out = inferer.sample_latents(exact_eps, sched, jnp.asarray(noise), rng)
         assert float(jnp.abs(out - x0_star).max()) < 1e-4, order
+
+
+def test_karras_grid_properties():
+    """karras grids anchor BOTH ends (t=T-1 where the initial N(0,1) sample
+    lives, and t=0 for the full denoise), descend strictly, concentrate steps
+    at low noise (rho=7), and reject step counts the discrete schedule cannot
+    keep distinct."""
+    from ldm3d_tpu.diffusion import karras_timestep_grid
+
+    g = np.asarray(karras_timestep_grid(1000, 10))
+    assert g[0] == 999 and g[-1] == 0
+    assert np.all(np.diff(g) < 0)
+    # low-noise concentration: gaps shrink toward t=0
+    gaps = -np.diff(g)
+    assert gaps[-1] < gaps[0]
+    with pytest.raises(ValueError, match="same timestep|karras grid needs"):
+        karras_timestep_grid(16, 16)  # tiny schedule cannot hold 16 distinct
+
+
+def test_karras_point_mass_exactness():
+    """Deterministic samplers on karras grids still collapse onto x0* under
+    the exact point-mass oracle — non-uniform grids are first-class in the
+    precomputed-coefficient design (h_i from the grid's own lambda gaps)."""
+    from ldm3d_tpu.cli.common import make_sampling_scheduler
+    from ldm3d_tpu.diffusion import GridDDIMScheduler, inferer
+
+    rng = jax.random.PRNGKey(0)
+    x0_star = jax.random.uniform(rng, (2, 4, 4, 4, 3), jnp.float32) * 0.8 - 0.4
+    sched_cfg = dict(num_train_timesteps=256, beta_start=0.0015, beta_end=0.0195,
+                     prediction_type="epsilon")
+    ddim = make_sampling_scheduler("ddim", 8, sched_cfg, timestep_spacing="karras")
+    assert isinstance(ddim, GridDDIMScheduler)
+    assert np.asarray(ddim.timesteps)[0] == 255
+    for sched in (ddim,
+                  make_sampling_scheduler("dpm", 8, sched_cfg, timestep_spacing="karras"),
+                  make_sampling_scheduler("dpm3", 8, sched_cfg, timestep_spacing="karras")):
+        a_bar = sched.alphas_cumprod
+
+        def exact_eps(x, t, a_bar=a_bar):
+            a = jnp.take(a_bar, t[0])
+            return (x - jnp.sqrt(a) * x0_star) / jnp.sqrt(1 - a)
+
+        t0 = int(np.asarray(sched.timesteps)[0])
+        a0 = float(a_bar[t0])
+        noise = (np.sqrt(a0) * x0_star
+                 + np.sqrt(1 - a0) * jax.random.normal(jax.random.PRNGKey(1), x0_star.shape))
+        out = inferer.sample_latents(exact_eps, sched, jnp.asarray(noise), rng)
+        assert float(jnp.abs(out - x0_star).max()) < 1e-4, type(sched).__name__
+
+    with pytest.raises(ValueError, match="karras"):
+        make_sampling_scheduler("ddpm", 8, sched_cfg, timestep_spacing="karras")
+
+
+def test_karras_gaussian_oracle_beats_uniform():
+    """Linear-Gaussian oracle (same construction as the dpm3 oracle test):
+    karras spacing must beat trailing — the fair comparison, both grids start
+    at t=999 so they integrate the SAME range — at every measured count, and
+    beat leading from 10 steps up (leading starts at ~t=800, integrating a
+    shorter range, its known flaw). Measured when written (2M max-err):
+    5 steps 0.255 karras vs 0.910 trailing; 10: 0.088 vs 0.518 (leading
+    0.342); 20: 0.047 vs 0.267 (0.280); 40: 0.0074 vs 0.130 (0.147)."""
+    from ldm3d_tpu.diffusion import DPMSolverPPScheduler, inferer
+
+    s_data = 0.5
+    x_init = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 4, 4, 3), jnp.float32)
+
+    def run(steps, spacing):
+        sched = DPMSolverPPScheduler.create(
+            num_inference_steps=steps, num_train_timesteps=1000,
+            solver_order=2, clip_sample=False, timestep_spacing=spacing)
+        a_bar = sched.alphas_cumprod
+
+        def oracle(x, t):
+            a = jnp.take(a_bar, t[0])
+            sig2 = 1.0 - a
+            return jnp.sqrt(sig2) * x / (a * s_data**2 + sig2)
+
+        t0 = int(np.asarray(sched.timesteps)[0])
+        a0 = float(a_bar[t0])
+        exact = np.asarray(x_init) * s_data / np.sqrt(a0 * s_data**2 + (1.0 - a0))
+        out = inferer.sample_latents(oracle, sched, x_init, jax.random.PRNGKey(3))
+        return float(np.max(np.abs(np.asarray(out) - exact)))
+
+    for steps in (5, 10, 20):
+        assert run(steps, "karras") < run(steps, "trailing"), steps
+    for steps in (10, 20, 40):
+        assert run(steps, "karras") < run(steps, "leading"), steps
+    # convergence in steps
+    assert run(40, "karras") < run(10, "karras")
