@@ -3,7 +3,8 @@
 Endpoints (parity with ``mlops/docker/api_server.py:296-390``):
   POST /generate      {"num_samples": N, "seed": S, "inference_steps": K,
                        "guidance_scale": W, "output_format": "base64"|"nii",
-                       "sampler": "ddpm"|"ddim"|"dpm"|"dpm3" (optional)}
+                       "sampler": "ddpm"|"ddim"|"dpm"|"dpm3" (optional),
+                       "timestep_spacing": "leading"|"trailing"|"karras" (optional)}
                       -> base64 volumes (raw float32 or NIfTI-1 bytes)
   GET  /health        liveness/readiness payload
   GET  /metrics       Prometheus text format
@@ -137,6 +138,9 @@ class Api:
         sampler = body.get("sampler")
         if sampler is not None and sampler not in SAMPLERS + ("distilled",):
             return 422, {"error": f"sampler must be one of {'|'.join(SAMPLERS)}|distilled"}
+        spacing = body.get("timestep_spacing")
+        if spacing is not None and spacing not in ("leading", "trailing", "karras"):
+            return 422, {"error": "timestep_spacing must be leading|trailing|karras"}
         # optional low-count conditioning volume for concat-conditional
         # models: {"condition": {"data": <base64 float32>, "shape": [D,H,W]}}
         condition_volume = None
@@ -157,7 +161,8 @@ class Api:
                                           inference_steps=steps,
                                           guidance_scale=guidance,
                                           output_format=output_format,
-                                          sampler=sampler)
+                                          sampler=sampler,
+                                          timestep_spacing=spacing)
         except ValueError as e:
             return 422, {"error": str(e)}
         except RuntimeError as e:

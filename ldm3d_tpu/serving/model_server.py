@@ -263,9 +263,11 @@ class ModelServer:
                     return encode_fn_sp(params, x, rng_key)[:b]
                 return encode_fn_sp(params, x, rng_key)
 
-            def build_run(sampler_name: str, steps: int, guidance: float):
+            def build_run(sampler_name: str, steps: int, guidance: float,
+                          spacing: "str | None" = None):
                 scheduler = (distilled_sched if sampler_name == "distilled"
-                             else make_sampling_scheduler(sampler_name, steps, sched_cfg))
+                             else make_sampling_scheduler(sampler_name, steps, sched_cfg,
+                                                          timestep_spacing=spacing))
                 sampler = make_spatial_sampler(unet, ae, scheduler, mesh,
                                                scale_factor=scale_factor,
                                                guidance_scale=guidance)
@@ -294,9 +296,11 @@ class ModelServer:
                 log.info("data-parallel sampling: batch %d sharded over %d chips",
                          self.batch, n_shards)
 
-            def build_run(sampler_name: str, steps: int, guidance: float):
+            def build_run(sampler_name: str, steps: int, guidance: float,
+                          spacing: "str | None" = None):
                 scheduler = (distilled_sched if sampler_name == "distilled"
-                             else make_sampling_scheduler(sampler_name, steps, sched_cfg))
+                             else make_sampling_scheduler(sampler_name, steps, sched_cfg,
+                                                          timestep_spacing=spacing))
 
                 # scan as its own compiled program, params as explicit jit
                 # args (closing over weights would inline them as constants)
@@ -333,7 +337,7 @@ class ModelServer:
         self._encode_condition = encode_condition
         self._build_run = build_run
         self._sampler_cache = {}
-        self._run = self._get_run(self.sampler, self.steps, 1.0)
+        self._run = self._get_run(self.sampler, self.steps, 1.0, None)
 
         # micro-batcher: merges concurrent single-volume requests into one
         # compiled batch-B call (serving/batcher.py). Only for deterministic
@@ -356,8 +360,9 @@ class ModelServer:
 
             self._batcher = DynamicBatcher(run_batched, self.batch, max_wait_ms=10.0)
 
-    def _get_run(self, sampler_name: str, steps: int, guidance: float):
-        """Compiled sampler for a (sampler, steps, guidance) combination.
+    def _get_run(self, sampler_name: str, steps: int, guidance: float,
+                 spacing: "str | None" = None):
+        """Compiled sampler for a (sampler, steps, guidance, spacing) combination.
 
         Per-request options (reference ``GenerationRequest.inference_steps``
         / ``guidance_scale``, ``mlops/docker/api_server.py:53-54``) would
@@ -371,8 +376,8 @@ class ModelServer:
         A placeholder entry with an event makes duplicate requests for the
         same new variant wait on the one in-flight compile instead of
         compiling twice."""
-        key = (sampler_name, int(steps), float(guidance))
-        default_key = (self.sampler, self.steps, 1.0)
+        key = (sampler_name, int(steps), float(guidance), spacing)
+        default_key = (self.sampler, self.steps, 1.0, None)
         with self._lock:
             entry = self._sampler_cache.get(key)
             if entry is not None and entry.fn is not None:
@@ -393,7 +398,7 @@ class ModelServer:
             return entry.fn
         log.info("compiling sampler variant %s", key)
         try:
-            fn = self._build_run(sampler_name, steps, guidance)
+            fn = self._build_run(sampler_name, steps, guidance, spacing)
         except BaseException as e:
             with self._lock:
                 self._sampler_cache.pop(key, None)
@@ -439,20 +444,22 @@ class ModelServer:
                  inference_steps: Optional[int] = None,
                  guidance_scale: Optional[float] = None,
                  output_format: str = "base64",
-                 sampler: Optional[str] = None) -> dict[str, Any]:
+                 sampler: Optional[str] = None,
+                 timestep_spacing: Optional[str] = None) -> dict[str, Any]:
         # shared read slot: a concurrent /model/reload waits for this request
         # to finish, and this request never sees a half-swapped pipeline
         with self._reload_gate.read():
             return self._generate(num_samples, seed, condition_volume,
                                   inference_steps, guidance_scale, output_format,
-                                  sampler)
+                                  sampler, timestep_spacing)
 
     def _generate(self, num_samples: int = 1, seed: Optional[int] = None,
                   condition_volume: Optional[np.ndarray] = None,
                   inference_steps: Optional[int] = None,
                   guidance_scale: Optional[float] = None,
                   output_format: str = "base64",
-                  sampler: Optional[str] = None) -> dict[str, Any]:
+                  sampler: Optional[str] = None,
+                  timestep_spacing: Optional[str] = None) -> dict[str, Any]:
         """Sample ``num_samples`` volumes.
 
         For concat-conditional models (in_channels > latent_channels), pass
@@ -462,10 +469,12 @@ class ModelServer:
         conditioning latents are drawn from N(0,1) — only useful for smoke
         tests, and flagged as ``"conditioning": "random"`` in the response.
 
-        ``inference_steps`` / ``guidance_scale`` / ``sampler`` override the
-        server defaults per request (the first two are the reference request
-        schema, ``mlops/docker/api_server.py:51-56``; ``sampler`` goes
-        beyond it); compiled variants are cached. When ``sampler`` is
+        ``inference_steps`` / ``guidance_scale`` / ``sampler`` /
+        ``timestep_spacing`` override the server defaults per request (the
+        first two are the reference request schema,
+        ``mlops/docker/api_server.py:51-56``; ``sampler`` and
+        ``timestep_spacing`` — ``leading|trailing|karras`` — go beyond it);
+        compiled variants are cached. When ``sampler`` is
         overridden without ``inference_steps``, that sampler's own default
         step count applies (50 for ddim/dpm/dpm3, the full schedule for
         ddpm), not the server sampler's. ``output_format``: "base64" (raw
@@ -476,6 +485,9 @@ class ModelServer:
             raise RuntimeError("model not loaded")
         if output_format not in ("base64", "nii"):
             raise ValueError(f"output_format must be base64|nii, got {output_format!r}")
+        if timestep_spacing not in (None, "leading", "trailing", "karras"):
+            raise ValueError(f"timestep_spacing must be leading|trailing|karras, "
+                             f"got {timestep_spacing!r}")
         from ldm3d_tpu.cli.common import SAMPLERS
 
         if self.sampler == "distilled" and not self.is_dummy:
@@ -493,6 +505,10 @@ class ModelServer:
                                  "student: its guidance level was fixed at "
                                  "distillation time (ldm3d-distill "
                                  "--guidance-distill bakes a weight in)")
+            if timestep_spacing is not None:
+                raise ValueError("timestep_spacing is unavailable on the "
+                                 "distilled student: its weights and few-step "
+                                 "grid are a unit")
         elif sampler == "distilled":
             raise ValueError("start the server with sampler='distilled' to serve "
                              "the distilled student")
@@ -516,8 +532,13 @@ class ModelServer:
             log.info("guidance_scale %.2f ignored: unconditional model "
                      "(classifier-free guidance needs a conditional UNet)", guidance)
             guidance = 1.0
+        if timestep_spacing == "karras" and sampler_name == "ddpm" and not self.is_dummy:
+            # fail fast with the request, not minutes later in the variant
+            # compile thread (make_sampling_scheduler raises the same rule)
+            raise ValueError("karras timestep_spacing is not available on the "
+                             "ancestral ddpm sampler; use ddim, dpm, or dpm3")
         is_default = (sampler_name == self.sampler and steps == self.steps
-                      and guidance == 1.0)
+                      and guidance == 1.0 and timestep_spacing is None)
         conditioning = "none"
         t0 = time.time()
         if self.is_dummy:
@@ -549,7 +570,8 @@ class ModelServer:
             elif self._cond_shape:
                 conditioning = "random"
             b = self.batch
-            run = self._run if is_default else self._get_run(sampler_name, steps, guidance)
+            run = (self._run if is_default
+                   else self._get_run(sampler_name, steps, guidance, timestep_spacing))
             # the micro-batcher runs the default-config compiled program only;
             # custom steps/guidance requests take the direct path
             batcher = self._batcher if is_default else None
@@ -621,6 +643,7 @@ class ModelServer:
             "sampler": "dummy" if self.is_dummy else sampler_name,
             "inference_steps": steps,
             "guidance_scale": guidance,
+            "timestep_spacing": timestep_spacing,  # None = server default
             "output_format": output_format,
             "conditioning": conditioning,
         }

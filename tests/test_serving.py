@@ -361,7 +361,7 @@ def test_per_request_sampler_override(real_api):
     assert payload["sampler"] == "dpm"
     # dpm's own default on the tiny 16-timestep schedule = min(50, 16)
     assert payload["inference_steps"] == 16
-    assert ("dpm", 16, 1.0) in srv._sampler_cache
+    assert ("dpm", 16, 1.0, None) in srv._sampler_cache
     arr = np.frombuffer(base64.b64decode(payload["samples"][0]["data"]), np.float32)
     assert np.isfinite(arr).all()
 
@@ -539,7 +539,7 @@ def test_variant_compile_does_not_block_cache_hits():
 
     gate = threading.Event()
 
-    def build(name, steps, guidance):
+    def build(name, steps, guidance, spacing=None):
         if steps == 99:
             assert gate.wait(timeout=10)
         return ("prog", name, steps, guidance)
@@ -567,7 +567,7 @@ def test_variant_duplicate_requests_compile_once():
     started = threading.Event()
     gate = threading.Event()
 
-    def build(name, steps, guidance):
+    def build(name, steps, guidance, spacing=None):
         calls.append(steps)
         started.set()
         assert gate.wait(timeout=10)
@@ -593,7 +593,7 @@ def test_variant_compile_failure_propagates_and_retries():
     attempts = []
     fail_gate = threading.Event()
 
-    def build(name, steps, guidance):
+    def build(name, steps, guidance, spacing=None):
         attempts.append(steps)
         if len(attempts) == 1:
             assert fail_gate.wait(timeout=10)
@@ -637,7 +637,7 @@ def test_variant_compile_failure_propagates_and_retries():
 
 
 def test_variant_cache_evicts_lru_keeps_default():
-    s = _bare_server(lambda name, steps, guidance: ("prog", steps))
+    s = _bare_server(lambda name, steps, guidance, spacing=None: ("prog", steps))
     s._sampler_cache_max = 3
     default = s._get_run("ddim", 4, 1.0)   # the server-default variant
     s._get_run("ddim", 10, 1.0)
@@ -658,7 +658,7 @@ def test_variant_cache_bound_restored_after_inflight_publishes():
 
     gates: dict = {}
 
-    def build(name, steps, guidance):
+    def build(name, steps, guidance, spacing=None):
         ev = gates[steps]
         assert ev.wait(10)
         return ("prog", steps)
@@ -685,7 +685,7 @@ def test_variant_cache_bound_restored_after_inflight_publishes():
     for t in threads:
         t.join(10)
     assert len(s._sampler_cache) <= s._sampler_cache_max
-    assert ("ddim", 4, 1.0) in s._sampler_cache  # default never evicted
+    assert ("ddim", 4, 1.0, None) in s._sampler_cache  # default never evicted
 
 
 def test_per_request_steps_on_ddpm_server(real_api):
@@ -705,7 +705,7 @@ def test_per_request_steps_on_ddpm_server(real_api):
     arr = np.frombuffer(base64.b64decode(out["samples"][0]["data"]), np.float32)
     assert np.isfinite(arr).all()
     # the 8-step variant is genuinely strided: cached separately from default
-    assert ("ddpm", 8, 1.0) in srv._sampler_cache
+    assert ("ddpm", 8, 1.0, None) in srv._sampler_cache
 
     # steps beyond the training schedule are rejected, not silently clamped
     with pytest.raises(ValueError, match="num_inference_steps"):
@@ -798,3 +798,36 @@ def test_reload_excludes_inflight_generate(monkeypatch):
     assert order[0] == "generate" and "reload" in order
     assert result["resp"]["status"] == "success"
     assert late["resp"]["status"] == "success"
+
+
+def test_per_request_timestep_spacing(real_api):
+    """'timestep_spacing' in POST /generate switches the sampling grid per
+    request: karras caches its own compiled variant (keyed separately from
+    the same sampler/steps on the default spacing), the response echoes it,
+    ddpm+karras and unknown values are the client's error, and a step count
+    the discrete schedule cannot keep distinct rejects cleanly."""
+    srv = real_api.server
+    out = srv.generate(1, seed=4, sampler="dpm", inference_steps=6,
+                       timestep_spacing="karras")
+    assert out["timestep_spacing"] == "karras"
+    assert ("dpm", 6, 1.0, "karras") in srv._sampler_cache
+    arr = np.frombuffer(base64.b64decode(out["samples"][0]["data"]), np.float32)
+    assert np.isfinite(arr).all()
+    # same sampler/steps WITHOUT the spacing override is a different program
+    out2 = srv.generate(1, seed=4, sampler="dpm", inference_steps=6)
+    assert ("dpm", 6, 1.0, None) in srv._sampler_cache
+    assert out2["timestep_spacing"] is None
+
+    code, payload, _ = real_api.dispatch(
+        "POST", "/generate", {"num_samples": 1, "timestep_spacing": "fibonacci"})
+    assert code == 422 and "timestep_spacing" in payload["error"]
+    code, payload, _ = real_api.dispatch(
+        "POST", "/generate", {"num_samples": 1, "sampler": "ddpm",
+                              "timestep_spacing": "karras"})
+    assert code == 422 and "ddpm" in payload["error"]
+    # 10 karras steps cannot stay distinct on the tiny 16-step schedule:
+    # the grid builder's ValueError surfaces as the client's 422
+    code, payload, _ = real_api.dispatch(
+        "POST", "/generate", {"num_samples": 1, "sampler": "dpm",
+                              "inference_steps": 10, "timestep_spacing": "karras"})
+    assert code == 422 and "karras" in payload["error"]
