@@ -361,6 +361,10 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=None,
                    help="inference steps (default: 50 for ddim/dpm, full schedule for "
                         "ddpm; an explicit value subsamples ddpm MONAI set_timesteps-style)")
+    p.add_argument("--timestep-spacing", choices=("leading", "trailing", "karras"),
+                   default=None,
+                   help="server-default sampling grid (default: the config's "
+                        "NoiseScheduler value; per-request 'timestep_spacing' overrides)")
     p.add_argument("--batch", type=int, default=1,
                    help="volumes per compiled sampler call (8 maximizes v5e MXU "
                         "utilization; use a MULTIPLE OF 8 — the batch dim pads to "
@@ -383,7 +387,8 @@ def main(argv=None):
 
     server = ModelServer(args.config_file, args.environment_file, args.sampler, args.steps,
                          batch=args.batch, spatial=args.spatial,
-                         decode_chunk=args.decode_chunk)
+                         decode_chunk=args.decode_chunk,
+                         timestep_spacing=args.timestep_spacing)
     server.load_model()
     api = Api(server)
     try:

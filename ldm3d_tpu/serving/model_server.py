@@ -102,7 +102,8 @@ class _SamplerCacheEntry:
 class ModelServer:
     def __init__(self, config_file: Optional[str] = None, environment_file: Optional[str] = None,
                  sampler: str = "ddim", steps: Optional[int] = None, batch: int = 1,
-                 spatial: int = 1, decode_chunk: int = 0):
+                 spatial: int = 1, decode_chunk: int = 0,
+                 timestep_spacing: Optional[str] = None):
         """``batch``: volumes per compiled sampler call. Larger batches raise
         MXU utilization sharply (measured on v5e at 96^3: ~2.2x volumes/sec
         from batch 1-2 to batch 8); requests for more than ``batch`` samples
@@ -118,6 +119,12 @@ class ModelServer:
         # None = sampler default (50 for ddim/dpm, full schedule for ddpm);
         # resolved to a concrete count at load_model time
         self.steps = steps
+        if timestep_spacing not in (None, "leading", "trailing", "karras"):
+            raise ValueError(f"timestep_spacing must be leading|trailing|karras, "
+                             f"got {timestep_spacing!r}")
+        # server-default grid spacing (None = the config's NoiseScheduler
+        # value); per-request overrides compile separate cached variants
+        self.timestep_spacing = timestep_spacing
         self._cond_shape = None
         self.batch = max(1, int(batch))
         self.spatial = max(1, int(spatial))
@@ -265,6 +272,8 @@ class ModelServer:
 
             def build_run(sampler_name: str, steps: int, guidance: float,
                           spacing: "str | None" = None):
+                # None = server default (--timestep-spacing, else the config)
+                spacing = spacing if spacing is not None else self.timestep_spacing
                 scheduler = (distilled_sched if sampler_name == "distilled"
                              else make_sampling_scheduler(sampler_name, steps, sched_cfg,
                                                           timestep_spacing=spacing))
@@ -298,6 +307,8 @@ class ModelServer:
 
             def build_run(sampler_name: str, steps: int, guidance: float,
                           spacing: "str | None" = None):
+                # None = server default (--timestep-spacing, else the config)
+                spacing = spacing if spacing is not None else self.timestep_spacing
                 scheduler = (distilled_sched if sampler_name == "distilled"
                              else make_sampling_scheduler(sampler_name, steps, sched_cfg,
                                                           timestep_spacing=spacing))
@@ -537,6 +548,13 @@ class ModelServer:
             # compile thread (make_sampling_scheduler raises the same rule)
             raise ValueError("karras timestep_spacing is not available on the "
                              "ancestral ddpm sampler; use ddim, dpm, or dpm3")
+        if timestep_spacing is not None and not self.is_dummy:
+            # an explicit request for the server's own default spacing would
+            # compile a byte-identical variant — normalize to the default
+            server_spacing = (self.timestep_spacing
+                              or self._sched_cfg.get("timestep_spacing", "leading"))
+            if timestep_spacing == server_spacing:
+                timestep_spacing = None
         is_default = (sampler_name == self.sampler and steps == self.steps
                       and guidance == 1.0 and timestep_spacing is None)
         conditioning = "none"
@@ -643,7 +661,13 @@ class ModelServer:
             "sampler": "dummy" if self.is_dummy else sampler_name,
             "inference_steps": steps,
             "guidance_scale": guidance,
-            "timestep_spacing": timestep_spacing,  # None = server default
+            # echo the APPLIED spacing (the server default when the request
+            # omitted it); None only when no grid spacing applies (dummy
+            # model, or the distilled student's fixed grid)
+            "timestep_spacing": (
+                (timestep_spacing or self.timestep_spacing
+                 or self._sched_cfg.get("timestep_spacing", "leading"))
+                if not self.is_dummy and sampler_name != "distilled" else None),
             "output_format": output_format,
             "conditioning": conditioning,
         }
@@ -658,6 +682,7 @@ class ModelServer:
             "patch_size": self.patch_size,
             "sampler": self.sampler,
             "steps": self.steps,
+            "timestep_spacing": self.timestep_spacing,  # None = config default
             "backend": jax.default_backend(),
             "devices": [str(d) for d in jax.devices()],
             "micro_batching": (

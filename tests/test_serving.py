@@ -813,10 +813,19 @@ def test_per_request_timestep_spacing(real_api):
     assert ("dpm", 6, 1.0, "karras") in srv._sampler_cache
     arr = np.frombuffer(base64.b64decode(out["samples"][0]["data"]), np.float32)
     assert np.isfinite(arr).all()
-    # same sampler/steps WITHOUT the spacing override is a different program
+    # same sampler/steps WITHOUT the spacing override is a different program,
+    # and the response echoes the APPLIED (server-default) spacing
     out2 = srv.generate(1, seed=4, sampler="dpm", inference_steps=6)
     assert ("dpm", 6, 1.0, None) in srv._sampler_cache
-    assert out2["timestep_spacing"] is None
+    assert out2["timestep_spacing"] == "leading"
+    # explicitly requesting the server's own default spacing must NOT compile
+    # a separate byte-identical variant
+    n = len(srv._sampler_cache)
+    out3 = srv.generate(1, seed=4, sampler="dpm", inference_steps=6,
+                        timestep_spacing="leading")
+    assert len(srv._sampler_cache) == n
+    assert out3["timestep_spacing"] == "leading"
+    assert out3["samples"][0]["data"] == out2["samples"][0]["data"]
 
     code, payload, _ = real_api.dispatch(
         "POST", "/generate", {"num_samples": 1, "timestep_spacing": "fibonacci"})
@@ -831,3 +840,24 @@ def test_per_request_timestep_spacing(real_api):
         "POST", "/generate", {"num_samples": 1, "sampler": "dpm",
                               "inference_steps": 10, "timestep_spacing": "karras"})
     assert code == 422 and "karras" in payload["error"]
+
+
+def test_server_default_timestep_spacing(real_api):
+    """--timestep-spacing at server start sets the default grid for every
+    request (echoed as the applied value); per-request values still override,
+    and explicitly requesting the server default reuses the default program."""
+    srv = ModelServer(real_api.server.config_file, real_api.server.environment_file,
+                      sampler="dpm", steps=6, batch=1, timestep_spacing="karras")
+    srv.load_model()
+    assert not srv.is_dummy
+    out = srv.generate(1, seed=0)
+    assert out["timestep_spacing"] == "karras"
+    n = len(srv._sampler_cache)
+    out_same = srv.generate(1, seed=0, timestep_spacing="karras")
+    assert len(srv._sampler_cache) == n  # normalized onto the default program
+    assert out_same["samples"][0]["data"] == out["samples"][0]["data"]
+    out2 = srv.generate(1, seed=0, timestep_spacing="trailing")
+    assert out2["timestep_spacing"] == "trailing"
+    assert out2["samples"][0]["data"] != out["samples"][0]["data"]
+    with pytest.raises(ValueError, match="timestep_spacing"):
+        ModelServer(None, None, timestep_spacing="quadratic")
