@@ -65,7 +65,7 @@ NOISE_SCHEDULER_SCHEMA = {
     "beta_end": _field(_NUM, required=True),
     "schedule": _field(str),
     "prediction_type": _field(str),        # epsilon | sample | v_prediction
-    "timestep_spacing": _field(str),       # leading (MONAI parity) | trailing
+    "timestep_spacing": _field(str),       # leading (MONAI parity) | trailing | karras
 }
 
 # sentinel types for nested sections / _target_ dicts
