@@ -296,6 +296,11 @@ def load_distilled(model_dir, template_params, sched_cfg: dict, sharding=None):
 # branch in make_sampling_scheduler)
 SAMPLERS = ("ddpm", "ddim", "dpm", "dpm3")
 
+# the one grid-spacing registry, same role as SAMPLERS: argparse choices and
+# serving validation all share it (a new spacing is added HERE plus its
+# handling in diffusion.schedulers / make_sampling_scheduler)
+TIMESTEP_SPACINGS = ("leading", "trailing", "karras")
+
 
 def make_sampling_scheduler(name: str, steps: int | None, sched_cfg: dict,
                             timestep_spacing: str | None = None):

@@ -40,9 +40,12 @@ def main(argv=None):
     from ldm3d_tpu.cli.common import SAMPLERS
 
     parser.add_argument("--sampler", choices=SAMPLERS, default="ddim")
-    parser.add_argument("--timestep-spacing", choices=("leading", "trailing", "karras"), default=None,
+    from ldm3d_tpu.cli.common import TIMESTEP_SPACINGS
+
+    parser.add_argument("--timestep-spacing", choices=TIMESTEP_SPACINGS, default=None,
                         help="leading = MONAI parity (default); trailing covers the "
-                             "highest-noise band on few-step grids")
+                             "highest-noise band on few-step grids; karras = EDM "
+                             "sigma-spaced grid (ddim/dpm/dpm3 only)")
     parser.add_argument("--steps", type=int, default=None,
                         help="inference steps (50 for ddim/dpm; full schedule for ddpm)")
     parser.add_argument("--batch", type=int, default=1, help="volumes per compiled sample call")

@@ -148,10 +148,14 @@ def main(argv=None):
                         help="ddpm = full-loop reference parity; ddim = fast path; "
                              "dpm = DPM-Solver++ 2M (fewer steps at equal quality); "
                              "dpm3 = DPM-Solver++ 3M (third-order; use >=20 steps)")
-    parser.add_argument("--timestep-spacing", choices=("leading", "trailing", "karras"), default=None,
+    from ldm3d_tpu.cli.common import TIMESTEP_SPACINGS
+
+    parser.add_argument("--timestep-spacing", choices=TIMESTEP_SPACINGS, default=None,
                         help="inference timestep grid: leading = MONAI set_timesteps "
                              "parity (default); trailing anchors at t_max so few-step "
-                             "grids cover the highest-noise band")
+                             "grids cover the highest-noise band; karras = EDM "
+                             "sigma-spaced grid anchored at both ends (most accurate "
+                             "few-step spacing; ddim/dpm/dpm3 only)")
     parser.add_argument("--steps", type=int, default=None,
                         help="inference steps (default: 50 for ddim/dpm; full schedule "
                              "for ddpm — an explicit value subsamples ddpm's schedule "

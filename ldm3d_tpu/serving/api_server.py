@@ -132,15 +132,16 @@ class Api:
         output_format = str(body.get("output_format", "base64"))
         if output_format not in ("base64", "nii"):
             return 422, {"error": "output_format must be 'base64' or 'nii'"}
-        # beyond the reference schema: per-request sampler selection
-        from ldm3d_tpu.cli.common import SAMPLERS
+        # beyond the reference schema: per-request sampler/spacing selection
+        from ldm3d_tpu.cli.common import SAMPLERS, TIMESTEP_SPACINGS
 
         sampler = body.get("sampler")
         if sampler is not None and sampler not in SAMPLERS + ("distilled",):
             return 422, {"error": f"sampler must be one of {'|'.join(SAMPLERS)}|distilled"}
         spacing = body.get("timestep_spacing")
-        if spacing is not None and spacing not in ("leading", "trailing", "karras"):
-            return 422, {"error": "timestep_spacing must be leading|trailing|karras"}
+        if spacing is not None and spacing not in TIMESTEP_SPACINGS:
+            return 422, {"error": f"timestep_spacing must be one of "
+                                  f"{'|'.join(TIMESTEP_SPACINGS)}"}
         # optional low-count conditioning volume for concat-conditional
         # models: {"condition": {"data": <base64 float32>, "shape": [D,H,W]}}
         condition_volume = None
@@ -353,7 +354,7 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("-c", "--config-file", default=None)
     p.add_argument("-e", "--environment-file", default=None)
-    from ldm3d_tpu.cli.common import SAMPLERS
+    from ldm3d_tpu.cli.common import SAMPLERS, TIMESTEP_SPACINGS
 
     p.add_argument("--sampler", choices=SAMPLERS + ("distilled",), default="ddim",
                    help="'distilled' serves the progressively-distilled student "
@@ -361,7 +362,7 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=None,
                    help="inference steps (default: 50 for ddim/dpm, full schedule for "
                         "ddpm; an explicit value subsamples ddpm MONAI set_timesteps-style)")
-    p.add_argument("--timestep-spacing", choices=("leading", "trailing", "karras"),
+    p.add_argument("--timestep-spacing", choices=TIMESTEP_SPACINGS,
                    default=None,
                    help="server-default sampling grid (default: the config's "
                         "NoiseScheduler value; per-request 'timestep_spacing' overrides)")

@@ -119,9 +119,16 @@ class ModelServer:
         # None = sampler default (50 for ddim/dpm, full schedule for ddpm);
         # resolved to a concrete count at load_model time
         self.steps = steps
-        if timestep_spacing not in (None, "leading", "trailing", "karras"):
-            raise ValueError(f"timestep_spacing must be leading|trailing|karras, "
-                             f"got {timestep_spacing!r}")
+        from ldm3d_tpu.cli.common import TIMESTEP_SPACINGS
+
+        if timestep_spacing is not None and timestep_spacing not in TIMESTEP_SPACINGS:
+            raise ValueError(f"timestep_spacing must be one of "
+                             f"{'|'.join(TIMESTEP_SPACINGS)}, got {timestep_spacing!r}")
+        if timestep_spacing == "karras" and sampler == "ddpm":
+            # statically invalid: fail at construction, not as a dummy-model
+            # fallback at load time
+            raise ValueError("karras timestep_spacing is not available on the "
+                             "ancestral ddpm sampler; use ddim, dpm, or dpm3")
         # server-default grid spacing (None = the config's NoiseScheduler
         # value); per-request overrides compile separate cached variants
         self.timestep_spacing = timestep_spacing
@@ -145,12 +152,13 @@ class ModelServer:
         self._latent_shape = None
         self._encode_condition = None
         self._rng_counter = 0
-        # per-request (sampler, steps, guidance) -> compiled run fn. Bounded:
-        # each entry is an XLA program; evict the oldest non-default entry so
-        # a step-count scan from a client can't accumulate programs in HBM.
+        # per-request (sampler, steps, guidance, spacing) -> compiled run fn.
+        # Bounded: each entry is an XLA program; evict the oldest non-default
+        # entry so a step-count scan from a client can't accumulate programs
+        # in HBM.
         self._sampler_cache: "dict[tuple, Any]" = {}
         self._sampler_cache_max = 8
-        self._build_run = None  # (sampler, steps, guidance) -> run fn
+        self._build_run = None  # (sampler, steps, guidance, spacing) -> run fn
         # reload vs in-flight generate: see _RWGate
         self._reload_gate = _RWGate()
 
@@ -170,6 +178,15 @@ class ModelServer:
                 self._load_real()
                 self.is_dummy = False
                 log.info("loaded real two-stage LDM pipeline")
+            except ValueError:
+                # user-config errors (schema violations, invalid sampler/
+                # spacing/step combinations) must fail LOUDLY: a server that
+                # silently degrades to the dummy model reports healthy and
+                # serves random noise with status 'success' (found in review).
+                # The dummy fallback is for missing artifacts — the
+                # reference's infra-test affordance (api_server.py:138-155) —
+                # not for misconfiguration.
+                raise
             except Exception as e:
                 log.warning("falling back to dummy model: %s", e)
                 self._load_dummy()
@@ -543,17 +560,29 @@ class ModelServer:
             log.info("guidance_scale %.2f ignored: unconditional model "
                      "(classifier-free guidance needs a conditional UNet)", guidance)
             guidance = 1.0
-        if timestep_spacing == "karras" and sampler_name == "ddpm" and not self.is_dummy:
-            # fail fast with the request, not minutes later in the variant
-            # compile thread (make_sampling_scheduler raises the same rule)
-            raise ValueError("karras timestep_spacing is not available on the "
-                             "ancestral ddpm sampler; use ddim, dpm, or dpm3")
-        if timestep_spacing is not None and not self.is_dummy:
-            # an explicit request for the server's own default spacing would
-            # compile a byte-identical variant — normalize to the default
+        # ONE resolution of the grid spacing this request actually runs:
+        # request value > server --timestep-spacing > config default. Echoed
+        # in the response; None only where no grid spacing applies (dummy
+        # model, the distilled student's fixed grid).
+        applied_spacing = None
+        if not self.is_dummy and sampler_name != "distilled":
             server_spacing = (self.timestep_spacing
                               or self._sched_cfg.get("timestep_spacing", "leading"))
+            applied_spacing = timestep_spacing or server_spacing
+            if applied_spacing == "karras" and sampler_name == "ddpm":
+                # fail fast with the request, not minutes later in the variant
+                # compile thread (make_sampling_scheduler raises the same rule)
+                raise ValueError(
+                    "karras timestep_spacing is not available on the ancestral "
+                    "ddpm sampler; use ddim, dpm, or dpm3"
+                    + ("" if timestep_spacing is not None else
+                       " (this server's default spacing is karras — pass "
+                       "timestep_spacing='leading' or 'trailing' with the "
+                       "ddpm request)"))
             if timestep_spacing == server_spacing:
+                # an explicit request for the server's own default spacing
+                # would compile a byte-identical variant — normalize onto the
+                # default program
                 timestep_spacing = None
         is_default = (sampler_name == self.sampler and steps == self.steps
                       and guidance == 1.0 and timestep_spacing is None)
@@ -661,13 +690,10 @@ class ModelServer:
             "sampler": "dummy" if self.is_dummy else sampler_name,
             "inference_steps": steps,
             "guidance_scale": guidance,
-            # echo the APPLIED spacing (the server default when the request
+            # the APPLIED spacing (the server default when the request
             # omitted it); None only when no grid spacing applies (dummy
             # model, or the distilled student's fixed grid)
-            "timestep_spacing": (
-                (timestep_spacing or self.timestep_spacing
-                 or self._sched_cfg.get("timestep_spacing", "leading"))
-                if not self.is_dummy and sampler_name != "distilled" else None),
+            "timestep_spacing": applied_spacing,
             "output_format": output_format,
             "conditioning": conditioning,
         }

@@ -861,3 +861,37 @@ def test_server_default_timestep_spacing(real_api):
     assert out2["samples"][0]["data"] != out["samples"][0]["data"]
     with pytest.raises(ValueError, match="timestep_spacing"):
         ModelServer(None, None, timestep_spacing="quadratic")
+
+
+def test_config_errors_fail_loudly_not_dummy(real_api):
+    """User-config errors must crash the server, not silently degrade to the
+    dummy model that reports healthy and serves random noise: statically
+    invalid combinations fail at construction; config-dependent ones (a
+    karras default too dense for the schedule) fail at load_model. Missing
+    artifacts (the reference's infra-test affordance) still fall back."""
+    with pytest.raises(ValueError, match="ddpm"):
+        ModelServer(None, None, sampler="ddpm", timestep_spacing="karras")
+    # tiny config trains 16 timesteps: a 10-step karras grid has duplicates
+    srv = ModelServer(real_api.server.config_file, real_api.server.environment_file,
+                      sampler="dpm", steps=10, batch=1, timestep_spacing="karras")
+    with pytest.raises(ValueError, match="karras"):
+        srv.load_model()
+    assert not srv.model_loaded
+    # missing artifacts keep the dummy fallback
+    dummy = ModelServer(None, None)
+    dummy.load_model()
+    assert dummy.is_dummy
+
+
+def test_ddpm_request_on_karras_default_server(real_api):
+    """A plain sampler=ddpm request on a karras-default server fails fast
+    with an ACTIONABLE message (the server default, not the client, chose
+    karras); an explicit compatible spacing makes ddpm usable."""
+    srv = ModelServer(real_api.server.config_file, real_api.server.environment_file,
+                      sampler="dpm", steps=6, batch=1, timestep_spacing="karras")
+    srv.load_model()
+    assert not srv.is_dummy
+    with pytest.raises(ValueError, match="default spacing is karras"):
+        srv.generate(1, seed=0, sampler="ddpm")
+    out = srv.generate(1, seed=0, sampler="ddpm", timestep_spacing="leading")
+    assert out["sampler"] == "ddpm" and out["timestep_spacing"] == "leading"
