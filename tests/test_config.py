@@ -189,3 +189,19 @@ def test_env_seed_honors_explicit_zero():
     assert env_seed(argparse.Namespace(seed=7)) == 7
     assert env_seed(argparse.Namespace()) == 42
     assert env_seed(argparse.Namespace(seed=None)) == 42
+
+
+def test_requirements_txt_matches_pyproject():
+    """requirements.txt is a convenience/parity artifact (the reference ships
+    one); pyproject.toml is the source of truth — this pins the two together
+    so they cannot drift."""
+    import os
+    import tomllib
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "pyproject.toml"), "rb") as f:
+        deps = tomllib.load(f)["project"]["dependencies"]
+    with open(os.path.join(root, "requirements.txt")) as f:
+        reqs = [ln.strip() for ln in f
+                if ln.strip() and not ln.lstrip().startswith("#")]
+    assert reqs == deps, (reqs, deps)
