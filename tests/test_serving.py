@@ -845,7 +845,8 @@ def test_per_request_timestep_spacing(real_api):
 def test_server_default_timestep_spacing(real_api):
     """--timestep-spacing at server start sets the default grid for every
     request (echoed as the applied value); per-request values still override,
-    and explicitly requesting the server default reuses the default program."""
+    and explicitly requesting the server default reuses the default program.
+    One server load shared with the ddpm-on-karras-default checks below."""
     srv = ModelServer(real_api.server.config_file, real_api.server.environment_file,
                       sampler="dpm", steps=6, batch=1, timestep_spacing="karras")
     srv.load_model()
@@ -861,6 +862,14 @@ def test_server_default_timestep_spacing(real_api):
     assert out2["samples"][0]["data"] != out["samples"][0]["data"]
     with pytest.raises(ValueError, match="timestep_spacing"):
         ModelServer(None, None, timestep_spacing="quadratic")
+
+    # a plain sampler=ddpm request on this karras-default server fails fast
+    # with an ACTIONABLE message (the server default, not the client, chose
+    # karras); an explicit compatible spacing makes ddpm usable
+    with pytest.raises(ValueError, match="default spacing is karras"):
+        srv.generate(1, seed=0, sampler="ddpm")
+    out3 = srv.generate(1, seed=0, sampler="ddpm", timestep_spacing="leading")
+    assert out3["sampler"] == "ddpm" and out3["timestep_spacing"] == "leading"
 
 
 def test_config_errors_fail_loudly_not_dummy(real_api):
@@ -882,16 +891,3 @@ def test_config_errors_fail_loudly_not_dummy(real_api):
     dummy.load_model()
     assert dummy.is_dummy
 
-
-def test_ddpm_request_on_karras_default_server(real_api):
-    """A plain sampler=ddpm request on a karras-default server fails fast
-    with an ACTIONABLE message (the server default, not the client, chose
-    karras); an explicit compatible spacing makes ddpm usable."""
-    srv = ModelServer(real_api.server.config_file, real_api.server.environment_file,
-                      sampler="dpm", steps=6, batch=1, timestep_spacing="karras")
-    srv.load_model()
-    assert not srv.is_dummy
-    with pytest.raises(ValueError, match="default spacing is karras"):
-        srv.generate(1, seed=0, sampler="ddpm")
-    out = srv.generate(1, seed=0, sampler="ddpm", timestep_spacing="leading")
-    assert out["sampler"] == "ddpm" and out["timestep_spacing"] == "leading"
