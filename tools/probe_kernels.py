@@ -133,8 +133,15 @@ def probe_upsample() -> None:
             "print(f'  b%d {%d}^3 {%d}->{%d}: dil {td:.2f} ms, poly {tp:.2f} ms "
             "({tp/td:.2f}x), relerr {rel:.1e}')\n"
         ) % (REPO, b, d, d, d, cin, cin, cout, cout, cin, cout, b, d, cin, cout)
-        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                           text=True, timeout=600)
+        try:
+            r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                               text=True, timeout=600)
+        except subprocess.TimeoutExpired:
+            # a hung shape (remote-compile queue stall or a backend hang)
+            # must not abort the remaining shapes/probes — report and move on
+            print(f"  b{b} {d}^3 {cin}->{cout}: **TIMEOUT** (>600 s; tunnel "
+                  f"compile stall or backend hang — re-run this shape alone)")
+            continue
         if r.returncode != 0:
             print(f"  b{b} {d}^3 {cin}->{cout}: **FAULTED** (rc {r.returncode}) — "
                   f"ship LDM3D_UPSAMPLE=polyphase\n{r.stderr.strip()[-400:]}")
@@ -313,9 +320,20 @@ def main(argv=None) -> int:
     import jax
 
     print(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    failed = []
     for n in names:
         print(f"[{n}]")
-        PROBES[n]()
+        try:
+            PROBES[n]()
+        except Exception as e:  # one broken probe must not hide the rest
+            import traceback
+
+            print(f"  **PROBE ERROR** ({type(e).__name__}: {e})")
+            traceback.print_exc()
+            failed.append(n)
+    if failed:
+        print(f"probe(s) errored: {failed}")
+        return 1
     return 0
 
 
