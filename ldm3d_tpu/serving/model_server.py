@@ -242,9 +242,25 @@ class ModelServer:
             # (cli.common.load_distilled owns the checkpoint-meta contract)
             from ldm3d_tpu.cli.common import load_distilled
 
-            u_params, distilled_sched, dmeta = load_distilled(
-                args.model_dir, u_vars["params"], sched_cfg)
+            try:
+                u_params, distilled_sched, dmeta = load_distilled(
+                    args.model_dir, u_vars["params"], sched_cfg)
+            except FileNotFoundError as e:
+                # a distilled server with no distilled checkpoint is a user-
+                # actionable misconfiguration, not a generic missing-artifact
+                # case: ValueError rides load_model's loud-failure re-raise
+                # instead of degrading to the dummy model (ADVICE r2)
+                raise ValueError(
+                    f"sampler='distilled' but no distilled checkpoint in "
+                    f"{args.model_dir!r}: run ldm3d-distill first ({e})") from e
             scale_factor = float(dmeta.get("scale_factor", scale_factor))
+            if self.steps is not None and int(self.steps) != int(dmeta["num_steps"]):
+                # consistent with the per-request path: the student's weights
+                # and few-step grid are a unit — reject an explicit mismatched
+                # --steps instead of silently replacing it (ADVICE r2)
+                raise ValueError(
+                    f"the distilled student has a fixed {int(dmeta['num_steps'])}"
+                    f"-step grid; --steps {self.steps} cannot apply to it")
             self.steps = int(dmeta["num_steps"])
             log.info("serving distilled student: %d-step grid %s",
                      self.steps, dmeta["timesteps"])

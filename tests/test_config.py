@@ -196,7 +196,9 @@ def test_requirements_txt_matches_pyproject():
     one); pyproject.toml is the source of truth — this pins the two together
     so they cannot drift."""
     import os
-    import tomllib
+
+    # tomllib is 3.11+; pyproject declares >=3.10 — skip (not error) on 3.10
+    tomllib = pytest.importorskip("tomllib")
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "pyproject.toml"), "rb") as f:

@@ -262,3 +262,27 @@ def test_serving_distilled_student(distilled_setup):
     srv2.load_model()
     with pytest.raises(ValueError, match="distilled"):
         srv2.generate(1, seed=0, sampler="distilled")
+
+    # an explicit --steps that contradicts the student's fixed grid is a
+    # misconfiguration: reject at load, do not silently replace (ADVICE r2)
+    srv3 = ModelServer(cfg, env, sampler="distilled", steps=5, batch=1)
+    with pytest.raises(ValueError, match="fixed 2-step"):
+        srv3.load_model()
+
+
+def test_serving_distilled_missing_checkpoint_fails_loudly(tmp_path):
+    """sampler='distilled' with no distilled checkpoint must NOT fall back to
+    the dummy model (a healthy-looking server serving noise): it raises the
+    actionable run-ldm3d-distill ValueError instead (ADVICE r2)."""
+    from scaffolds import make_two_stage_checkpoints, write_env_json
+
+    from ldm3d_tpu.serving.model_server import ModelServer
+
+    cfg, model_dir = make_two_stage_checkpoints(tmp_path, conditional=False)
+    env = write_env_json(tmp_path / "env.json", model_dir, tmp_path,
+                         output_dir=str(tmp_path / "out"), seed=3,
+                         synthetic_data=True, synthetic_num=4)
+    srv = ModelServer(cfg, env, sampler="distilled", batch=1)
+    with pytest.raises(ValueError, match="ldm3d-distill"):
+        srv.load_model()
+    assert not srv.model_loaded
