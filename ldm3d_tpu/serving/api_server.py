@@ -223,11 +223,29 @@ class Api:
             REQUEST_COUNT.labels(method, label_path, str(code)).inc()
 
 
-def make_fastapi_app(api: Api):
+# reference middleware parity (mlops/docker/api_server.py:250-258): CORS with
+# wildcard origins + credentials, and gzip for responses >= 1000 bytes — the
+# base64-float32 volume payloads are exactly the MB-scale compressible bodies
+# gzip pays for, and a browser dashboard can't call cross-origin without CORS.
+GZIP_MIN_SIZE = 1000
+CORS_ALLOW_ORIGINS = ("*",)
+
+
+def make_fastapi_app(api: Api, cors_origins=CORS_ALLOW_ORIGINS):
     from fastapi import FastAPI, Request
+    from fastapi.middleware.cors import CORSMiddleware
+    from fastapi.middleware.gzip import GZipMiddleware
     from fastapi.responses import JSONResponse, PlainTextResponse
 
     app = FastAPI(title="ldm3d_tpu model server")
+    app.add_middleware(
+        CORSMiddleware,
+        allow_origins=list(cors_origins),
+        allow_credentials=True,
+        allow_methods=["*"],
+        allow_headers=["*"],
+    )
+    app.add_middleware(GZipMiddleware, minimum_size=GZIP_MIN_SIZE)
 
     # every route goes through Api.dispatch so the request metrics
     # (count-by-status / duration / active gauge) cover this frontend too —
@@ -265,12 +283,31 @@ def make_fastapi_app(api: Api):
     return app
 
 
-def make_stdlib_server(api: Api, host: str, port: int):
+def make_stdlib_server(api: Api, host: str, port: int,
+                       cors_origins=CORS_ALLOW_ORIGINS):
     """Build (without starting) the stdlib ThreadingHTTPServer — port 0 picks
-    a free port; tests drive real HTTP round-trips against it."""
+    a free port; tests drive real HTTP round-trips against it.
+
+    Serves the same CORS + gzip middleware contract as the FastAPI frontend
+    (reference api_server.py:250-258): OPTIONS preflight, allow-origin on
+    every response, and gzip for bodies >= GZIP_MIN_SIZE when the client
+    sends Accept-Encoding: gzip — all stdlib."""
+    import gzip as _gzip
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+    allow_any = "*" in cors_origins
+
     class Handler(BaseHTTPRequestHandler):
+        def _cors_origin(self):
+            """The Access-Control-Allow-Origin value for this request, or
+            None. With credentials allowed, '*' must echo the request origin
+            (the literal '*' is rejected by browsers for credentialed
+            requests) — Starlette's CORSMiddleware does the same."""
+            origin = self.headers.get("Origin")
+            if origin and (allow_any or origin in cors_origins):
+                return origin
+            return "*" if allow_any else None
+
         def _respond(self, method):
             api.request_started()
             try:
@@ -289,8 +326,20 @@ def make_stdlib_server(api: Api, host: str, port: int):
 
         def _send(self, code, payload, ctype):
             data = payload.encode() if isinstance(payload, str) else json.dumps(payload).encode()
+            encoding = None
+            if (len(data) >= GZIP_MIN_SIZE
+                    and "gzip" in (self.headers.get("Accept-Encoding") or "")):
+                data = _gzip.compress(data)
+                encoding = "gzip"
             self.send_response(code)
             self.send_header("Content-Type", ctype)
+            if encoding:
+                self.send_header("Content-Encoding", encoding)
+                self.send_header("Vary", "Accept-Encoding")
+            origin = self._cors_origin()
+            if origin:
+                self.send_header("Access-Control-Allow-Origin", origin)
+                self.send_header("Access-Control-Allow-Credentials", "true")
             self.send_header("Content-Length", str(len(data)))
             self.end_headers()
             self.wfile.write(data)
@@ -301,13 +350,28 @@ def make_stdlib_server(api: Api, host: str, port: int):
         def do_POST(self):
             self._respond("POST")
 
+        def do_OPTIONS(self):
+            # CORS preflight: no dispatch, just the allow headers
+            self.send_response(204)
+            origin = self._cors_origin()
+            if origin:
+                self.send_header("Access-Control-Allow-Origin", origin)
+                self.send_header("Access-Control-Allow-Credentials", "true")
+                self.send_header("Access-Control-Allow-Methods", "GET, POST, OPTIONS")
+                self.send_header("Access-Control-Allow-Headers",
+                                 self.headers.get("Access-Control-Request-Headers") or "*")
+                self.send_header("Access-Control-Max-Age", "600")
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
         def log_message(self, fmt, *a):
             log.info("%s - " + fmt, self.address_string(), *a)
 
     return ThreadingHTTPServer((host, port), Handler)
 
 
-def serve_stdlib(api: Api, host: str, port: int, drain_timeout: float = 120.0):
+def serve_stdlib(api: Api, host: str, port: int, drain_timeout: float = 120.0,
+                 cors_origins=CORS_ALLOW_ORIGINS):
     """Serve until SIGTERM/SIGINT, then drain gracefully: stop accepting,
     finish in-flight requests, retire the micro-batcher (K8s sends SIGTERM on
     pod shutdown; without this the default handler kills requests mid-flight).
@@ -318,7 +382,7 @@ def serve_stdlib(api: Api, host: str, port: int, drain_timeout: float = 120.0):
     import signal
     import threading
 
-    httpd = make_stdlib_server(api, host, port)
+    httpd = make_stdlib_server(api, host, port, cors_origins=cors_origins)
     log.info("stdlib HTTP server on %s:%d", host, port)
 
     def _shutdown(signum, frame):
@@ -377,6 +441,9 @@ def main(argv=None):
     p.add_argument("--decode-chunk", type=int, default=1,
                    help="decode sampled batches in chunks of N volumes (0 = whole "
                         "batch; 1 measured 31%% faster VAE decode on v5e at batch 8)")
+    p.add_argument("--cors-origins", default="*",
+                   help="comma-separated allowed CORS origins (default '*', the "
+                        "reference's open default — narrow it in production)")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO, force=True)
 
@@ -392,13 +459,14 @@ def main(argv=None):
                          timestep_spacing=args.timestep_spacing)
     server.load_model()
     api = Api(server)
+    cors_origins = tuple(o.strip() for o in args.cors_origins.split(",") if o.strip())
     try:
         import uvicorn
 
-        app = make_fastapi_app(api)
+        app = make_fastapi_app(api, cors_origins=cors_origins)
         uvicorn.run(app, host=args.host, port=args.port)
     except ImportError:
-        serve_stdlib(api, args.host, args.port)
+        serve_stdlib(api, args.host, args.port, cors_origins=cors_origins)
 
 
 from ldm3d_tpu.cli.common import script_entry

@@ -422,6 +422,99 @@ def test_stdlib_http_roundtrip(api):
         httpd.server_close()
 
 
+def test_stdlib_cors_and_gzip(api):
+    """Middleware parity with the reference's CORSMiddleware +
+    GZipMiddleware(minimum_size=1000) (ref api_server.py:250-258): preflight,
+    allow-origin on responses, gzip for large bodies when accepted, no gzip
+    below the threshold, and origin filtering when a list is configured."""
+    import gzip
+    import http.client
+    import threading
+
+    from ldm3d_tpu.serving.api_server import GZIP_MIN_SIZE, make_stdlib_server
+
+    assert GZIP_MIN_SIZE == 1000  # the reference's minimum_size
+
+    def request(port, method, path, body=None, headers=None):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        h = dict(headers or {})
+        if body:
+            h.setdefault("Content-Type", "application/json")
+        conn.request(method, path, body=body, headers=h)
+        resp = conn.getresponse()
+        data = resp.read()
+        hdrs = {k.lower(): v for k, v in resp.getheaders()}
+        conn.close()
+        return resp.status, hdrs, data
+
+    httpd = make_stdlib_server(api, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        # preflight: OPTIONS with Origin + requested method/headers
+        code, hdrs, _ = request(port, "OPTIONS", "/generate", headers={
+            "Origin": "http://dash.example", "Access-Control-Request-Method": "POST",
+            "Access-Control-Request-Headers": "content-type"})
+        assert code == 204
+        assert hdrs["access-control-allow-origin"] == "http://dash.example"
+        assert "POST" in hdrs["access-control-allow-methods"]
+        assert hdrs["access-control-allow-headers"] == "content-type"
+
+        # cross-origin GET carries allow-origin (echoed, credentials allowed)
+        code, hdrs, _ = request(port, "GET", "/health",
+                                headers={"Origin": "http://dash.example"})
+        assert code == 200
+        assert hdrs["access-control-allow-origin"] == "http://dash.example"
+        assert hdrs["access-control-allow-credentials"] == "true"
+
+        # a base64 volume body (>= 1000 bytes) gzips when the client accepts
+        code, hdrs, data = request(
+            port, "POST", "/generate", json.dumps({"num_samples": 1, "seed": 3}),
+            headers={"Accept-Encoding": "gzip"})
+        assert code == 200
+        assert hdrs.get("content-encoding") == "gzip"
+        assert int(hdrs["content-length"]) == len(data)
+        payload = json.loads(gzip.decompress(data))
+        assert len(payload["samples"]) == 1
+
+        # small bodies stay identity even when gzip is accepted
+        code, hdrs, data = request(port, "GET", "/health",
+                                   headers={"Accept-Encoding": "gzip"})
+        assert code == 200 and "content-encoding" not in hdrs
+        json.loads(data)
+
+        # no Accept-Encoding -> identity regardless of size
+        code, hdrs, data = request(
+            port, "POST", "/generate", json.dumps({"num_samples": 1, "seed": 3}))
+        assert code == 200 and "content-encoding" not in hdrs
+        json.loads(data)
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+    # a configured origin list filters: allowed origin echoes, others get none
+    httpd = make_stdlib_server(api, "127.0.0.1", 0,
+                               cors_origins=("http://ok.example",))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        code, hdrs, _ = request(port, "GET", "/health",
+                                headers={"Origin": "http://ok.example"})
+        assert hdrs["access-control-allow-origin"] == "http://ok.example"
+        code, hdrs, _ = request(port, "GET", "/health",
+                                headers={"Origin": "http://evil.example"})
+        assert "access-control-allow-origin" not in hdrs
+        code, hdrs, _ = request(port, "OPTIONS", "/generate", headers={
+            "Origin": "http://evil.example",
+            "Access-Control-Request-Method": "POST"})
+        assert code == 204 and "access-control-allow-origin" not in hdrs
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
 def test_stdlib_server_sigterm_drains(tmp_path):
     """SIGTERM must drain the stdlib server: the process finishes IN-FLIGHT
     requests (handler threads are daemons, so this needs the explicit drain
