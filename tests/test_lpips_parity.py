@@ -174,3 +174,101 @@ def test_conversion_golden_gray_input(tmp_path):
     want = _torch_lpips_forward(model, lins, xt, yt)
     got = np.asarray(lpips.apply({"params": params}, jnp.asarray(x), jnp.asarray(y)))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_sha256_pinning(tmp_path):
+    """A tampered weights download must fail loudly and be removed — via the
+    torchvision filename pin, an explicit pin, or the trust-on-first-use
+    sidecar (the lpips squeeze.pth path, which upstream publishes no digest
+    for)."""
+    from tools.convert_lpips import (hash_prefix_from_filename, sha256_of,
+                                     verify_artifact)
+
+    # torchvision filename convention parsing
+    assert hash_prefix_from_filename(
+        "https://download.pytorch.org/models/squeezenet1_1-b8a52dc0.pth") == "b8a52dc0"
+    assert hash_prefix_from_filename("squeeze.pth") is None
+    assert hash_prefix_from_filename("model-v2.pth") is None  # not hex
+
+    # filename-pinned artifact: correct prefix passes, tamper fails + removes
+    blob = tmp_path / "thing.bin"
+    blob.write_bytes(b"payload-a")
+    digest = sha256_of(str(blob))
+    pinned = tmp_path / f"weights-{digest[:8]}.pth"
+    pinned.write_bytes(b"payload-a")
+    assert verify_artifact(str(pinned)) == digest
+    pinned.write_bytes(b"tampered!")
+    with pytest.raises(SystemExit, match="sha256 mismatch"):
+        verify_artifact(str(pinned))
+    assert not pinned.exists()
+
+    # explicit pin beats everything
+    blob2 = tmp_path / "squeeze.pth"
+    blob2.write_bytes(b"lin-weights")
+    d2 = sha256_of(str(blob2))
+    assert verify_artifact(str(blob2), expected=d2) == d2
+    blob2.write_bytes(b"lin-weights")
+    with pytest.raises(SystemExit, match="sha256 mismatch"):
+        verify_artifact(str(blob2), expected="0" * 64)
+    assert not blob2.exists()
+
+    # trust-on-first-use sidecar: first call writes the pin, a silent upstream
+    # change then fails the next verification
+    blob3 = tmp_path / "squeeze2.pth"
+    blob3.write_bytes(b"original upstream weights")
+    verify_artifact(str(blob3))
+    assert (tmp_path / "squeeze2.pth.sha256").exists()
+    verify_artifact(str(blob3))  # unchanged: still fine
+    blob3.write_bytes(b"upstream silently changed")
+    with pytest.raises(SystemExit, match="sha256 mismatch"):
+        verify_artifact(str(blob3))
+    assert not blob3.exists()
+
+
+# CI converts the REAL pretrained weights (tools/convert_lpips.py --download,
+# cached + sha256-pinned) and points this env var at the cache dir; offline
+# dev boxes skip. Proves pretrained-weight conversion, not just the mechanism.
+_LPIPS_CACHE = os.environ.get(
+    "LDM3D_LPIPS_CACHE", os.path.expanduser("~/.cache/ldm3d_tpu/lpips"))
+_REAL_SQUEEZENET = os.path.join(_LPIPS_CACHE, "squeezenet1_1-b8a52dc0.pth")
+_REAL_LINS = os.path.join(_LPIPS_CACHE, "squeeze.pth")
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(_REAL_SQUEEZENET) and os.path.exists(_REAL_LINS)),
+    reason="pretrained LPIPS weights not cached (run tools/convert_lpips.py "
+           "--download on a machine with egress)")
+def test_real_pretrained_conversion(tmp_path):
+    """End-to-end parity on the ACTUAL pretrained tensors: verify the pins,
+    convert, and match torch LPIPS on the real weights to 1e-5."""
+    from tools.convert_lpips import convert, verify_artifact
+
+    verify_artifact(_REAL_SQUEEZENET)  # filename-embedded torchvision pin
+    verify_artifact(_REAL_LINS)  # sidecar written by --download
+
+    out_path = os.path.join(tmp_path, "lpips_squeeze.msgpack")
+    convert(_REAL_SQUEEZENET, _REAL_LINS, out_path)
+
+    model = _build_torch_squeezenet(seed=0)
+    sd = torch.load(_REAL_SQUEEZENET, map_location="cpu", weights_only=True)
+    # torchvision ships classifier.* keys the features-only trunk lacks
+    missing, unexpected = model.load_state_dict(sd, strict=False)
+    assert not missing, missing
+    assert all(k.startswith("classifier") for k in unexpected), unexpected
+    lins_raw = torch.load(_REAL_LINS, map_location="cpu", weights_only=True)
+    lins = {k: v.float() for k, v in lins_raw.items()}
+
+    from types import SimpleNamespace
+
+    from ldm3d_tpu.cli.train_autoencoder import build_lpips
+
+    lpips_apply = build_lpips(SimpleNamespace(lpips_weights=out_path), jnp.float32)
+
+    rng = np.random.default_rng(7)
+    x = rng.uniform(size=(2, 64, 64, 3)).astype(np.float32)
+    y = rng.uniform(size=(2, 64, 64, 3)).astype(np.float32)
+    want = _torch_lpips_forward(model, lins, torch.from_numpy(x).permute(0, 3, 1, 2),
+                                torch.from_numpy(y).permute(0, 3, 1, 2))
+    got = np.asarray(lpips_apply(jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    assert np.all(want > 0)

@@ -107,26 +107,88 @@ def convert(squeezenet_path: str, lpips_lin_path: str | None, out_path: str) -> 
     print(f"wrote {out_path}")
 
 
-# canonical public URLs (used by --download on machines with egress)
+# canonical public URLs (used by --download on machines with egress).
+# torchvision names release files `<model>-<sha256[:8]>.pth` — the embedded
+# prefix pins the SqueezeNet download. Upstream lpips publishes no digest for
+# squeeze.pth, so that artifact is pinned trust-on-first-use via a sidecar
+# (or explicitly with --expect-lpips-sha256): a silent upstream weight change
+# can no longer ship unnoticed into the perceptual loss.
 _SQUEEZENET_URL = "https://download.pytorch.org/models/squeezenet1_1-b8a52dc0.pth"
 _LPIPS_LIN_URL = ("https://raw.githubusercontent.com/richzhang/PerceptualSimilarity/"
                   "master/lpips/weights/v0.1/squeeze.pth")
 
 
-def download(dest_dir: str) -> tuple[str, str]:
+def sha256_of(path: str) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def hash_prefix_from_filename(url_or_path: str) -> str | None:
+    """torchvision convention: ``<name>-<sha256 hex prefix>.pth``. Returns the
+    hex prefix (>= 8 chars) or None when the name carries none."""
+    stem = url_or_path.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+    if "-" not in stem:
+        return None
+    candidate = stem.rsplit("-", 1)[-1].lower()
+    if len(candidate) >= 8 and all(c in "0123456789abcdef" for c in candidate):
+        return candidate
+    return None
+
+
+def verify_artifact(path: str, expected: str | None = None, *,
+                    use_sidecar: bool = True) -> str:
+    """Verify ``path`` against a sha256 pin; a mismatch deletes the file and
+    raises loudly (a tampered or silently-changed download must never convert).
+
+    Pin resolution order: ``expected`` (full digest or hex prefix) ->
+    torchvision-style hash-prefix embedded in the filename -> a ``.sha256``
+    sidecar written on first fetch (trust-on-first-use; absent sidecar is
+    created). Returns the file's digest."""
+    import os
+
+    digest = sha256_of(path)
+    pin = expected or hash_prefix_from_filename(path)
+    sidecar = path + ".sha256"
+    if pin is None and use_sidecar and os.path.exists(sidecar):
+        with open(sidecar) as f:
+            pin = f.read().strip().lower()
+    if pin is not None:
+        if not digest.startswith(pin.lower()):
+            os.remove(path)
+            raise SystemExit(
+                f"sha256 mismatch for {path}: got {digest}, expected "
+                f"{pin}* — the artifact was removed; re-download it and, if "
+                f"the mismatch persists, the upstream weights changed "
+                f"(do NOT use them without re-validating the perceptual loss)")
+    elif use_sidecar:
+        with open(sidecar, "w") as f:
+            f.write(digest + "\n")
+        print(f"pinned {os.path.basename(path)} sha256={digest} (trust-on-first-use; "
+              f"sidecar {os.path.basename(sidecar)})")
+    return digest
+
+
+def download(dest_dir: str, lpips_sha256: str | None = None) -> tuple[str, str]:
     """Fetch the pretrained torchvision SqueezeNet v1.1 and LPIPS lin weights
     (needs network egress; in offline environments obtain the two files by
-    any other means and pass --squeezenet/--lpips-lin directly)."""
+    any other means and pass --squeezenet/--lpips-lin directly). Both
+    artifacts are sha256-verified — see :func:`verify_artifact`."""
     import os
     import urllib.request
 
     os.makedirs(dest_dir, exist_ok=True)
     paths = []
-    for url in (_SQUEEZENET_URL, _LPIPS_LIN_URL):
+    for url, expected in ((_SQUEEZENET_URL, None), (_LPIPS_LIN_URL, lpips_sha256)):
         dest = os.path.join(dest_dir, url.rsplit("/", 1)[-1])
         if not os.path.exists(dest):
             print(f"downloading {url}")
             urllib.request.urlretrieve(url, dest)  # noqa: S310 - fixed https URLs
+        verify_artifact(dest, expected)
         paths.append(dest)
     return paths[0], paths[1]
 
@@ -136,12 +198,18 @@ def main():
     p.add_argument("--squeezenet", default=None, help="torchvision squeezenet1_1 state_dict .pth")
     p.add_argument("--lpips-lin", default=None, help="lpips squeeze.pth lin weights (optional)")
     p.add_argument("--download", action="store_true",
-                   help="fetch both weight files from their public URLs first")
+                   help="fetch both weight files from their public URLs first "
+                        "(sha256-verified: torchvision filename pin for "
+                        "squeezenet, sidecar/--expect-lpips-sha256 for lpips)")
+    p.add_argument("--expect-lpips-sha256", default=None,
+                   help="explicit sha256 (or hex prefix) pin for the lpips "
+                        "squeeze.pth download; default: trust-on-first-use "
+                        "sidecar next to the cached file")
     p.add_argument("--cache-dir", default=os.path.expanduser("~/.cache/ldm3d_tpu/lpips"))
     p.add_argument("--out", default="lpips_squeeze.msgpack")
     args = p.parse_args()
     if args.download:
-        sq, lin = download(args.cache_dir)
+        sq, lin = download(args.cache_dir, lpips_sha256=args.expect_lpips_sha256)
         args.squeezenet = args.squeezenet or sq
         args.lpips_lin = args.lpips_lin or lin
     if not args.squeezenet:
