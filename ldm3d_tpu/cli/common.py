@@ -354,3 +354,43 @@ def default_sampler_steps(name: str, sched_cfg: dict) -> int:
     """Concrete step count ``make_sampling_scheduler(name, None, cfg)`` runs."""
     n_train = sched_cfg["num_train_timesteps"]
     return n_train if name == "ddpm" else min(50, n_train)
+
+
+# full-batch decode is faster ON DEVICE (batch-8: 200 ms / MFU 0.40 vs 274 ms
+# / 0.33 for 8 chunk-1 programs — BENCH_r03, docs/PERFORMANCE.md), but chunk-1
+# readbacks overlap the next batch's compute, which wins end-to-end when the
+# device->host link is slow. 1 GB/s separates the regimes comfortably:
+# production PCIe is >=8 GB/s, the dev tunnel ~0.06-0.08 GB/s.
+READBACK_FAST_GBPS = 1.0
+
+
+def probe_readback_gbps(nbytes: int = 16 << 20) -> float:
+    """Measured device->host transfer rate, GB/s (one warm readback, timed)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    x = jax.device_put(jnp.zeros((nbytes // 4,), jnp.float32))
+    np.asarray(x)  # warm: allocation + first-transfer setup
+    t0 = time.perf_counter()
+    np.asarray(x)
+    return nbytes / max(time.perf_counter() - t0, 1e-9) / 1e9
+
+
+def resolve_decode_chunk(value, logger=None) -> int:
+    """``--decode-chunk`` value -> concrete chunk size.
+
+    Ints pass through (0 = whole batch). ``'auto'`` probes the readback rate
+    and picks the regime: whole batch on fast links (the faster device
+    program), chunk 1 on slow ones (readback overlap dominates).
+    """
+    if value != "auto":
+        return max(0, int(value))
+    gbps = probe_readback_gbps()
+    chunk = 0 if gbps >= READBACK_FAST_GBPS else 1
+    if logger is not None:
+        logger.info("decode-chunk auto: readback %.2f GB/s -> %s",
+                    gbps, "whole batch" if chunk == 0 else "chunk 1")
+    return chunk

@@ -108,8 +108,10 @@ def build_sampler_fn(args, ae, ae_params, unet, u_params, scheduler, scale_facto
                     "sampling runs on one chip (pick --batch as a multiple "
                     "to use the whole mesh)", args.batch, n_data)
 
+    from ldm3d_tpu.cli.common import resolve_decode_chunk
+
     fused = getattr(args, "fused_decode", False)
-    chunk = int(getattr(args, "decode_chunk", 0) or 0)
+    chunk = resolve_decode_chunk(getattr(args, "decode_chunk", 0) or 0, log)
     if chunk and fused:
         log.info("--decode-chunk ignored: --fused-decode compiles the reverse "
                  "loop + whole-batch decode as one program")
@@ -176,11 +178,12 @@ def main(argv=None):
                         help="compile reverse loop + VAE decode as ONE XLA program "
                              "(one dispatch per batch; needs a compile service without "
                              "program-size caps — production TPU runtimes are fine)")
-    parser.add_argument("--decode-chunk", type=int, default=0,
+    parser.add_argument("--decode-chunk", default="0",
                         help="decode the sampled batch in chunks of this many volumes "
-                             "(0 = whole batch). Chunk 1 measured 31%% faster VAE decode "
-                             "on v5e at 96^3 batch 8 (less HBM pressure); chunk readbacks "
-                             "overlap the next batch's reverse scan")
+                             "(0 = whole batch; 'auto' probes the device->host rate and "
+                             "picks whole-batch on fast links, chunk 1 on slow ones "
+                             "whose per-chunk readbacks overlap the next batch's "
+                             "reverse scan — docs/PERFORMANCE.md)")
     args = parser.parse_args(argv)
     args, mesh = setup(args)
     if mesh.shape.get("stage", 1) > 1:

@@ -438,9 +438,12 @@ def main(argv=None):
     p.add_argument("--spatial", type=int, default=1,
                    help="shard each volume's depth over N chips (serve volumes "
                         "larger than one chip's memory); needs batch*spatial devices")
-    p.add_argument("--decode-chunk", type=int, default=1,
+    p.add_argument("--decode-chunk", default="auto",
                    help="decode sampled batches in chunks of N volumes (0 = whole "
-                        "batch; 1 measured 31%% faster VAE decode on v5e at batch 8)")
+                        "batch). 'auto' (default) probes the device->host rate at "
+                        "load: whole batch on fast links (batch-8 decode measured "
+                        "200 vs 274 ms device-only), chunk 1 on slow ones where "
+                        "per-chunk readback overlap wins — docs/PERFORMANCE.md")
     p.add_argument("--cors-origins", default="*",
                    help="comma-separated allowed CORS origins (default '*', the "
                         "reference's open default — narrow it in production)")
@@ -453,9 +456,11 @@ def main(argv=None):
 
     enable_persistent_compile_cache()
 
+    decode_chunk = (args.decode_chunk if args.decode_chunk == "auto"
+                    else int(args.decode_chunk))
     server = ModelServer(args.config_file, args.environment_file, args.sampler, args.steps,
                          batch=args.batch, spatial=args.spatial,
-                         decode_chunk=args.decode_chunk,
+                         decode_chunk=decode_chunk,
                          timestep_spacing=args.timestep_spacing)
     server.load_model()
     api = Api(server)

@@ -102,7 +102,7 @@ class _SamplerCacheEntry:
 class ModelServer:
     def __init__(self, config_file: Optional[str] = None, environment_file: Optional[str] = None,
                  sampler: str = "ddim", steps: Optional[int] = None, batch: int = 1,
-                 spatial: int = 1, decode_chunk: int = 0,
+                 spatial: int = 1, decode_chunk: "int | str" = 0,
                  timestep_spacing: Optional[str] = None):
         """``batch``: volumes per compiled sampler call. Larger batches raise
         MXU utilization sharply (measured on v5e at 96^3: ~2.2x volumes/sec
@@ -136,9 +136,14 @@ class ModelServer:
         self.batch = max(1, int(batch))
         self.spatial = max(1, int(spatial))
         # decode the sampled batch in chunks of this many volumes (0 = whole
-        # batch): chunk 1 measured 31% faster VAE decode on v5e at 96^3
-        # batch 8 — less HBM pressure (docs/PERFORMANCE.md)
-        self.decode_chunk = max(0, int(decode_chunk))
+        # batch; 'auto' probes the device->host rate at load and picks the
+        # regime — whole batch on fast links, chunk 1 on slow ones where the
+        # per-chunk readback overlap dominates; docs/PERFORMANCE.md)
+        if isinstance(decode_chunk, str) and decode_chunk != "auto":
+            raise ValueError(f"decode_chunk must be an int or 'auto', "
+                             f"got {decode_chunk!r}")
+        self.decode_chunk = (decode_chunk if decode_chunk == "auto"
+                             else max(0, int(decode_chunk)))
         self.model_loaded = False
         self.is_dummy = False
         self.load_time: Optional[float] = None
@@ -212,6 +217,11 @@ class ModelServer:
         merge_configs_onto_args(args, self.environment_file, self.config_file)
         ctx = TrainContext(args)
         self.patch_size = args.diffusion_train["patch_size"]
+        if self.decode_chunk == "auto":
+            # resolve against the real backend the server will decode on
+            from ldm3d_tpu.cli.common import resolve_decode_chunk
+
+            self.decode_chunk = resolve_decode_chunk("auto", log)
         rng = jax.random.PRNGKey(0)
 
         ae = define_instance(args, "autoencoder_def")

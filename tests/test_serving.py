@@ -422,6 +422,28 @@ def test_stdlib_http_roundtrip(api):
         httpd.server_close()
 
 
+def test_decode_chunk_auto(monkeypatch):
+    """'auto' picks the readback regime: whole batch (0) on fast links,
+    chunk 1 on slow ones; ints pass through; junk rejected at construction."""
+    import logging
+
+    from ldm3d_tpu.cli import common as cli_common
+    from ldm3d_tpu.cli.common import resolve_decode_chunk
+
+    monkeypatch.setattr(cli_common, "probe_readback_gbps", lambda *a: 8.0)
+    assert resolve_decode_chunk("auto", logging.getLogger(__name__)) == 0
+    monkeypatch.setattr(cli_common, "probe_readback_gbps", lambda *a: 0.07)
+    assert resolve_decode_chunk("auto") == 1
+    assert resolve_decode_chunk(3) == 3
+    assert resolve_decode_chunk("0") == 0
+    assert resolve_decode_chunk(-2) == 0
+
+    with pytest.raises(ValueError, match="auto"):
+        ModelServer(None, None, decode_chunk="whole")
+    srv = ModelServer(None, None, decode_chunk="auto")
+    assert srv.decode_chunk == "auto"  # resolved at load, against the backend
+
+
 def test_stdlib_cors_and_gzip(api):
     """Middleware parity with the reference's CORSMiddleware +
     GZipMiddleware(minimum_size=1000) (ref api_server.py:250-258): preflight,
