@@ -411,8 +411,10 @@ def run_bench(models, BATCH: int):
         _progress(f"training secondary skipped ({type(e).__name__}: {str(e)[:80]})")
 
     # secondary: stage-1 VAE-GAN training throughput at the recommended
-    # config (batch 8 + remat @ 64^3, unlocked by the streamed flash-attention
-    # backward — docs/PERFORMANCE.md); failures never affect the headline
+    # config (batch 8, NO remat, @ 64^3 — the round-3 trace audit measured the
+    # un-rematerialized step fits one v5e and runs 333.5 vs 351.6 ms, and the
+    # big trace bucket full remat was paying for is true backward convs, not
+    # recompute — docs/PERFORMANCE.md); failures never affect the headline
     s1_train_vols_per_sec = None
     s1_train_mfu = s1_step_gflops = None
     try:
@@ -420,7 +422,7 @@ def run_bench(models, BATCH: int):
         from ldm3d_tpu.training import (Stage1Config, TrainState, make_optimizer,
                                         make_stage1_train_step)
 
-        ae_rm = ae.clone(remat=True)
+        ae_rm = ae.clone(remat=False)
         disc = PatchDiscriminator3D(num_layers_d=3, channels=32, dtype=jnp.bfloat16)
         s1x = jax.random.uniform(rng, (8, 64, 64, 64, 1), jnp.float32)
         g_params = jax.jit(ae_rm.init)({"params": rng, "sample": rng},

@@ -79,10 +79,15 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    help="dev mode: raise at the op producing a NaN (jax_debug_nans)")
     p.add_argument("--grad-accum", type=int, default=1,
                    help="gradient accumulation steps (the reference documents but never implemented this)")
-    p.add_argument("--remat", action="store_true",
-                   help="rematerialize ResBlocks (gradient checkpointing): ~25%% extra "
-                        "backward FLOPs for 20-30%% less activation memory — unlocks "
-                        "batch 8 latent-space training on one v5e (docs/PERFORMANCE.md)")
+    p.add_argument("--remat", nargs="?", const="full", default=None,
+                   choices=["full", "convs"],
+                   help="rematerialize ResBlocks (gradient checkpointing). Bare "
+                        "--remat = 'full' (minimum memory, re-runs forward convs in "
+                        "the backward); --remat convs saves the MXU conv outputs and "
+                        "recomputes only GroupNorm/SiLU — near-full-speed at ~1/3 of "
+                        "the unremated activation memory. At 64^3 batch 8 on one v5e "
+                        "NO remat fits and is fastest (docs/PERFORMANCE.md round-3 "
+                        "stage-1 audit)")
     p.add_argument("--spatial", type=int, default=1,
                    help="spatial (context) parallel axis size: shard volume depth over this many "
                         "devices per replica (see docs/SCALING.md)")

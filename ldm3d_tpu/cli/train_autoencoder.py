@@ -108,7 +108,7 @@ def main(argv=None):
     log.info("global batch %d, %d steps/epoch", batch_size, steps_per_epoch)
 
     # models ---------------------------------------------------------------
-    ae = define_instance(args, "autoencoder_def").clone(dtype=dt, **({'remat': True} if args.remat else {}))
+    ae = define_instance(args, "autoencoder_def").clone(dtype=dt, **({'remat': args.remat} if args.remat else {}))
     disc = PatchDiscriminator3D(num_layers_d=3, channels=32, in_channels=args.image_channels,
                                 out_channels=1, dtype=dt)
     rng = jax.random.PRNGKey(env_seed(args))

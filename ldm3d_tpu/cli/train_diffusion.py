@@ -103,7 +103,7 @@ def main(argv=None):
     log.info("scale_factor = %.6f", float(scale_factor))
 
     # UNet -------------------------------------------------------------------
-    unet = define_instance(args, "diffusion_def").clone(dtype=dt, **({'remat': True} if args.remat else {}))
+    unet = define_instance(args, "diffusion_def").clone(dtype=dt, **({'remat': args.remat} if args.remat else {}))
     latent_size = [p // ae.downsample_factor for p in train_cfg["patch_size"]]
     probe = jnp.zeros((1, *latent_size, unet.in_channels), dt)
     u_vars = jax.jit(unet.init)(rng, probe, jnp.zeros((1,), jnp.int32))

@@ -25,6 +25,7 @@ from ldm3d_tpu.nn.blocks import (
     ResBlock3D,
     Upsample3D,
     _conv3,
+    remat_wrapped,
 )
 
 Dtype = Any
@@ -41,13 +42,13 @@ class Encoder3D(nn.Module):
     norm_eps: float = 1e-6
     with_nonlocal_attn: bool = False
     dtype: Dtype = jnp.float32
-    remat: bool = False
+    remat: Any = False  # False | True/'full' | 'convs' (see blocks.remat_wrapped)
     spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         sp = self.spatial_axis
-        ResBlock = nn.remat(ResBlock3D) if self.remat else ResBlock3D
+        ResBlock = remat_wrapped(ResBlock3D, self.remat)
         h = _conv3(self.channels[0], self.dtype, name="conv_in", spatial_axis=sp)(x)
         num_levels = len(self.channels)
         for level in range(num_levels):
@@ -82,13 +83,13 @@ class Decoder3D(nn.Module):
     norm_eps: float = 1e-6
     with_nonlocal_attn: bool = False
     dtype: Dtype = jnp.float32
-    remat: bool = False
+    remat: Any = False  # False | True/'full' | 'convs' (see blocks.remat_wrapped)
     spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, z: jax.Array) -> jax.Array:
         sp = self.spatial_axis
-        ResBlock = nn.remat(ResBlock3D) if self.remat else ResBlock3D
+        ResBlock = remat_wrapped(ResBlock3D, self.remat)
         rev_channels = list(reversed(self.channels))
         rev_blocks = list(reversed(self.num_res_blocks))
         rev_attn = list(reversed(self.attention_levels))
@@ -132,7 +133,7 @@ class AutoencoderKL(nn.Module):
     with_encoder_nonlocal_attn: bool = False
     with_decoder_nonlocal_attn: bool = False
     dtype: Dtype = jnp.float32
-    remat: bool = False  # rematerialize ResBlocks (gradient checkpointing)
+    remat: Any = False  # ResBlock checkpointing: False | True/'full' | 'convs'
     spatial_axis: Optional[str] = None  # depth-shard activations over this mesh axis
 
     @classmethod

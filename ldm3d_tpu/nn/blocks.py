@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 
 from ldm3d_tpu.ops.attention import volumetric_attention
 from ldm3d_tpu.parallel.spatial import halo_exchange
@@ -299,6 +300,23 @@ class GroupNorm32(nn.Module):
         return y.reshape(x.shape)
 
 
+def remat_wrapped(block_cls, remat):
+    """Wrap a block class per the remat mode: ``False`` (no remat), ``True`` /
+    ``"full"`` (checkpoint everything — minimum memory, re-runs every forward
+    conv in the backward), or ``"convs"`` (checkpoint policy saves the
+    ``resblock_conv``-tagged MXU conv outputs and recomputes only the cheap
+    GroupNorm/SiLU elementwise passes — ~1/3 of full-remat's activation
+    saving for none of its conv-recompute cost; the stage-1 recipe)."""
+    if not remat:
+        return block_cls
+    if remat == "convs":
+        policy = jax.checkpoint_policies.save_only_these_names("resblock_conv")
+        return nn.remat(block_cls, policy=policy)
+    if remat is not True and remat != "full":
+        raise ValueError(f"remat must be False, True/'full', or 'convs': {remat!r}")
+    return nn.remat(block_cls)
+
+
 class ResBlock3D(nn.Module):
     """norm -> silu -> conv -> norm -> silu -> conv with 1x1 shortcut."""
 
@@ -311,14 +329,24 @@ class ResBlock3D(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         sp = self.spatial_axis
+        # checkpoint_name tags are no-ops unless the block runs under
+        # nn.remat with the save-convs policy (AutoencoderKL remat="convs"):
+        # then the MXU conv results are SAVED and only the VPU-cheap
+        # GroupNorm/SiLU passes recompute in the backward — measured on the
+        # stage-1 trace audit, full remat re-runs every forward conv (~30% of
+        # step time) for ~3x less activation-memory saving than the convs
+        # are worth (docs/PERFORMANCE.md round-3 stage-1 audit).
         h = GroupNorm32(self.num_groups, self.norm_eps, spatial_axis=sp, name="norm1")(x)
         h = nn.silu(h)
         h = _conv3(self.out_channels, self.dtype, name="conv1", spatial_axis=sp)(h)
+        h = _checkpoint_name(h, "resblock_conv")
         h = GroupNorm32(self.num_groups, self.norm_eps, spatial_axis=sp, name="norm2")(h)
         h = nn.silu(h)
         h = _conv3(self.out_channels, self.dtype, name="conv2", spatial_axis=sp)(h)
+        h = _checkpoint_name(h, "resblock_conv")
         if x.shape[-1] != self.out_channels:
             x = _conv3(self.out_channels, self.dtype, name="shortcut", kernel=1, spatial_axis=sp)(x)
+            x = _checkpoint_name(x, "resblock_conv")
         return x + h
 
 
@@ -337,14 +365,17 @@ class TimeResBlock3D(nn.Module):
         h = GroupNorm32(self.num_groups, self.norm_eps, spatial_axis=sp, name="norm1")(x)
         h = nn.silu(h)
         h = _conv3(self.out_channels, self.dtype, name="conv1", spatial_axis=sp)(h)
+        h = _checkpoint_name(h, "resblock_conv")
         t = nn.silu(temb)
         t = nn.Dense(self.out_channels, dtype=self.dtype, param_dtype=jnp.float32, name="time_proj")(t)
         h = h + t[:, None, None, None, :]
         h = GroupNorm32(self.num_groups, self.norm_eps, spatial_axis=sp, name="norm2")(h)
         h = nn.silu(h)
         h = _conv3(self.out_channels, self.dtype, name="conv2", spatial_axis=sp)(h)
+        h = _checkpoint_name(h, "resblock_conv")
         if x.shape[-1] != self.out_channels:
             x = _conv3(self.out_channels, self.dtype, name="shortcut", kernel=1, spatial_axis=sp)(x)
+            x = _checkpoint_name(x, "resblock_conv")
         return x + h
 
 

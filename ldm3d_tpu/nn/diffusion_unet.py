@@ -38,6 +38,7 @@ from ldm3d_tpu.nn.blocks import (
     TimestepEmbedding,
     Upsample3D,
     _conv3,
+    remat_wrapped,
 )
 
 Dtype = Any
@@ -85,7 +86,7 @@ class DiffusionUNet3D(nn.Module):
     norm_num_groups: int = 32
     norm_eps: float = 1e-6
     dtype: Dtype = jnp.float32
-    remat: bool = False  # rematerialize ResBlocks (gradient checkpointing)
+    remat: Any = False  # ResBlock checkpointing: False | True/'full' | 'convs'
     spatial_axis: Optional[str] = None  # depth-shard activations over this mesh axis
     mid_depth: int = 0  # extra uniform (res, attn) bottleneck pairs (see module docstring)
 
@@ -130,7 +131,7 @@ class DiffusionUNet3D(nn.Module):
         sp = self.spatial_axis
         # remat trades recompute for activation memory — the TPU equivalent of
         # the reference's gradient checkpointing (train_autoencoder.py:161-164)
-        ResBlock = nn.remat(TimeResBlock3D) if self.remat else TimeResBlock3D
+        ResBlock = remat_wrapped(TimeResBlock3D, self.remat)
 
         self.time_embed = TimestepEmbedding(
             self.channels[0], 4 * self.channels[0], dtype=self.dtype, name="time_embed")
@@ -163,7 +164,7 @@ class DiffusionUNet3D(nn.Module):
             num_groups=self.norm_num_groups, norm_eps=self.norm_eps,
             dtype=self.dtype, spatial_axis=sp, name="mid_attn")
         if self.mid_depth > 0:
-            Mid = nn.remat(MidBlock3D) if self.remat else MidBlock3D
+            Mid = remat_wrapped(MidBlock3D, self.remat)
             self.mid_stack = nn.scan(
                 Mid,
                 variable_axes={"params": 0},

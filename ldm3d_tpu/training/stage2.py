@@ -354,9 +354,9 @@ def make_stage2_train_step_pp(unet, ae, scheduler, cfg: Stage2Config, mesh,
     # (the UNet's own mid_stack_apply remats MidBlock3D when unet.remat —
     # without this the pipelined bottleneck stores every tick's activations
     # for all microbatches, defeating --remat at the sizes it exists for)
-    from flax import linen as nn
+    from ldm3d_tpu.nn.blocks import remat_wrapped
 
-    Mid = nn.remat(MidBlock3D) if unet.remat else MidBlock3D
+    Mid = remat_wrapped(MidBlock3D, unet.remat)
     mid_block = Mid(
         out_channels=unet.channels[-1], num_head_channels=unet.num_head_channels[-1],
         num_groups=unet.norm_num_groups, norm_eps=unet.norm_eps, dtype=unet.dtype)
