@@ -71,9 +71,12 @@ def recommend_settings(dev: dict, host: dict) -> dict:
     if hbm_gb >= 24:
         preset, batch, patch, remat = "config_train_32g.json", 2, [96, 96, 96], False
     elif hbm_gb >= 12:
-        # batch 8 + remat fits 16 GB HBM at 64^3 and measured 2.5x the
-        # batch-1/2 stage-1 throughput (sublane padding quantum is 8)
-        preset, batch, patch, remat = "config_train_32g.json", 8, [64, 64, 64], True
+        # batch 8 WITHOUT remat fits 16 GB HBM at 64^3 and is the measured
+        # fastest stage-1 recipe (307.5 ms device/step vs 351.6 rematerialized
+        # — the per-fusion audit showed the remat cost was real backward-conv
+        # recompute, docs/PERFORMANCE.md round-3 section); batches below the
+        # sublane quantum 8 pad to it, so batch 8 stays 2.5x batch 2
+        preset, batch, patch, remat = "config_train_32g.json", 8, [64, 64, 64], False
     else:
         preset, batch, patch, remat = "config_train_stable.json", 1, [48, 48, 48], False
     return {
@@ -87,9 +90,10 @@ def recommend_settings(dev: dict, host: dict) -> dict:
         "notes": [
             f"{dev['device_kind']} x{n}, ~{hbm_gb:.0f} GB HBM/chip",
             "bf16 compute with fp32 params; no loss scaler or NaN guards needed",
-            "batch 8/chip with --remat: the TPU sublane quantum is 8, so batches "
-            "below 8 pad to it — stage-1 measured 17.0 vol/s at batch 8 vs 6.8 "
-            "at batch 2 on one v5e (docs/PERFORMANCE.md)",
+            "batch 8/chip: the TPU sublane quantum is 8, so batches below 8 "
+            "pad to it — stage-1 measured 23-26 vol/s at batch 8 (no remat) vs "
+            "6.8 at batch 2 on one v5e; use '--remat convs' for larger crops "
+            "(no-remat speed at ~1/3 activation memory, docs/PERFORMANCE.md)",
             "stage 2: --cache-latents --remat with batch 8/chip measured 5x the "
             "full-step training throughput (docs/PERFORMANCE.md)",
             "inference/serving: --batch 8 maximizes MXU utilization (~2x vol/s vs batch 2)",
