@@ -1,0 +1,95 @@
+"""Crash-safety of the driver benchmark (round-3 verdict item 1).
+
+Round 3's bench measured a 2.144 vol/s headline, then an OOM in a training
+secondary cascaded (leaked heap -> unguarded section OOM -> fallback chain
+retried into the full heap) and the driver artifact ended up a stack trace.
+This test runs the ENTIRE bench flow — fallback chain, guarded secondaries,
+dual JSON emission — in a subprocess on CPU with the tiny preset, with TWO
+injected faults:
+
+  * ``LDM3D_BENCH_FAIL_BATCH=2``: the first headline attempt (batch 2) dies
+    after allocating its inputs -> the chain must free them and succeed at
+    batch 1;
+  * ``LDM3D_BENCH_FAIL_SECONDARY=stage2_train``: one secondary dies after
+    allocating device memory -> its field must be null, every other
+    secondary must still run, and BOTH emitted JSON lines must be valid.
+
+The subprocess boundary is deliberate: it asserts on the exact stdout the
+driver parses.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TINY_ENV = {
+    "JAX_PLATFORMS": "cpu",
+    "XLA_FLAGS": "",
+    "LDM3D_BENCH_PRESET": "config_tiny_cpu.json",
+    "LDM3D_BENCH_VOLUME": "32",
+    "LDM3D_BENCH_DDIM_STEPS": "4",
+    "LDM3D_BENCH_DDPM_STEPS": "16",
+    "LDM3D_BENCH_BASELINE_STEPS": "2",
+    "LDM3D_BENCH_REPEATS": "1",
+    "LDM3D_BENCH_BATCHES": "2,1",
+    "LDM3D_BENCH_DECODE_BATCH": "1",
+    "LDM3D_BENCH_S1_BATCH": "1",
+    "LDM3D_BENCH_S1_VOLUME": "16",
+}
+
+
+def _run_bench(extra_env):
+    env = dict(os.environ)
+    env.update(TINY_ENV)
+    env.update(extra_env)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO)
+    return proc
+
+
+def _json_lines(stdout: str):
+    out = []
+    for line in stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            out.append(json.loads(line))
+    return out
+
+
+def test_injected_faults_cannot_erase_headline():
+    proc = _run_bench({
+        "LDM3D_BENCH_FAIL_BATCH": "2",
+        "LDM3D_BENCH_FAIL_SECONDARY": "stage2_train",
+    })
+    assert proc.returncode == 0, f"bench died:\n{proc.stderr[-3000:]}"
+    lines = _json_lines(proc.stdout)
+    # dual emission: headline line first, enriched line last
+    assert len(lines) == 2, f"expected 2 JSON lines, got {len(lines)}:\n{proc.stdout}"
+    headline, enriched = lines
+
+    # the injected batch-2 failure fell back to batch 1 (heap was recoverable)
+    assert "injected headline failure at batch 2" in proc.stderr
+    assert headline["batch"] == 1 and enriched["batch"] == 1
+
+    for res in (headline, enriched):
+        assert res["unit"] == "volumes/sec/chip"
+        assert res["value"] > 0
+        assert res["vs_baseline"] > 0
+
+    # headline line predates every secondary
+    assert headline["dpm20_volumes_per_sec_chip"] is None
+    assert headline["stage2_train_volumes_per_sec_chip"] is None
+
+    # the dead secondary is null in the enriched line; the guard logged it,
+    # scrubbed its buffers, and the REMAINING secondaries still ran
+    assert "secondary stage2_train skipped" in proc.stderr
+    assert "force-freed" in proc.stderr
+    assert enriched["stage2_train_volumes_per_sec_chip"] is None
+    assert enriched["dpm20_volumes_per_sec_chip"] is not None
+    assert enriched["distilled_4step_volumes_per_sec_chip"] is not None
+    assert enriched["stage1_train_volumes_per_sec_chip"] is not None
+    assert enriched["stage1_train_remat"] == "convs"
