@@ -259,6 +259,53 @@ def classify_stage1(row):
     return votes.most_common(1)[0][0]
 
 
+def _decode_bucket_one(scope):
+    """Bucket a single scope path for the DECODE program taxonomy.
+
+    Decoder3D reverses the channel list, so with 32g channels [64,128,256]:
+    up_0 = 256ch @ 24^3, up_1 = 128ch @ 48^3, up_2 = 64ch @ 96^3 — up_2 and
+    conv_out are the 64-channel full-resolution convs the stage-1 lane-
+    ceiling analysis applies to (docs/PERFORMANCE.md).
+    """
+    s = scope.lower()
+    m = re.search(r"/up_(\d+)_(res|attn|upsample)", s)
+    if m:
+        level = int(m.group(1))
+        if m.group(2) == "attn":
+            return f"up{level}-attention"
+        kind = "upsample" if m.group(2) == "upsample" else None
+        if kind is None:
+            tail = s.rsplit("/", 1)[-1]
+            kind = ("groupnorm-silu" if ("norm" in tail and "conv" not in tail)
+                    else "conv")
+        return f"up{level}-{kind}"
+    if "mid_res" in s or "mid_attn" in s:
+        return "mid-attention" if "attn" in s else "mid-res"
+    if "conv_out" in s:
+        return "conv_out-fullres"
+    if "conv_in" in s:
+        return "conv_in"
+    if "norm_out" in s:
+        return "norm_out-fullres"
+    if "post_quant" in s or "quant" in s:
+        return "quant-conv"
+    return "other"
+
+
+def classify_decode(row):
+    """Bucket a FusionRow into the decode-program taxonomy (same heavy-op
+    majority-vote rule as classify_stage1)."""
+    scopes = row.scopes or row.op_names
+    if not scopes:
+        if row.category in ("copy", "copy-start", "copy-done", "bitcast",
+                            "reverse", "transpose"):
+            return "layout-copy"
+        return "other"
+    heavy = [s for s in scopes if any(h in s for h in _HEAVY_OPS)]
+    votes = collections.Counter(_decode_bucket_one(s) for s in (heavy or scopes))
+    return votes.most_common(1)[0][0]
+
+
 def print_table(rows, total_ms, top=40, classify=None):
     print(f"total device time: {total_ms:.2f} ms/step across {len(rows)} ops")
     shown = 0.0
@@ -360,6 +407,31 @@ def _build_stage2(batch, remat=True):
     return step, (state, tb, jnp.float32(0.9), jax.random.PRNGKey(77)), {}, fold
 
 
+def _build_decode(batch, remat=False):
+    # mirrors bench.py's full-batch device-only decode (sum-reduced output so
+    # the trace measures decode compute, not tunnel readback) — round-3
+    # verdict item 5: give the decoder the stage-1 per-fusion treatment
+    import jax
+    import jax.numpy as jnp
+
+    from ldm3d_tpu.configs import ConfigResolver, load_json, preset_path
+
+    r = ConfigResolver(load_json(preset_path("config_train_32g.json")))
+    ae = r.instantiate("autoencoder_def").clone(dtype=jnp.bfloat16, remat=remat)
+    rng = jax.random.PRNGKey(0)
+    latent = 96 // ae.downsample_factor
+    ae_params = jax.jit(ae.init)(
+        {"params": rng, "sample": rng},
+        jnp.zeros((1, 16, 16, 16, ae.in_channels), jnp.bfloat16))["params"]
+    z = jax.random.normal(rng, (batch, latent, latent, latent, ae.latent_channels),
+                          jnp.float32).astype(jnp.bfloat16)
+    decode = jax.jit(
+        lambda p, zz: jnp.sum(ae.apply({"params": p}, zz,
+                                       method="decode_stage_2_outputs")
+                              .astype(jnp.float32)))
+    return decode, (ae_params, z), {}, None
+
+
 def main():
     import jax
 
@@ -368,9 +440,10 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    ap.add_argument("program", choices=["stage1", "stage2"],
+    ap.add_argument("program", choices=["stage1", "stage2", "decode"],
                     help="stage1 = VAE-GAN train step; stage2 = cached-latents "
-                         "diffusion train step")
+                         "diffusion train step; decode = full-batch VAE decode "
+                         "(device-only, sum-reduced)")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--top", type=int, default=40)
@@ -382,8 +455,12 @@ def main():
                     help="just time the step (no trace, no HLO attribution)")
     args = ap.parse_args()
     mode = args.remat_mode if args.remat_mode else (not args.no_remat)
-    build = _build_stage1 if args.program == "stage1" else _build_stage2
+    build = {"stage1": _build_stage1, "stage2": _build_stage2,
+             "decode": _build_decode}[args.program]
+    if args.program == "decode":
+        mode = args.remat_mode or False  # inference path: no remat by default
     fn, fargs, fkwargs, fold = build(args.batch, remat=mode)
+    classify = classify_decode if args.program == "decode" else classify_stage1
     if args.time_only:
         import time
 
@@ -400,9 +477,9 @@ def main():
               f"remat={not args.no_remat} batch={args.batch}")
         return
     rows, total = audit(fn, fargs, kwargs=fkwargs, iters=args.iters, fold=fold)
-    print_table(rows, total, top=args.top, classify=classify_stage1)
+    print_table(rows, total, top=args.top, classify=classify)
     print("\nby bucket:")
-    for k, (ms, pct) in summarize(rows, classify_stage1).items():
+    for k, (ms, pct) in summarize(rows, classify).items():
         print(f"  {k:<20} {ms:8.2f} ms  {pct:5.1f}%")
 
 
