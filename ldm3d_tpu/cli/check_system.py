@@ -71,12 +71,16 @@ def probe_host() -> dict:
 #   STATE: exact — fp32 params + 2 Adam moments for generator (22.17 M) and
 #     discriminator (0.67 M) + frozen bf16 LPIPS (0.72 M), counted via
 #     jax.eval_shape on the 32g preset = 0.26 GiB.
-#   ACT_PER_VOXEL: calibrated against on-chip fit/OOM brackets on the 16 GiB
-#     v5e (tools/hbm_probe.py; the axon backend exposes no memory_stats, so
-#     the anchor is a bracket, not a gauge): batch 8 @64^3 no-remat runs
-#     standalone but OOMs with ~2 GiB of extra resident buffers (round-3
-#     bench, reproduced by the round-3 judge) -> peak in (14, 16) GiB;
-#     model pins the MIDDLE at 15 GiB -> 7.04 KiB/voxel/volume.
+#   ACT_PER_VOXEL: calibrated against on-chip fit/OOM + throughput brackets
+#     on the 16 GiB v5e (tools/hbm_probe.py, raw runs committed at
+#     docs/artifacts/hbm_brackets_r4.jsonl; the axon backend exposes no
+#     memory_stats, so the anchor is a bracket, not a gauge): batch 8 @64^3
+#     no-remat runs healthy (319 ms) but OOMs with ~2 GiB of extra resident
+#     buffers (round-3 bench) -> requested footprint in (14, 16) GiB; model
+#     pins the MIDDLE at 15 GiB -> 7.04 KiB/voxel/volume. Batches 10/12
+#     still "fit" only because XLA silently rematerializes under pressure
+#     at +60-86% step time (docs/PERFORMANCE.md "HBM headroom, measured") —
+#     which is WHY the headroom gate below exists.
 #   f(remat): 1.0 no-remat; 0.38 convs (1/3 activations + the same
 #     boundary tensors, docs/PERFORMANCE.md round-3 remat section); 0.27
 #     full (block boundaries only).
