@@ -80,3 +80,32 @@ def test_summarize_orders_buckets():
     assert keys[0] == "gen-encoder-fwd"
     ms, pct = out["gen-encoder-fwd"]
     assert ms == 2.0 and abs(pct - 66.7) < 0.1
+
+
+def test_classify_decode_buckets():
+    """Decode-program taxonomy (round-4): decoder levels, attention,
+    upsamples, and the full-resolution tail map to the buckets the
+    PERFORMANCE.md decode audit tables use."""
+    from trace_audit import classify_decode
+
+    def row(*scopes, category="fusion"):
+        return FusionRow(name="f", ms_per_step=1.0, pct=1.0, count=1,
+                         category=category, op_names=list(scopes),
+                         scopes=list(scopes))
+
+    conv = row("jit(d)/AutoencoderKL.decode/decoder/up_2_res_0/conv1/conv_general_dilated")
+    assert classify_decode(conv) == "up2-conv"
+    attn = row("jit(d)/decoder/up_0_attn_1/jit(_flash_fwd_impl)/pallas_call")
+    assert classify_decode(attn) == "up0-attention"
+    ups = row("jit(d)/decoder/up_1_upsample/conv_general_dilated")
+    assert classify_decode(ups) == "up1-upsample"
+    gn = row("jit(d)/decoder/up_2_res_1/norm1/mul")
+    assert classify_decode(gn) == "up2-groupnorm-silu"
+    out = row("jit(d)/AutoencoderKL.decode/decoder/conv_out/dot_general")
+    assert classify_decode(out) == "conv_out-fullres"
+    # heavy-op majority vote: the conv member outvotes fused elementwise
+    mixed = row("jit(d)/decoder/up_1_res_0/conv1/conv_general_dilated",
+                "jit(d)/decoder/norm_out/mul")
+    assert classify_decode(mixed) == "up1-conv"
+    copy = row(category="copy")
+    assert classify_decode(copy) == "layout-copy"

@@ -273,11 +273,15 @@ def _decode_bucket_one(scope):
         level = int(m.group(1))
         if m.group(2) == "attn":
             return f"up{level}-attention"
-        kind = "upsample" if m.group(2) == "upsample" else None
-        if kind is None:
-            tail = s.rsplit("/", 1)[-1]
-            kind = ("groupnorm-silu" if ("norm" in tail and "conv" not in tail)
-                    else "conv")
+        if m.group(2) == "upsample":
+            return f"up{level}-upsample"
+        rest = s[m.end():]
+        if "conv" in rest or "shortcut" in rest:
+            kind = "conv"
+        elif "norm" in rest or "silu" in rest:
+            kind = "groupnorm-silu"
+        else:
+            kind = "conv"
         return f"up{level}-{kind}"
     if "mid_res" in s or "mid_attn" in s:
         return "mid-attention" if "attn" in s else "mid-res"
