@@ -165,7 +165,13 @@ def _pack_weights(w, dtype):
 
 def _pick_tile(M: int, W: int, itemsize: int) -> int:
     """Largest row tile keeping the kernel's VMEM working set under ~13 MiB
-    (16 MiB core limit minus headroom for Mosaic's stack temporaries)."""
+    (16 MiB core limit minus headroom for Mosaic's stack temporaries).
+
+    Raises ValueError when even the smallest tile cannot fit — including the
+    case where the FIXED working set (3-plane rolling window + double-buffered
+    weights) alone exceeds the budget — so callers hit the advertised
+    gate-on-ValueError fallback to conv3d_xla instead of a deep Mosaic
+    compile failure."""
     lane_b = _LANE * itemsize
     gplanes = 3 * (M + 2 * (W + 8)) * lane_b
     fixed = gplanes + 2 * 24 * _LANE * lane_b           # window + dbl-buf weights
@@ -177,7 +183,9 @@ def _pick_tile(M: int, W: int, itemsize: int) -> int:
         need = 2 * tm * lane_b + tm * _LANE * 4 + 4 * (tm + 16) * lane_b
         if need <= budget:
             return tm
-    return 8
+    raise ValueError(
+        f"conv3d_igemm working set does not fit VMEM for plane H*W={M} "
+        f"(fixed window+weights {fixed} B vs ~13 MiB budget)")
 
 
 @functools.partial(jax.jit, static_argnames=("tile_m", "interpret"))

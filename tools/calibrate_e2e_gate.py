@@ -118,6 +118,19 @@ def main(argv=None):
 
     lo, hi = float(min(healthy)), float(max(healthy))
     std = float(np.std(healthy))
+    if lo - collapse < std:
+        # the midpoint recommendation below is NON-SEPARATING in this regime:
+        # when the collapse score sits within ~1 std of the healthy minimum,
+        # (lo+collapse)/2 has near-zero margin on both sides. Callers should
+        # treat the gate as catastrophic-only (see ci.yml evaluation-gate
+        # comment) rather than adopt the midpoint.
+        print(
+            f"[calibrate] WARNING: healthy_min - collapse = {lo - collapse:.4f} "
+            f"< healthy_std = {std:.4f}: trained vs untrained are not separable "
+            "at this scale; recommended_threshold is non-separating — keep a "
+            "catastrophic-only threshold instead.",
+            file=sys.stderr,
+        )
     rec = {
         "healthy_scores": [round(s, 6) for s in healthy],
         "healthy_min": round(lo, 6),

@@ -14,10 +14,10 @@ One recipe per invocation (the allocator's peak counter is process-global)::
     python tools/hbm_probe.py stage2 --batch 8 --volume 96 --remat full
 
 Prints one JSON line: recipe, peak_bytes_in_use, bytes_limit, headroom_frac,
-step_ms. The measured anchors are pinned in
-``ldm3d_tpu/cli/check_system.py::STAGE1_PEAK_ANCHORS`` (with provenance) and
-drive its modeled-headroom recommendation; re-run this tool after a
-jax/libtpu upgrade and refresh the anchors if they move.
+step_ms. The measured anchors are pinned in ``ldm3d_tpu/cli/check_system.py``
+as ``_STAGE1_STATE_BYTES`` / ``_STAGE1_ACT_BYTES_PER_VOXEL`` (with provenance
+comments) and drive its modeled-headroom recommendation; re-run this tool
+after a jax/libtpu upgrade and refresh those constants if they move.
 """
 
 from __future__ import annotations
