@@ -51,9 +51,14 @@ import numpy as np
 
 # Persistent compilation cache: the flagship programs (DDIM scan, UNet step,
 # decode) compile once per machine; subsequent bench runs start in seconds.
+# TPU-only: XLA:CPU cache entries are AOT-compiled for one host's CPU
+# features and loading them on another machine risks SIGILL (observed in
+# MULTICHIP_r04.json and in CPU test runs of this script).
 _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if not (os.environ.get("JAX_PLATFORMS", "").lower() == "cpu"
+        or "xla_force_host_platform_device_count" in os.environ.get("XLA_FLAGS", "")):
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def _progress(msg: str) -> None:
@@ -93,6 +98,44 @@ def hbm_limit_bytes() -> int | None:
         stats = jax.devices()[0].memory_stats() or {}
         return stats.get("bytes_limit")
     except Exception:  # noqa: BLE001
+        return None
+
+
+# per-chip HBM by device_kind substring (public specs) — the fallback basis
+# for hbm_limit_gib when the backend exposes no memory_stats (axon does not)
+_HBM_SPEC_GIB = (("v6", 32.0), ("v5p", 95.0), ("v5", 16.0), ("v4", 32.0), ("v3", 32.0))
+
+
+def hbm_limit_gib_with_basis() -> tuple[float | None, str | None]:
+    limit = hbm_limit_bytes()
+    if limit:
+        return limit / 2**30, "memory_stats bytes_limit"
+    kind = getattr(jax.devices()[0], "device_kind", "").lower()
+    for sub, gib in _HBM_SPEC_GIB:
+        if sub in kind:
+            return gib, f"device-spec for '{kind}' (backend exposes no memory_stats)"
+    return None, None
+
+
+def compiled_peak_bytes(jitted, *args, **kwargs) -> int | None:
+    """One program's device footprint from XLA's own memory analysis.
+
+    argument + temp + output bytes of the compiled executable — the
+    compiler's allocation plan, auditable via
+    ``jit(f).lower(args).compile().memory_analysis()`` — used for the
+    peak-HBM fields when the backend has no allocator gauge (round-4 verdict
+    item 6: stop emitting null HBM fields on axon).
+    """
+    try:
+        ma = jitted.lower(*args, **kwargs).compile().memory_analysis()
+        if ma is None:
+            return None
+        # donation-aliased outputs share their argument's buffer: subtract
+        total = (int(ma.argument_size_in_bytes) + int(ma.temp_size_in_bytes)
+                 + int(ma.output_size_in_bytes) - int(ma.alias_size_in_bytes))
+        return total if total > 0 else None
+    except Exception as e:  # noqa: BLE001 — availability varies by backend
+        _progress(f"memory_analysis unavailable ({type(e).__name__}: {str(e)[:80]})")
         return None
 
 
@@ -376,6 +419,21 @@ def _measure_headline(models, BATCH: int) -> dict:
     _progress(f"scan {scan_seconds_meas:.2f}s/batch ({denoise_ms:.1f} ms/step); "
               "measuring sustained pipeline ...")
 
+    # --- one-dispatch round trip (tunnel RTT) ---------------------------------
+    # A trivial program + 4-byte readback: the fixed cost every timed-with-
+    # scalar-readback number above carries but a trace's device-only time does
+    # not. Round-4 verdict item 5: the 174 ms (trace) vs 201 ms (timed) decode
+    # gap needed attribution — this measures the dispatch side of it directly.
+    tiny = jax.jit(lambda v: v + 1.0)
+    float(tiny(jnp.float32(0)))  # compile + warm
+    rtts = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        float(tiny(jnp.float32(1)))
+        rtts.append(time.perf_counter() - t0)
+    dispatch_rtt_ms = float(np.median(rtts)) * 1000
+    _progress(f"one-dispatch round trip {dispatch_rtt_ms:.1f} ms")
+
     # --- sustained throughput: batch i+1's scan enqueued before batch i's ---
     # decode readback, so host transfer (the tunnel's weakest link here)
     # overlaps device compute — how the serving layer actually runs under
@@ -497,8 +555,31 @@ def _measure_headline(models, BATCH: int) -> dict:
     except Exception as e:  # noqa: BLE001 — MFU fields are enrichment, not headline
         _progress(f"mfu section skipped ({type(e).__name__}: {str(e)[:100]})")
 
+    # --- HBM fields, never null on TPU (round-4 verdict item 6) --------------
+    # Basis order: allocator gauge when the backend has one; else the
+    # compiler's own allocation plan for the two headline programs; else the
+    # device-spec limit as an upper bound (the run demonstrably fit it).
     hbm_peak = peak_hbm_bytes()
-    hbm_limit = hbm_limit_bytes()
+    hbm_limit_gib, hbm_limit_basis = hbm_limit_gib_with_basis()
+    if hbm_peak:
+        peak_headline_gib = hbm_peak / 2**30
+        peak_headline_basis = "memory_stats peak_bytes_in_use (process high-water mark)"
+    else:
+        scan_bytes = compiled_peak_bytes(scan_ddim, u_params, noise, rng, condition)
+        dec_bytes = compiled_peak_bytes(decode_jit, ae_params, noise[:db])
+        parts = [x for x in (scan_bytes, dec_bytes) if x]
+        if parts:
+            peak_headline_gib = max(parts) / 2**30
+            peak_headline_basis = (
+                "xla-memory-analysis: max(argument+temp+output bytes) of the "
+                f"DDIM scan ({(scan_bytes or 0) / 2**30:.2f} GiB) and decode "
+                f"({(dec_bytes or 0) / 2**30:.2f} GiB) programs; the backend "
+                "exposes no memory_stats")
+        else:
+            peak_headline_gib = hbm_limit_gib
+            peak_headline_basis = (
+                "upper bound: ran to completion inside the device limit "
+                "(no allocator gauge or compiler memory analysis available)")
 
     # Headline = SUSTAINED throughput (batch i+1's scan enqueued before batch
     # i's readback — how the serving layer runs under continuous load). The
@@ -534,10 +615,26 @@ def _measure_headline(models, BATCH: int) -> dict:
         "ddim50_scan_seconds_per_batch": round(scan_seconds_meas, 3),
         "denoise_step_ms_per_batch": round(denoise_ms, 2),
         "vae_decode_readback_ms_per_batch": round(decode_ms, 2),
+        "dispatch_rtt_ms": round(dispatch_rtt_ms, 2),
+        # Round-4 verdict item 5: the three decode numbers, labeled by context
+        # so they reconcile inside the artifact itself.
+        "decode_contexts_note": (
+            f"vae_decode_device_ms_per_batch = {(BATCH + db - 1) // db} chunk-{db} "
+            "programs, one scalar readback each (carries that many dispatch "
+            "RTTs); decode_device_ms_full_batch = ONE full-batch program timed "
+            "around one scalar readback (~1 dispatch RTT — subtract "
+            "dispatch_rtt_ms, reported as decode_device_ms_full_batch_net, to "
+            "compare with a trace's device-only time); trace-audit numbers "
+            "(docs/artifacts/decode_trace_audit_*.txt) are device-only and "
+            "exclude dispatch entirely"),
         "ddpm1000_python_loop_seconds_per_volume": round(baseline_time / BATCH, 3),
-        # HBM accounting for the headline programs (round-3 verdict item 3)
-        "peak_hbm_gib_headline": (round(hbm_peak / 2**30, 2) if hbm_peak else None),
-        "hbm_limit_gib": (round(hbm_limit / 2**30, 2) if hbm_limit else None),
+        # HBM accounting for the headline programs (round-3 verdict item 3;
+        # round-4 item 6: basis-labeled, never null on TPU)
+        "peak_hbm_gib_headline": (round(peak_headline_gib, 2)
+                                  if peak_headline_gib else None),
+        "peak_hbm_headline_basis": peak_headline_basis,
+        "hbm_limit_gib": (round(hbm_limit_gib, 2) if hbm_limit_gib else None),
+        "hbm_limit_basis": hbm_limit_basis,
         # secondary fields — populated by the guarded sections below; None in
         # the first (headline) emission and in any run whose secondary failed
         "dpm20_volumes_per_sec_chip": None,
@@ -548,10 +645,17 @@ def _measure_headline(models, BATCH: int) -> dict:
         "stage1_train_gflops_per_step": None,
         "stage1_train_remat": None,
         "stage1_train_peak_hbm_gib": None,
+        "stage1_train_peak_hbm_basis": None,
+        "stage1_train_e2e_volumes_per_sec": None,
+        "stage1_e2e_over_device_frac": None,
         "stage2_train_mfu": None,
         "stage2_train_gflops_per_step": None,
         "decode_device_ms_full_batch": (round(decode_full_ms, 1)
                                         if decode_full_ms else None),
+        # net of one dispatch round trip — the device-only estimate that a
+        # trace audit of the same program should reproduce (item 5)
+        "decode_device_ms_full_batch_net": (
+            round(decode_full_ms - dispatch_rtt_ms, 1) if decode_full_ms else None),
         "decode_full_batch_size": decode_full_batch,
         "decode_mfu_full_batch": (round(decode_full_mfu, 4)
                                   if decode_full_mfu else None),
@@ -725,14 +829,96 @@ def _sec_stage1_train(ctx, result):
     hbm_peak = peak_hbm_bytes()
     if hbm_peak:
         result["stage1_train_peak_hbm_gib"] = round(hbm_peak / 2**30, 2)
+        result["stage1_train_peak_hbm_basis"] = (
+            "memory_stats peak_bytes_in_use — a PROCESS-CUMULATIVE high-water "
+            "mark (includes every earlier bench section), not this recipe's "
+            "own footprint; per-recipe peaks come from tools/hbm_probe.py "
+            "one-recipe-per-process runs")
+    elif PRESET == "config_train_32g.json":
+        # axon exposes no memory_stats: report the bracketed model instead of
+        # null (round-4 verdict item 6) — exact state bytes + the activation
+        # coefficient bracketed on-chip by fit/OOM trials. The model's
+        # anchors are the flagship 32g stage-1 recipe, so it only applies to
+        # that preset (CPU test runs on tiny presets leave the field null).
+        from ldm3d_tpu.cli.check_system import estimate_stage1_peak_bytes
+
+        result["stage1_train_peak_hbm_gib"] = round(
+            estimate_stage1_peak_bytes(S1_BATCH, [S1_VOLUME] * 3, remat_mode) / 2**30, 2)
+        result["stage1_train_peak_hbm_basis"] = (
+            "bracketed-model: exact state bytes (jax.eval_shape) + activation "
+            "coefficient bracketed on-chip via fit/OOM trials "
+            "(tools/hbm_probe.py, docs/artifacts/hbm_brackets_r4.jsonl); the "
+            "axon backend exposes no memory_stats")
+    # hand the compiled step + warm states to the e2e-loader secondary
+    ctx["s1"] = (s1_step, g_st, d_st)
 
 
-# Stage-1 last: it was the section whose OOM started the round-3 cascade.
+def _sec_stage1_e2e(ctx, result):
+    """Stage-1 training fed by the REAL input pipeline (round-4 verdict item 3).
+
+    The device-only stage-1 number feeds a fixed device-resident array; the
+    reference by construction trains through its dataloader
+    (``3d_ldm/utils.py:195-230``). This writes synthetic NPZ volumes to disk,
+    then drives the SAME compiled train step through the full host path —
+    NPZ read (native C++ loader when built) -> random-crop + percentile-scale
+    transforms -> BatchLoader thread prefetch -> async device_put
+    double-buffer (``data.loader.device_prefetch``) — and reports e2e
+    volumes/sec next to the device-only rate.
+    """
+    import itertools
+    import shutil
+    import tempfile
+
+    from ldm3d_tpu.data import NPZPairDataset, write_synthetic_npz_dir
+    from ldm3d_tpu.data.loader import BatchLoader, device_prefetch
+
+    if "s1" not in ctx:
+        raise RuntimeError("stage1_train secondary did not run; no compiled step")
+    s1_step, g_st, d_st = ctx.pop("s1")
+    n_files = max(2 * S1_BATCH, 12)
+    src = S1_VOLUME * 3 // 2  # files larger than the patch so the crop does work
+    tmp = tempfile.mkdtemp(prefix="ldm3d_bench_npz_")
+    try:
+        files = write_synthetic_npz_dir(tmp, n_files, shape=(src, src, src), seed=5)
+        ds = NPZPairDataset(files, patch_size=[S1_VOLUME] * 3, randcrop=True,
+                            scale_on_host=True, seed=7)
+        loader = BatchLoader(ds, batch_size=S1_BATCH, shuffle=True, seed=7, prefetch=2)
+
+        def host_batches():
+            for ep in itertools.count():
+                yield from loader.epoch(ep)
+
+        it = device_prefetch(host_batches(), size=2)
+        b = next(it)
+        g_st, d_st, sm = s1_step(g_st, d_st, b["image"], jax.random.PRNGKey(30), True)
+        float(sm["recon_loss"])  # warm (same shapes as the device-only section)
+        n_steps = 3 * max(1, REPEATS)
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            b = next(it)
+            g_st, d_st, sm = s1_step(g_st, d_st, b["image"],
+                                     jax.random.PRNGKey(31 + i), True)
+        float(sm["recon_loss"])
+        e2e_rate = n_steps * S1_BATCH / (time.perf_counter() - t0)
+        result["stage1_train_e2e_volumes_per_sec"] = round(e2e_rate, 4)
+        dev_rate = result.get("stage1_train_volumes_per_sec_chip")
+        if dev_rate:
+            result["stage1_e2e_over_device_frac"] = round(e2e_rate / dev_rate, 4)
+        _progress(f"stage-1 e2e through NPZ loader: {e2e_rate:.2f} vol/s "
+                  f"({result.get('stage1_e2e_over_device_frac')} of device-only; "
+                  f"{n_files} files @{src}^3, crop {S1_VOLUME}^3, batch {S1_BATCH})")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# Stage-1 late: it was the section whose OOM started the round-3 cascade.
+# stage1_e2e reuses stage1_train's compiled step + states, so it runs last.
 SECONDARIES = (
     ("dpm20", _sec_dpm20),
     ("distilled4", _sec_distilled4),
     ("stage2_train", _sec_stage2_train),
     ("stage1_train", _sec_stage1_train),
+    ("stage1_e2e", _sec_stage1_e2e),
 )
 
 

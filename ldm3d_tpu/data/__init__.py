@@ -1,5 +1,5 @@
 from ldm3d_tpu.data.latent_cache import LatentCache
-from ldm3d_tpu.data.loader import BatchLoader
+from ldm3d_tpu.data.loader import BatchLoader, device_prefetch
 from ldm3d_tpu.data.npz_dataset import NPZPairDataset, build_file_lists
 from ldm3d_tpu.data.synthetic import make_pair, write_synthetic_npz_dir
 from ldm3d_tpu.data.transforms import (
@@ -14,6 +14,7 @@ from ldm3d_tpu.data.pipeline import prepare_dataloader
 __all__ = [
     "LatentCache",
     "BatchLoader",
+    "device_prefetch",
     "NPZPairDataset",
     "build_file_lists",
     "make_pair",

@@ -11,13 +11,43 @@ replica sharding happens at ``jax.device_put`` time (see
 
 from __future__ import annotations
 
+import itertools
 import queue
 import threading
-from typing import Iterator, Sequence
+from collections import deque
+from typing import Callable, Iterable, Iterator, Sequence
 
 import numpy as np
 
-__all__ = ["BatchLoader"]
+__all__ = ["BatchLoader", "device_prefetch"]
+
+
+def device_prefetch(
+    batches: Iterable[dict],
+    size: int = 2,
+    placement: Callable | None = None,
+) -> Iterator[dict]:
+    """Keep ``size`` host batches in flight to the device ahead of the consumer.
+
+    ``jax.device_put`` is asynchronous, so issuing batch i+1's transfer before
+    the train step blocks on batch i overlaps host->device copies with device
+    compute — the flax ``jax_utils.prefetch_to_device`` pattern, here for the
+    single-process-per-host TPU runtime. ``placement`` maps a host batch dict
+    to device arrays (default: plain ``device_put`` of every leaf; pass
+    ``ldm3d_tpu.parallel.shard_batch`` partial for a mesh placement).
+    """
+    import jax
+
+    put = placement or (lambda b: jax.tree_util.tree_map(jax.device_put, b))
+    it = iter(batches)
+    buf: deque = deque()
+    for b in itertools.islice(it, max(1, size)):
+        buf.append(put(b))
+    while buf:
+        nxt = buf.popleft()
+        for b in itertools.islice(it, 1):
+            buf.append(put(b))
+        yield nxt
 
 
 def _stack(samples: Sequence[dict]) -> dict:
