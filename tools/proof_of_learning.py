@@ -82,11 +82,11 @@ def write_run_config(a) -> tuple[str, str]:
     cfg.setdefault("diffusion_train", {})
     cfg["diffusion_train"].update({
         "batch_size": a.batch, "patch_size": [a.patch] * 3, "lr": 1e-4,
-        "max_epochs": a.stage2_epochs, "val_interval": a.val_interval,
+        # stage-2 validates half as often: each is-best event pulls the
+        # flagship UNet (params + EMA, ~GBs) over the dev tunnel — measured
+        # ~7 min per save in the smoke run
+        "max_epochs": a.stage2_epochs, "val_interval": 2 * a.val_interval,
     })
-    cfg["synthetic_num"] = a.synthetic_num
-    # volumes sized so the 1.5x-rounded val patch (96^3 for patch 64) fits
-    cfg["synthetic_shape"] = [96, 96, 96]
     cfg_path = os.path.join(a.workdir, "config_proof.json")
     with open(cfg_path, "w") as f:
         json.dump(cfg, f, indent=2)
@@ -99,6 +99,10 @@ def write_run_config(a) -> tuple[str, str]:
         "val_fraction": 0.1,
         "tfevent_path": os.path.join(a.workdir, "runs"),
         "seed": 0,
+        "synthetic_data": True,
+        "synthetic_num": a.synthetic_num,
+        # volumes sized so the 1.5x-rounded val patch (96^3 for patch 64) fits
+        "synthetic_shape": [96, 96, 96],
     }
     env_path = os.path.join(a.workdir, "environment_proof.json")
     with open(env_path, "w") as f:
@@ -159,7 +163,9 @@ def _style_axis(ax, title):
 
 
 def plot_curves(tags: dict, panels: list[tuple], out_png: str, suptitle: str):
-    """panels: (title, [(tag, label, color, logy)])."""
+    """panels: (title, [(tag, label, color, logy, xmul)]) — ``xmul`` converts
+    each tag's recorded step counter to a COMMON x axis (training steps), so
+    per-iter and per-epoch series share one scale (one-axis rule)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -175,16 +181,18 @@ def plot_curves(tags: dict, panels: list[tuple], out_png: str, suptitle: str):
         ax.axis("off")
     for ax, (title, series) in zip(axes, panels):
         drawn = 0
-        for tag, label, color, logy in series:
+        for tag, label, color, logy, xmul in series:
             pts = tags.get(tag)
             if not pts:
                 continue
             steps, vals = zip(*sorted(pts))
-            ax.plot(steps, vals, color=color, linewidth=1.8, label=label)
+            ax.plot(np.asarray(steps) * xmul, vals, color=color, linewidth=1.8,
+                    label=label)
             if logy:
                 ax.set_yscale("log")
             drawn += 1
         _style_axis(ax, title)
+        ax.set_xlabel("training step", fontsize=8, color=C_TEXT2)
         if drawn >= 2:
             ax.legend(frameon=False, fontsize=8, labelcolor=C_TEXT2)
     fig.suptitle(suptitle, fontsize=11, color=C_TEXT, x=0.01, ha="left")
@@ -401,17 +409,22 @@ def main():
                            os.path.join(outdir, "scalars_stage1.jsonl"))
     tags2 = export_scalars(os.path.join(runs, "diffusion"),
                            os.path.join(outdir, "scalars_stage2.jsonl"))
+    # common x axis in true training steps: stage-1 logs per-iter tags every
+    # 10 steps (x = counter -> x10) and per-epoch tags by epoch
+    # (x = epoch -> x steps_per_epoch); stage-2 logs per-iter tags every step
+    n_train_files = a.synthetic_num - max(1, int(a.synthetic_num * 0.1))
+    spe = max(1, n_train_files // a.batch)
     plot_curves(tags1, [
-        ("reconstruction L1", [("train_recon_loss_iter", "train (per 10 steps)", C_TRAIN, True),
-                               ("val_recon_loss", "val (per val epoch)", C_VAL, True)]),
-        ("KL", [("train_kl_loss_iter", "train", C_TRAIN, True)]),
-        ("perceptual (2.5D LPIPS)", [("train_perceptual_loss_iter", "train", C_TRAIN, True)]),
-        ("adversarial (after warm-up)", [("train_adv_loss_iter", "train", C_TRAIN, False)]),
+        ("reconstruction L1", [("train_recon_loss_iter", "train", C_TRAIN, True, 10),
+                               ("val_recon_loss", "val", C_VAL, True, spe)]),
+        ("KL", [("train_kl_loss_iter", "train", C_TRAIN, True, 10)]),
+        ("perceptual (2.5D LPIPS)", [("train_perceptual_loss_iter", "train", C_TRAIN, True, 10)]),
+        ("adversarial (after warm-up)", [("train_adv_loss_iter", "train", C_TRAIN, False, 10)]),
     ], os.path.join(outdir, "curves_stage1.png"),
         "Stage 1 (VAE-GAN) — proof-of-learning run")
     plot_curves(tags2, [
-        ("diffusion epsilon-MSE", [("train_diffusion_loss_iter", "train (per step)", C_TRAIN, True),
-                                   ("val_diffusion_loss", "val (per val epoch)", C_VAL, True)]),
+        ("diffusion epsilon-MSE", [("train_diffusion_loss_iter", "train", C_TRAIN, True, 1),
+                                   ("val_diffusion_loss", "val", C_VAL, True, spe)]),
     ], os.path.join(outdir, "curves_stage2.png"),
         "Stage 2 (conditional latent diffusion) — proof-of-learning run")
 
