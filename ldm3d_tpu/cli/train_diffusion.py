@@ -266,6 +266,12 @@ def main(argv=None):
                 losses.append(metrics["diffusion_loss"])
                 total_step += 1
                 writer.add_scalar("train_diffusion_loss_iter", metrics["diffusion_loss"], total_step)
+                if total_step % 50 == 0 and "grad_norm" in metrics:
+                    # reference logs grad norms every 50 steps for the AE
+                    # (train_autoencoder.py:523-531); do the same here — a
+                    # flat loss with healthy grad norms separates slow
+                    # learning from a broken gradient path
+                    writer.add_scalar("grad_norm_diffusion", metrics["grad_norm"], total_step)
             if stop.requested_global:
                 # preemption: full resumable 'last' save; the interrupted
                 # epoch replays on restart (meta epoch = epoch - 1)

@@ -26,6 +26,12 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 TINY_ENV = {
+    # PALLAS_AXON_POOL_IPS must be cleared too: the sitecustomize re-registers
+    # the axon TPU platform when it is set, overriding JAX_PLATFORMS=cpu — the
+    # bench subprocess then runs on (and contends for) the real chip, and a
+    # busy tunnel turns this CPU test into a 900 s timeout (observed when the
+    # suite ran concurrently with an on-chip training run).
+    "PALLAS_AXON_POOL_IPS": "",
     "JAX_PLATFORMS": "cpu",
     "XLA_FLAGS": "",
     "LDM3D_BENCH_PRESET": "config_tiny_cpu.json",

@@ -32,6 +32,11 @@ def test_sigkill_then_resume(tmp_path):
             "-c", cfg, "-e", str(env_file), "--synthetic-data",
             "--max-epochs", "50", "--no-images"]
     env = dict(os.environ,
+               # clear the axon pool var: the sitecustomize re-registers the
+               # remote-TPU platform when it is set, and this test SIGKILLs
+               # the subprocess mid-run — killing a live tunnel client can
+               # wedge the shared device session for every other process
+               PALLAS_AXON_POOL_IPS="",
                JAX_PLATFORMS="cpu",
                XLA_FLAGS="--xla_force_host_platform_device_count=2",
                JAX_COMPILATION_CACHE_DIR=os.path.join(REPO, ".jax_cache_tests"),
