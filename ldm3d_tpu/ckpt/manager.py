@@ -136,7 +136,15 @@ class CheckpointManager:
         and is swapped over the previous checkpoint only after orbax commits
         (swap + meta sidecar of an async save happen at the next drain), so a
         crash at any instant leaves a complete restorable checkpoint and never
-        meta pointing at missing data."""
+        meta pointing at missing data.
+
+        ``LDM3D_SYNC_SAVES=1`` forces every save to block: on the axon dev
+        tunnel, orbax's background device->host pulls racing the training
+        step's transfers has been observed to wedge the shared device session
+        (transfer frozen mid-save, all clients stalled); a blocking save
+        serializes the two and costs only the transfer time itself."""
+        if os.environ.get("LDM3D_SYNC_SAVES") == "1":
+            block = True
         self._drain()  # previous async save commits; its swap + meta flush
         self._ckptr.save(self.path(role) + ".new", state, force=True)
         if block:

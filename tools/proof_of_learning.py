@@ -57,6 +57,12 @@ def build_args():
     p.add_argument("--synthetic-num", type=int, default=248)
     p.add_argument("--stage1-epochs", type=int, default=64)
     p.add_argument("--stage2-epochs", type=int, default=96)
+    p.add_argument("--stage1-lr", type=float, default=1e-4)
+    # measured on-chip: at 1e-4 the flagship (550M-param) UNet's zero-init
+    # output conv bootstraps too slowly for a bounded run — per-step loss sat
+    # at 1.0000 +/- 0.0005 for 900+ steps, while the same step at 1e-3
+    # (tiny widths, CPU) drops 1.0 -> 0.33 in 100 steps
+    p.add_argument("--stage2-lr", type=float, default=1e-3)
     p.add_argument("--val-interval", type=int, default=4)
     p.add_argument("--skip-stage1", action="store_true",
                    help="reuse an existing stage-1 checkpoint in workdir")
@@ -65,6 +71,8 @@ def build_args():
                    help="only re-run the export/eval steps on an existing workdir")
     p.add_argument("--eval-steps", type=int, default=50, help="DDIM steps for stage-2 eval sampling")
     p.add_argument("--eval-num", type=int, default=8, help="val pairs scored in stage-2 eval")
+    p.add_argument("--ema-decay", type=float, default=0.999,
+                   help="stage-2 EMA decay (0 disables; halves checkpoint transfer)")
     return p.parse_args()
 
 
@@ -76,12 +84,12 @@ def write_run_config(a) -> tuple[str, str]:
     # lr raised from the preset's long-horizon values (5e-5 / 1e-5) so the
     # bounded run converges visibly within its few-thousand-step budget
     cfg["autoencoder_train"].update({
-        "batch_size": a.batch, "patch_size": [a.patch] * 3, "lr": 1e-4,
+        "batch_size": a.batch, "patch_size": [a.patch] * 3, "lr": a.stage1_lr,
         "max_epochs": a.stage1_epochs, "val_interval": a.val_interval,
     })
     cfg.setdefault("diffusion_train", {})
     cfg["diffusion_train"].update({
-        "batch_size": a.batch, "patch_size": [a.patch] * 3, "lr": 1e-4,
+        "batch_size": a.batch, "patch_size": [a.patch] * 3, "lr": a.stage2_lr,
         # stage-2 validates half as often: each is-best event pulls the
         # flagship UNet (params + EMA, ~GBs) over the dev tunnel — measured
         # ~7 min per save in the smoke run
@@ -114,7 +122,11 @@ def run_stage(module: str, cfg: str, env: str, extra: list[str]) -> float:
     argv = [sys.executable, "-m", module, "-c", cfg, "-e", env, "--amp"] + extra
     print(f"[proof] running: {' '.join(argv)}", flush=True)
     t0 = time.time()
-    proc = subprocess.run(argv, cwd=REPO)
+    # blocking checkpoint saves: async orbax pulls racing the train step's
+    # transfers wedged the axon tunnel session twice during this run's
+    # development (ckpt/manager.py docstring)
+    senv = dict(os.environ, LDM3D_SYNC_SAVES="1")
+    proc = subprocess.run(argv, cwd=REPO, env=senv)
     dt = time.time() - t0
     if proc.returncode != 0:
         raise RuntimeError(f"{module} failed (rc={proc.returncode})")
@@ -399,9 +411,11 @@ def main():
         wall["stage1_seconds"] = run_stage(
             "ldm3d_tpu.cli.train_autoencoder", cfg_path, env_path, ["--remat", "convs"])
     if not (a.skip_train or a.skip_stage2):
+        s2_flags = ["--cache-latents"]
+        if a.ema_decay > 0:
+            s2_flags += ["--ema-decay", str(a.ema_decay)]
         wall["stage2_seconds"] = run_stage(
-            "ldm3d_tpu.cli.train_diffusion", cfg_path, env_path,
-            ["--cache-latents", "--ema-decay", "0.999"])
+            "ldm3d_tpu.cli.train_diffusion", cfg_path, env_path, s2_flags)
 
     # -- export curves -----------------------------------------------------
     runs = os.path.join(a.workdir, "runs")
